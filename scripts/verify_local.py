@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"` has produced
+per-query parquet dirs + oracle_sql.json, run
+
+    python3 scripts/verify_local.py <sfDir> <outDir>
+
+For each query: run the oracle SQL in DuckDB against views over the
+sfDir parquet tables, load the Spark parquet, sort columns by name,
+sort rows, and compare values exactly. Reports per-query PASS/FAIL with
+a diff sample. Queries without an oracle get a rows-only check.
+"""
+import sys, json, math, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize types for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
+    """a=spark, b=duckdb. Returns (ok, msg)."""
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"columns differ: spark={sorted(a.columns)} duckdb={sorted(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count differs: spark={len(a)} duckdb={len(b)}"
+    a, b = norm(a), norm(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        for i in range(len(av)):
+            x, y = av.iloc[i], bv.iloc[i]
+            xn = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
+            yn = y is None or (isinstance(y, float) and math.isnan(y)) or pd.isna(y)
+            if xn and yn:
+                continue
+            if xn != yn:
+                return False, f"col {c} row {i}: spark={x!r} duckdb={y!r}"
+            if isinstance(x, float) or isinstance(y, float):
+                if float(x) != float(y):  # exact — driver hashes
+                    return False, f"col {c} row {i}: spark={x!r} duckdb={y!r} (float mismatch)"
+            elif x != y:
+                return False, f"col {c} row {i}: spark={x!r} duckdb={y!r}"
+    return True, "ok"
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = qdir.rstrip("/").split("/")[-1]
+        try:
+            spark_df = pq.read_table(qdir).to_pandas()
+        except Exception as e:
+            results[name] = (False, f"spark parquet unreadable: {e}")
+            continue
+        if name not in oracle:
+            results[name] = (len(spark_df) >= 0, f"rows-only: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = (False, f"oracle SQL failed: {e}")
+            continue
+        results[name] = cmp_frames(spark_df, duck_df)
+    npass = sum(1 for ok, _ in results.values() if ok)
+    for name in sorted(results):
+        ok, msg = results[name]
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  {msg}")
+    print(f"\n{npass}/{len(results)} pass")
+    missing = [k for k in oracle if not os.path.isdir(f"{out_dir}/{k}")]
+    if missing:
+        print("oracle entries with no spark output:", missing)
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-stream operators over the `events` table (X5/X6/X9 in
+  * SURVEY.md §2.7): JSON extraction, tumbling-window aggregation,
+  * gap-based sessionization, and as-of join against the orders
+  * timeline.
+  *
+  * Scale notes: sessionization is a single shuffle on `user_id`
+  * followed by in-partition window functions — no driver-side state.
+  * The as-of join avoids a full non-equi cross product by unioning the
+  * two sides and using a window, i.e. the classic distributed
+  * merge-as-of: shuffle both sides once on the key, sort by time in
+  * the partition, carry the last order forward with `last(..., true)`.
+  */
+object EventOps {
+
+  /** X5: extract typed values from the JSON `props` column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** X6 (tumbling): hourly counts + exact value sums per event type. */
+  def hourlyRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** X6 (sessions): gap>30min starts a new session. lag + cumulative
+    * sum of session-start markers — the standard batch sessionizer. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** X9 as-of join: for each event, the most recent order of the same
+    * customer at-or-before the event time. Implemented as the
+    * union-merge as-of: tag both sides, shuffle once on the key, sort
+    * by time within the partition, and carry the latest order forward
+    * — O(n log n) per partition, no range cross-product, survives
+    * 100× scale-up unlike a theta-join.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id"), lit(1).as("is_event"),
+        lit(null).cast(LongType).as("o_orderkey"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+        lit(null).cast(LongType).as("event_id"), lit(0).as("is_event"),
+        col("o_orderkey"))
+    // At equal timestamps the order sorts first (is_event asc) so it is
+    // visible to the event: as-of is "at or before".
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("ts"),
+        col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract" -> jsonExtract,
+    "window_hourly_rollup" -> hourlyRollup,
+    "sessionize_gap30m" -> sessionize,
+    "join_asof_orders" -> asofJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_hourly_rollup" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n, ${sql.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_gap30m" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start,
+        |  CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+        |    AS duration_sec
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "join_asof_orders" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |  AS asof_orderkey
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

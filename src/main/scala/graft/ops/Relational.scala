@@ -1,0 +1,288 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface: scan + filter + projection,
+  * hash/broadcast/sort-merge joins, anti/semi joins, window dedup,
+  * deterministic sort + limit.
+  *
+  * Reference parity (SURVEY.md §2): the reference performs these
+  * degenerately over file lists and Postgres tables — anti-join of
+  * candidate files vs manifest (`load.ts:98-108`), latest-per-group
+  * file versioning (`download.ts:48-57`), ordered slices
+  * (`utils.ts:19-23`, `load.ts:80-87`). Here they are first-class
+  * distributed operators over the testdata star schema.
+  *
+  * Scale notes (100 TB): dimension joins use `broadcast()` explicitly;
+  * fact-fact joins shuffle on their keys and rely on AQE for skew.
+  * Filters and projections are plain Catalyst expressions so pushdown
+  * and column pruning reach the parquet scan.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: wide aggregate over the largest fact table.
+    * Map-side partial aggregation makes this shuffle only |groups| rows
+    * per partition — scales linearly at 100 TB. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection: both must reach the parquet
+    * scan (PushedFilters / ReadSchema in explain). */
+  def selectiveFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-09-01").cast("timestamp_ntz") &&
+        col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: dim ⋈ fact ⋈ fact, grouped revenue, top-k.
+    * `customer` is broadcast; orders⋈lineitem is a shuffle join on
+    * orderkey. Tie-break on l_orderkey keeps the limit deterministic. */
+  def topRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** TPC-H Q5 shape: snowflake join through two broadcast dims, revenue
+    * by nation. region→nation→customer→orders→lineitem. */
+  def regionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Anti-join: customers with no order over 300k — the reference's
+    * files-vs-manifest "skip already loaded" shape (`load.ts:98-108`). */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi-join (EXISTS): customers with at least one urgent open order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Latest-per-group (W1, `download.ts:48-57`): newest order per
+    * customer via row_number window, deterministic tie-break. */
+  def latestPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Top-N per group: 3 largest orders per customer (window + filter). */
+  def topNPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Ordered slice (O1/L1): deterministic multi-key sort + limit. */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  /** Point lookup on key (P7 manifest lookup shape). */
+  def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 42)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
+  /** Set ops: union / except over customer segments (distinct set
+    * semantics, like SQL UNION / EXCEPT). */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_nationkey"))
+    val bld = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    auto.union(bld).distinct()
+      .exceptAll(c.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey")).distinct())
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Window frames: per-customer running revenue ordered by date —
+    * the frame-spec window surface (extension beyond reference W1). */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(D18_2)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary" -> pricingSummary,
+    "filter_selective" -> selectiveFilter,
+    "join_top_revenue" -> topRevenue,
+    "join_regional_revenue" -> regionalRevenue,
+    "join_anti" -> antiJoin,
+    "join_semi" -> semiJoin,
+    "window_latest_per_group" -> latestPerGroup,
+    "window_topn_per_group" -> topNPerGroup,
+    "window_running_total" -> runningTotal,
+    "sort_limit" -> sortLimit,
+    "filter_point_lookup" -> pointLookup,
+    "setop_union_except" -> setOps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sql.dsum("l_quantity")} AS sum_qty,
+         |  ${sql.dsum("l_extendedprice")} AS sum_base_price,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |  ${sql.davg("l_quantity")} AS avg_qty,
+         |  ${sql.davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_selective" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-09-01 00:00:00'
+        |  AND l_returnflag = 'R' AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_top_revenue" ->
+      s"""SELECT l_orderkey,
+         |  o_orderdate, o_orderpriority,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "join_regional_revenue" ->
+      s"""SELECT n_name,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "window_latest_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "window_topn_per_group" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "filter_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "setop_union_except" ->
+      """(SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | UNION
+        | SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |EXCEPT ALL
+        |(SELECT DISTINCT c_nationkey FROM customer
+        | WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY c_nationkey""".stripMargin,
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for oracle-deterministic arithmetic.
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * the same SQL. Double summation is order-dependent, and Spark and
+  * DuckDB will not sum partitions in the same order — so every money/
+  * measure aggregate goes through exact DECIMAL arithmetic and is cast
+  * to DOUBLE only once, at the end. The testdata's doubles all carry
+  * ≤2 decimal digits, so DECIMAL(18,2) is lossless for them.
+  */
+package object ops {
+  val D18_2: DecimalType = DecimalType(18, 2)
+  val D3_2: DecimalType = DecimalType(3, 2)
+
+  /** Exact sum of a 2-decimal double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(D18_2)).cast("double")
+
+  /** Exact average: decimal sum cast to double, divided by count —
+    * both engines perform the identical single IEEE division. */
+  def davg(c: Column): Column = sum(c.cast(D18_2)).cast("double") / count(lit(1))
+
+  /** `x * (1 - d)` in exact decimals (revenue term). */
+  def discounted(price: Column, disc: Column): Column =
+    price.cast(D18_2) * (lit(1).cast(D3_2) - disc.cast(D3_2))
+
+  /** SQL fragments for the DuckDB oracle, mirroring the above. */
+  object sql {
+    def dsum(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    def davg(c: String): String =
+      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+    def discountedSum(price: String, disc: String): String =
+      s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST($disc AS DECIMAL(3,2)))) AS DOUBLE)"
+  }
+}
