@@ -15,6 +15,11 @@ object SparkEntry {
     Seq(
       (ops.Relational.queries, ops.Relational.oracles),
       (ops.EventOps.queries, ops.EventOps.oracles),
+      (ops.OlapOps.queries, ops.OlapOps.oracles),
+      (ops.TextOps.queries, ops.TextOps.oracles),
+      (ops.DedupOps.queries, ops.DedupOps.oracles),
+      (ops.SimilarityOps.queries, ops.SimilarityOps.oracles),
+      (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.4 A3 + §2.7 X1/X2): exact
+  * hash dedup, first-wins keyed dedup, character-shingle Jaccard
+  * near-dup, and MinHash+LSH banding as the 100 TB-scale path.
+  *
+  * Reference parity: the reference dedups at the sink via the
+  * `LALVOTERID` unique index (`ON CONFLICT DO NOTHING`,
+  * `load.ts:357-360`), keeping the FIRST inserted row. `firstWins`
+  * reproduces exactly that semantics as a window; `exactDedup` is the
+  * content-hash generalization used in corpus cleaning.
+  *
+  * Scale notes: exact dedup and first-wins are one shuffle on the key.
+  * The all-pairs Jaccard join is intentionally bounded (id < 200 —
+  * it is the *oracle* for the LSH path, not the scale path). MinHash
+  * LSH is the scale path: signatures are computed in one explode +
+  * groupBy pass, banding turns all-pairs into equi-join buckets, and
+  * only bucket-mates are verified — no cross product anywhere.
+  */
+object DedupOps {
+
+  /** Character 15-gram shingles at stride 5, as a distinct array.
+    * Mirrors DuckDB `[text[i:i+14] for i in range(1, len-14, 5)]`
+    * (both ends inclusive there; sequence end is len-15 here). */
+  def shingles(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 14, lit(1)) - 1, lit(5)),
+      i => substring(text, i, lit(15))))
+
+  private val shinglesSql =
+    "list_distinct([%s[i:i+14] for i in range(1, greatest(len(%s)-14, 1), 5)])"
+
+  /** Exact-Jaccard between two distinct shingle arrays, as a double
+    * (int/int division — engine-independent). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  /** X1: exact dedup on normalized content — keep the smallest doc_id
+    * per distinct normalized text. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** A3 first-wins dedup: earliest event per (user_id, event_type),
+    * exactly the reference's keep-first-inserted sink semantics. */
+  def firstWins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dropped", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"))) - 1)
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("n_dropped"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** X2 oracle form: exact shingle-Jaccard near-dup pairs on a bounded
+    * id range (the ground truth the LSH path is tested against). */
+  def jaccardNearDup(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** X2 scale path: MinHash signatures + LSH banding over the full
+    * corpus. k=32 hashes, 8 bands × 4 rows; candidates = pairs sharing
+    * a band bucket; final filter is exact Jaccard ≥ 0.5 on candidates
+    * only. Hash-seeded internals are Spark-specific (xxhash64), so
+    * recall is asserted against `jaccardNearDup` in ScalaTest instead
+    * of the SQL oracle (rows-only check here).
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 32
+    val rowsPerBand = 4
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    // doc × seed → min over shingles of xxhash64(seed, shingle)
+    val seeds = s.range(numHashes).select(col("id").cast("int").as("seed"))
+    val sigs = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(xxhash64(col("seed"), col("shingle"))).as("minhash"))
+    // band bucket = hash of the band's 4 minhashes in seed order
+    val bands = sigs
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash").cast("string")))).as("bucket"))
+    // candidates: pairs sharing any band bucket (equi-join, no cross product)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val withSh = docs
+    cand
+      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
+      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exactDedup,
+    "dedup_first_wins" -> firstWins,
+    "dedup_jaccard_neardup" -> jaccardNearDup,
+    "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text))
+        |ORDER BY keep_id""".stripMargin,
+    "dedup_first_wins" ->
+      """SELECT user_id, event_type, event_id,
+        |  CAST(n_total - 1 AS BIGINT) AS n_dropped FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_total
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "dedup_jaccard_neardup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ${shinglesSql.format("text", "text")} AS sh
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

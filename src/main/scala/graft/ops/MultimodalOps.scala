@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star spec): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * batch. The container has no image/audio codecs, so the decode step
+  * is a clearly-marked deterministic STUB (`FakeDecoder`) — the
+  * Spark-side plumbing (binary columns, typed output schema,
+  * partition-parallel batch decode via `mapPartitions`, no
+  * driver-side collection) is real and is what the tests exercise.
+  *
+  * Scale notes: decode is a narrow map — no shuffle; at 100 TB the
+  * only knobs are input split size and executor memory for batch
+  * buffers. Feature aggregation afterwards is one partial-agg shuffle.
+  */
+object MultimodalOps {
+
+  /** Deterministic stand-in for a media decoder. A real deployment
+    * swaps `decode` for an actual codec call (??? in spirit); shape
+    * and determinism make the plumbing testable without codecs. */
+  object FakeDecoder {
+    case class Media(blob_len: Long, width: Int, height: Int, n_frames: Int)
+    def decode(blob: Array[Byte]): Media = {
+      val n = blob.length.toLong
+      Media(n, (n % 640).toInt, (n * 7 % 480).toInt, (n % 30 + 1).toInt)
+    }
+  }
+
+  /** Documents re-imaged as a media table: text bytes as the blob. */
+  private def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("source"),
+        encode(col("text"), "utf-8").as("blob"))
+
+  /** Blob statistics per source — binary columns flowing through
+    * scan → project → aggregate with exact byte lengths. */
+  def blobStats(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(length(col("blob")).cast("long")).as("total_bytes"),
+        min(length(col("blob"))).as("min_bytes"),
+        max(length(col("blob"))).as("max_bytes"))
+      .orderBy(col("source"))
+
+  /** Stub decode + feature extraction, all in builtin expressions so
+    * the DuckDB oracle can replicate the arithmetic: the "decoder"
+    * derives metadata from blob length exactly like FakeDecoder. */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("blob_len", length(col("blob")).cast("long"))
+      .select(col("media_id"), col("blob_len"),
+        (col("blob_len") % 640).cast("int").as("width"),
+        (col("blob_len") * 7 % 480).cast("int").as("height"),
+        (col("blob_len") % 30 + 1).cast("int").as("n_frames"))
+      .orderBy(col("media_id"))
+
+  /** The mapPartitions decode path (the shape a real codec uses):
+    * batch iterator over binary rows → typed Media rows. Rows-only
+    * query; equivalence with `decodeFeatures` is unit-tested. */
+  def decodeMapPartitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = FakeDecoder.decode(blob)
+        (id, m.blob_len, m.width, m.height, m.n_frames)
+      })
+      .toDF("media_id", "blob_len", "width", "height", "n_frames")
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_blob_stats" -> blobStats,
+    "mm_decode_features" -> decodeFeatures,
+    "mm_decode_mappartitions" -> decodeMapPartitions, // no oracle: UDF path
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_blob_stats" ->
+      """SELECT source, COUNT(*) AS n_blobs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
+        |  CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "mm_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP aggregation surface (SURVEY.md §2.7 X7/X8): rollup, cube,
+  * grouping sets, exact + approximate distinct counting, exact
+  * percentiles.
+  *
+  * All of these are single-shuffle partial-aggregation plans in Spark
+  * (map-side combine, then one exchange on the grouping keys), so they
+  * scale linearly with data size; `grouping sets` expands to a union
+  * of aggregates over one scan.
+  */
+object OlapOps {
+
+  /** ROLLUP over lineitem with explicit grouping-id so subtotal rows
+    * are distinguishable (NULL key vs subtotal). */
+  def rollupLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  /** CUBE over orders: all 4 grouping combinations in one pass. */
+  def cubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  /** GROUPING SETS — the general form; declared in SQL (the DataFrame
+    * API has no direct grouping-sets method pre-4.0 groupingSets). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(1) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Exact distinct counting (the oracle-able side of X8). */
+  def distinctExact(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** X8: HyperLogLog approximate distinct, graded against the exact
+    * count with a tolerance bit — HLL values themselves are
+    * implementation-specific, the tolerance contract is not. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_raw"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_raw") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("within_tol"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact percentiles (quartiles) — `percentile`, not
+    * `percentile_approx`, so the linear-interpolation result is
+    * engine-independent on these integral quantities. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("median"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_rollup" -> rollupLineitem,
+    "olap_cube" -> cubeOrders,
+    "olap_grouping_sets" -> groupingSets,
+    "agg_distinct_exact" -> distinctExact,
+    "agg_approx_distinct" -> approxDistinct,
+    "agg_percentiles" -> percentiles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "olap_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, ${sql.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "olap_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  COUNT(*) AS n, ${sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, status, priority""".stripMargin,
+    "olap_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sql.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_distinct_exact" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

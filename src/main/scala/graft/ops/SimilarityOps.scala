@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.7 X3):
+  * brute-force cosine top-k as the exact baseline, a threshold
+  * similarity self-join, and an IVF-style partitioned variant as the
+  * scale path.
+  *
+  * Scale design: the query/centroid side is always the small side and
+  * is explicitly `broadcast()` — the big side streams through in one
+  * scan with no shuffle until the final per-query top-k window (which
+  * shuffles only |queries|·|candidates-per-query| rows after the
+  * in-partition filter). IVF replaces the all-pairs scan with
+  * centroid-bucketed joins: cluster once (one broadcast join), then
+  * search only matching clusters.
+  */
+object SimilarityOps {
+
+  /** Exact brute-force top-5 neighbors for each of the 10 query
+    * vectors (vec_id < 10) — the oracle-able ANN baseline. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val v = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    v.crossJoin(broadcast(q))
+      .withColumn("cosine", Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Threshold similarity self-join on a bounded id range — the
+    * embedding-cosine near-duplicate shape. */
+  def thresholdJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cosine", Vectors.cosine6(col("ae"), col("be")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** IVF build step: assign every vector to its nearest of 16 fixed
+    * centroids (vec_id < 16 — deterministic stand-ins for k-means
+    * output). At scale this is THE layout step: cluster assignment is
+    * a broadcast join + argmax, and the table is then repartitioned by
+    * `centroid_id` so a probe touches only matching partitions. */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("centroid_id"))
+  }
+
+  /** IVF probe (scale path, no oracle): top-3 neighbors per query
+    * searching only the query's 2 closest clusters. Demonstrates the
+    * pruned-search plan; recall vs the exact baseline is asserted in
+    * ScalaTest rather than by the SQL oracle. */
+  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // assignment of all vectors to their nearest centroid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // queries probe their 2 nearest clusters
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", Vectors.cosine6(col("qe"), col("ce")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine6(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> cosineTopK,
+    "sim_threshold_join" -> thresholdJoin,
+    "sim_ivf_assign" -> ivfAssign,
+    "sim_ivf_probe" -> ivfProbe,
+  )
+
+  private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 10),
+         |v AS (SELECT vec_id AS neighbor_id, embedding AS ve
+         |  FROM embeddings WHERE vec_id >= 10),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${cos.format("qe", "ve")} AS cosine FROM q CROSS JOIN v),
+         |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |  AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_threshold_join" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cos.format("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 300 AND b.vec_id < 300
+         |  AND ${cos.format("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "sim_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, c.centroid_id,
+         |  ${cos.format("e.embedding", "c.ce")} AS cosine
+         |  FROM embeddings e CROSS JOIN c),
+         |best AS (SELECT vec_id, centroid_id, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+         |  FROM scored)
+         |SELECT centroid_id, COUNT(*) AS n_members FROM best
+         |WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+  )
+}

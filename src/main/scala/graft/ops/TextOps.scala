@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (SURVEY.md
+  * §2.7 X4 + the training-data-pipeline surface): token statistics,
+  * token histograms, n-gram language-ID heuristic, quality scoring,
+  * and content fingerprinting.
+  *
+  * Everything here is built from codegen'd builtins (`split`,
+  * `explode`, `regexp_count`, `md5`) — no Scala UDFs in the hot path —
+  * so the whole pipeline stays inside WholeStageCodegen and scales as
+  * one scan + one shuffle per aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; the corpus is single-space separated. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Stopword marker lists for the language-ID heuristic. Scores are
+    * substring-hit counts per language; ties resolve in declaration
+    * order. A real system would use char-trigram profiles; the shape
+    * (per-language score columns + argmax) is identical.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "data", "key"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "fr" -> Seq("le", "et", "les", "une"),
+  )
+
+  private def hitCount(textCol: String, word: String): Column =
+    when(concat(lit(" "), col(textCol), lit(" ")).contains(s" $word "), 1)
+      .otherwise(0)
+
+  private def hitCountSql(textCol: String, word: String): String =
+    s"(CASE WHEN (' ' || $textCol || ' ') LIKE '% $word %' THEN 1 ELSE 0 END)"
+
+  def langScore(textCol: String, lang: String): Column =
+    langMarkers.toMap.apply(lang).map(hitCount(textCol, _))
+      .reduce(_ + _)
+
+  def langScoreSql(textCol: String, lang: String): String =
+    langMarkers.toMap.apply(lang).map(hitCountSql(textCol, _))
+      .mkString("(", " + ", ")")
+
+  /** argmax over language scores, ties broken by declaration order. */
+  def langGuess(textCol: String): Column = {
+    val scored = langMarkers.map { case (l, _) => l -> langScore(textCol, l) }
+    scored.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(scored.filter(_._1 != l).map(_._2).foldLeft(s > -1) {
+        (acc, other) => acc && s >= other
+      } && s > 0, lit(l)).otherwise(rest)
+    }
+  }
+
+  def langGuessSql(textCol: String): String = {
+    val branches = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      val s = langScoreSql(textCol, l)
+      val geAll = langMarkers.filter(_._1 != l)
+        .map(o => s"$s >= ${langScoreSql(textCol, o._1)}").mkString(" AND ")
+      s"WHEN $geAll AND $s > 0 THEN '$l'"
+    }
+    s"(CASE ${branches.mkString(" ")} ELSE 'und' END)"
+  }
+
+  /** X4: per-language corpus statistics. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Token histogram: explode → count → top 20 (deterministic ties). */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Language-ID confusion matrix: labeled lang × heuristic guess. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("guess", langGuess("text"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+
+  /** Quality score: bounded blend of length and stopword signals, the
+    * standard cheap pre-filter for LLM corpus cleaning. Arithmetic is
+    * int-derived doubles with an identical expression tree on the
+    * oracle side, so results compare exactly. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
+      .withColumn("n_the", regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
+      .withColumn("score",
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.6 +
+          least(col("n_the") / 10.0, lit(1.0)) * 0.4)
+      .withColumn("bucket", floor(col("score") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+
+  /** Document fingerprinting: content hash of the normalized text —
+    * the id-independent key used for cross-shard exact dedup. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_distinct"),
+        count(lit(1)).as("n_docs"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_token_histogram" -> tokenHistogram,
+    "text_lang_id" -> langId,
+    "text_quality_score" -> qualityScore,
+    "text_fingerprint" -> fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_token_histogram" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT lang, ${langGuessSql("text")} AS guess, COUNT(*) AS n
+         |FROM documents GROUP BY lang, ${langGuessSql("text")}
+         |ORDER BY lang, guess""".stripMargin,
+    "text_quality_score" ->
+      """SELECT CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |  + least(CAST(len(regexp_extract_all(text, '\b(the)\b')) AS DOUBLE) / 10.0, 1.0) * 0.4) * 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT source, COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct,
+        |  COUNT(*) AS n_docs, MIN(md5(lower(trim(text)))) AS min_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
