@@ -20,6 +20,7 @@ object SparkEntry {
       (ops.DedupOps.queries, ops.DedupOps.oracles),
       (ops.SimilarityOps.queries, ops.SimilarityOps.oracles),
       (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
+      (ops.EtlParity.queries, ops.EtlParity.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** TSV ingest (SURVEY.md §2.1 S6/S7) and the `NN--ST--*.tab` filename
+  * grammar (F1/F2, utils.ts:19-23).
+  *
+  * The reference streams TSV through a csv-parser with `separator:
+  * "\t"`, first row as header, `strict: true` (ragged row ⇒ abort,
+  * load.ts:152-165), and drops input columns whose (trimmed) header is
+  * not a schema field (P1, load.ts:161-163). Spark equivalent: read
+  * the header names first, type every input column as STRING (exactly
+  * what the row-stream sees), FAILFAST on malformed rows, and let
+  * `Normalize` do name-driven projection/coercion. Empty string → SQL
+  * NULL at the reader (P2) via `nullValue ""`.
+  *
+  * Scale notes: header peek reads one line of one file; the data scan
+  * is distributed and never widens beyond the projected columns after
+  * `Normalize` (Catalyst prunes through the project).
+  */
+object Ingest {
+
+  /** Trimmed header names of a TSV file (F3: headers are trim()ed). */
+  def headerOf(spark: SparkSession, path: String): Array[String] = {
+    import spark.implicits._
+    spark.read.text(path).limit(1).as[String].head()
+      .split('\t').map(_.trim)
+  }
+
+  /** Read TSV files (same header across files) as all-string columns.
+    * `strict=true` ⇒ FAILFAST like the reference's csv parser; false ⇒
+    * PERMISSIVE (pad/truncate ragged rows). Strict mode also disables
+    * CSV column pruning so ragged rows are detected even when the
+    * downstream plan projects few columns — matching the reference's
+    * whole-row `strict: true` (load.ts:164). */
+  def readTsv(spark: SparkSession, paths: Seq[String], strict: Boolean = true,
+      headerPath: Option[String] = None): DataFrame = {
+    val names = headerOf(spark, headerPath.getOrElse(paths.head))
+    val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", (!strict).toString)
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
+      .schema(schema)
+      .csv(paths: _*)
+  }
+
+  /** F1/F2: parse the `NN--ST--rest` grammar from a filename column. */
+  def fileNumber(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(name, "--").getItem(0).cast("int")
+
+  def fileState(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(name, "--").getItem(1)
+
+  /** Attach source-file metadata columns derived from the input path:
+    * basename, numeric file number, state token. The `state` column is
+    * the partition key downstream (SURVEY.md §1.4). */
+  def withFileMeta(df: DataFrame): DataFrame = {
+    val base = element_at(split(input_file_name(), "/"), -1)
+    df.withColumn("source_file", base)
+      .withColumn("file_number", fileNumber(base))
+      .withColumn("state", fileState(base))
+  }
+
+  /** P5: the reference skips files whose name contains DEMOGRAPHIC
+    * (load.ts:94-96). Applied to a listing DataFrame of file names. */
+  def isDataFile(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !name.contains("DEMOGRAPHIC") && name.contains(".tab")
+}

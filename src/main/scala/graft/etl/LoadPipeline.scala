@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end voter-file load (SURVEY.md §3.2/§3.4): the
+  * reference's `npm run load` + the load-s3 derive steps, as one
+  * declarative DataFrame program:
+  *
+  *   TSV scan (S6, strict) → file metadata (F1/F2) → projection +
+  *   coercion (P1–P4) → city cleanup (F5) → geohash derive (F6) →
+  *   first-wins PK dedup (A3) → partitioned publish (D2) →
+  *   reconciliation report (A1/A4).
+  *
+  * Everything before the dedup shuffle is narrow — scan, project,
+  * derive fuse into one WholeStageCodegen stage per input split,
+  * mirroring the reference's single-pass stream (SURVEY.md §3.4). The
+  * only exchange is the PK dedup; publish repartitions by `state` so
+  * each output partition is written by one task.
+  */
+object LoadPipeline {
+
+  case class Result(report: DataFrame, loaded: DataFrame)
+
+  /** Run the load over a directory of `NN--ST--*.tab` files. */
+  def run(spark: SparkSession, inputDir: String,
+      outPath: Option[String] = None,
+      manifest: Option[DataFrame] = None): Result = {
+    val files = listDataFiles(spark, inputDir)
+    require(files.nonEmpty, s"no data files in $inputDir")
+
+    val raw = Ingest.withFileMeta(
+      Ingest.readTsv(spark, files, strict = true))
+
+    val normalized = Normalize.normalize(raw,
+        passthrough = Seq("source_file", "file_number", "state"))
+      .withColumn("City", Normalize.stripEstMarker(col("City")))
+      .withColumn("Residence_Addresses_GeoHash",
+        Geo.geohash8(col("Residence_Addresses_Latitude"),
+          col("Residence_Addresses_Longitude")))
+
+    // A3: the reference keeps the first-inserted row per LALVOTERID;
+    // file order (numeric prefix) then in-file order is the insert
+    // order. The scan-order id must be materialized as a column before
+    // the window (non-deterministic exprs can't be window sort keys).
+    val deduped = Dedup.firstWins(
+      normalized.withColumn("__seq", monotonically_increasing_id()),
+      Seq("LALVOTERID"), Seq(col("file_number"), col("__seq")))
+      .drop("__seq")
+
+    outPath.foreach(p => Publish.publishPartitioned(deduped, p))
+
+    val m = manifest.getOrElse(Manifest.empty(spark))
+    Result(Quality.loadReport(normalized, deduped, m), deduped)
+  }
+
+  /** S4/P5/O1: discover `.tab` files, skip DEMOGRAPHIC, numeric sort
+    * by the `NN--` prefix. Driver-side listing — the work list is
+    * file-count-sized, not data-sized. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val names = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.contains(".tab") && !n.contains("DEMOGRAPHIC"))
+    names.sortBy(n => n.split("--")(0).toInt).map(n => s"$dir/$n").toSeq
+  }
+}

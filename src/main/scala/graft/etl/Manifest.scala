@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The VoterFile load catalog (SURVEY.md §2.1 S10/S11, §2.2 P6/P7):
+  * one row per ingested file — Filename (PK), State, Lines (expected
+  * row count), Loaded flag, updatedAt.
+  *
+  * The reference keeps this in Postgres and does per-file point
+  * lookups (load.ts:98-108, 221-225). Here it is a small DataFrame
+  * persisted as parquet; every lookup shape is a broadcast-able join
+  * or filter, and updates are read-modify-write of a tiny table
+  * (at 100 TB of *data* the manifest is still only one row per file —
+  * thousands of rows — so driver-size operations on it are fine).
+  */
+object Manifest {
+
+  def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.voterFile)
+
+  /** S10: register a downloaded file (Loaded=false). */
+  def register(manifest: DataFrame, filename: String, state: String,
+      lines: Int): DataFrame =
+    manifest.unionByName(
+      manifest.sparkSession.createDataFrame(
+        java.util.List.of(Row(filename, state, Integer.valueOf(lines), java.lang.Boolean.FALSE,
+          new java.sql.Timestamp(0L))),
+        Schemas.voterFile)
+        .withColumn("updatedAt", current_timestamp()))
+
+  /** S11: mark a file loaded after a successful publish (upsert). */
+  def markLoaded(manifest: DataFrame, filename: String): DataFrame =
+    manifest
+      .withColumn("Loaded",
+        when(col("Filename") === filename, lit(true)).otherwise(col("Loaded")))
+      .withColumn("updatedAt",
+        when(col("Filename") === filename, current_timestamp())
+          .otherwise(col("updatedAt")))
+
+  /** P6/J1: candidate files not yet loaded — anti-join against the
+    * manifest's Loaded rows (idempotent re-runs skip finished work). */
+  def pending(files: DataFrame, manifest: DataFrame): DataFrame =
+    files.join(
+      manifest.filter(col("Loaded")).select(col("Filename")),
+      files("name") === col("Filename"), "left_anti")
+
+  /** P7: expected line count for one file (broadcast point filter). */
+  def expectedLines(manifest: DataFrame, filename: String): Option[Int] =
+    manifest.filter(col("Filename") === filename)
+      .select(col("Lines")).collect().headOption.map(_.getInt(0))
+}

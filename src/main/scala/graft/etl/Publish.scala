@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Atomic publish (SURVEY.md §2.6 D1/D2).
+  *
+  * The reference loads into `Voter{ST}Temp` then does a
+  * rename-rename-drop swap under a 1 h statement timeout
+  * (load.ts:256-308). Spark-native equivalent: dynamic partition
+  * overwrite — each `state=ST` partition is written to a staging
+  * location and committed atomically by the file output committer;
+  * untouched states' partitions survive. One table, 51 partitions,
+  * no table-name dispatch.
+  */
+object Publish {
+
+  /** D2: publish `df` partitioned by `state`, replacing exactly the
+    * partitions present in `df` (dynamic overwrite = per-state swap). */
+  def publishPartitioned(df: DataFrame, path: String): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy("state")
+      .parquet(path)
+  }
+
+  /** D1: full truncate-and-reload of the target (static overwrite). */
+  def replaceAll(df: DataFrame, path: String): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "static")
+    df.write.mode("overwrite").partitionBy("state").parquet(path)
+  }
+}
