@@ -20,12 +20,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def tz_aware_cols(df: pd.DataFrame):
+    return [c for c in df.columns
+            if isinstance(df[c].dtype, pd.DatetimeTZDtype)]
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types for comparison
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
@@ -35,6 +36,11 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
     """a=spark, b=duckdb. Returns (ok, msg)."""
     if sorted(a.columns) != sorted(b.columns):
         return False, f"columns differ: spark={sorted(a.columns)} duckdb={sorted(b.columns)}"
+    # a tz-aware Spark output vs DuckDB's naive timestamps is a real
+    # mismatch (the driver compares raw values) — do not normalize it away
+    ta, tb = tz_aware_cols(a), tz_aware_cols(b)
+    if ta or tb:
+        return False, f"tz-aware timestamp columns: spark={ta} duckdb={tb}"
     if len(a) != len(b):
         return False, f"row count differs: spark={len(a)} duckdb={len(b)}"
     a, b = norm(a), norm(b)

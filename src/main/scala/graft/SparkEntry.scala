@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private lazy val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.Relational.queries, ops.Relational.oracles),
       (ops.EventOps.queries, ops.EventOps.oracles),
@@ -21,7 +21,22 @@ object SparkEntry {
       (ops.SimilarityOps.queries, ops.SimilarityOps.oracles),
       (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
       (ops.EtlParity.queries, ops.EtlParity.oracles),
+      (streamingQueries, streamingOracles),
     )
+
+  /** Structured Streaming twins of the batch event queries (SURVEY.md
+    * §7.2 M4). The hourly rollup is oracle-able (tumbling windows are
+    * epoch-aligned = date_trunc); session counts stay rows-only
+    * (gap-boundary semantics are engine-specific at exact-gap ties). */
+  private val streamingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_rollup" -> (streaming.StreamingSessions.hourlyCounts _),
+    "stream_sessionize" -> (streaming.StreamingSessions.sessionCounts _),
+  )
+  private val streamingOracles: Map[String, String] = Map(
+    "stream_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

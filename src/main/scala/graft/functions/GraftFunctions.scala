@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
+
+/** Registration + Column-API surface for the custom Catalyst
+  * expressions. Two registration paths:
+  *
+  *  - [[GraftExtensions]] for `SparkSession.builder()
+  *    .withExtensions(new GraftExtensions)` / the
+  *    `spark.sql.extensions` config — the idiomatic deployment.
+  *  - [[GraftFunctions.register]] for an already-built session (used
+  *    by the driver harness, whose session we don't construct).
+  *
+  * Column wrappers go through `call_function` on the registered names,
+  * which resolves to the native expressions at analysis time.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    // explicit input casts here replace ExpectsInputTypes (whose
+    // AbstractDataType is private[sql])
+    ("graft_geohash",
+      (es: Seq[Expression]) => GeohashEncode(Cast(es(0), DoubleType),
+        Cast(es(1), DoubleType), Cast(es(2), IntegerType)),
+      "graft_geohash(lat, lon, precision) - base-32 geohash of a coordinate"),
+    ("graft_simhash",
+      (es: Seq[Expression]) => SimHash(Cast(es.head, ArrayType(StringType))),
+      "graft_simhash(tokens) - 64-bit SimHash of a token array"),
+  )
+
+  /** Idempotently register all custom functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** geohash via the codegen'd native expression (cf. Geo.geohash8,
+    * the UDF reference implementation). Inputs: double lat/lon. */
+  def geohash(spark: SparkSession, lat: Column, lon: Column, precision: Int): Column = {
+    register(spark)
+    call_function("graft_geohash", lat, lon,
+      org.apache.spark.sql.functions.lit(precision))
+  }
+
+  def simhash(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("graft_simhash", tokens)
+  }
+}
+
+/** `SparkSessionExtensions` injector for spark.sql.extensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
+}

@@ -123,11 +123,30 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SimHash near-dup pairs via the native `graft_simhash` expression:
+    * one 64-bit sketch per doc, then `bit_count(xor)` hamming distance
+    * on a bounded pair set. The sketch pass is a single codegen'd
+    * scan; at scale, candidate pairing would bucket on sketch prefixes
+    * instead of the bounded self-join shown here. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
+    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 16)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_first_wins" -> firstWins,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
+    "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
   )
 
   val oracles: Map[String, String] = Map(

@@ -76,15 +76,16 @@ object EtlParity {
       .orderBy(col("c_custkey"))
 
   /** F6: geohash-8 over synthesized coordinates (rows-only; known
-    * vectors are unit-tested — DuckDB has no geohash builtin). */
+    * vectors are unit-tested — DuckDB has no geohash builtin). Uses
+    * the native codegen'd expression; equivalence with the UDF
+    * reference implementation is unit-tested. */
   def geohashDerive(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .withColumn("lat",
-        ((col("c_custkey") % 1800).cast("double") / 10.0 - 90.0).cast("string"))
-      .withColumn("lon",
-        ((col("c_custkey") * 7 % 3600).cast("double") / 10.0 - 180.0).cast("string"))
+      .withColumn("lat", (col("c_custkey") % 1800).cast("double") / 10.0 - 90.0)
+      .withColumn("lon", (col("c_custkey") * 7 % 3600).cast("double") / 10.0 - 180.0)
       .select(col("c_custkey"), col("lat"), col("lon"),
-        Geo.geohash8(col("lat"), col("lon")).as("geohash"))
+        graft.functions.GraftFunctions.geohash(s, col("lat"), col("lon"), 8)
+          .as("geohash"))
       .orderBy(col("c_custkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -31,10 +31,14 @@ object EventOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
-  /** X6 (tumbling): hourly counts + exact value sums per event type. */
+  /** X6 (tumbling): hourly counts + exact value sums per event type.
+    * NB: `date_trunc` returns TIMESTAMP (local-tz) even for NTZ input —
+    * cast back to NTZ so the written parquet stays naive like the
+    * DuckDB oracle's. */
   def hourlyRollup(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 

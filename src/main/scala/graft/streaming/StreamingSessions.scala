@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §7.2 M4): the batch
+  * sessionization and tumbling-window rollup re-expressed as streams —
+  * `readStream` over the events parquet, event-time watermark,
+  * `session_window` / `window` aggregation, memory sink driven to
+  * completion synchronously (the local-smoke pattern; in production
+  * the sink is a real table and the trigger is continuous).
+  *
+  * The reference has no streaming (nothing to be faithful to) — this
+  * is the scale path for the `events` table: the same session/window
+  * semantics with bounded state via watermarks instead of a full
+  * shuffle over history.
+  */
+object StreamingSessions {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // watermarks require TIMESTAMP (with local tz) — session tz is UTC,
+    // so LTZ here equals the batch path's NTZ values; outputs cast back
+    // the streaming file source wants a directory: read the sf dir
+    // with a glob filter for the events table
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Gap-based sessions via `session_window` (30 min gap, like the
+    * batch `sessionize_gap30m`): per-user session count + event count. */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      "stream_sessions")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Tumbling 1 h windows with watermark — streaming twin of the batch
+    * `window_hourly_rollup`. */
+  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "stream_hourly")
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Drive a streaming aggregation over the (finite) source to
+    * completion into a memory sink; return the sink table. */
+  private def runToCompletion(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

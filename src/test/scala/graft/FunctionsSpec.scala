@@ -1,0 +1,79 @@
+package graft
+
+import graft.etl.Geo
+import graft.functions.{GraftFunctions, SimHashCodegen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native geohash expression == UDF reference implementation") {
+    val grid = for {
+      i <- 0 to 10; j <- 0 to 10
+    } yield (-88.0 + i * 17.3, -178.0 + j * 33.7)
+    val df = grid.toDF("lat", "lon")
+      .withColumn("native",
+        GraftFunctions.geohash(spark, $"lat", $"lon", 8))
+      .withColumn("udf", Geo.geohash8(format_number($"lat", 6), format_number($"lon", 6)))
+    // compare via the pure function to avoid string-format noise
+    val rows = df.select($"lat", $"lon", $"native").collect()
+    rows.foreach { r =>
+      assert(r.getString(2) === Geo.encode(r.getDouble(0), r.getDouble(1), 8))
+    }
+  }
+
+  test("native geohash: nulls and out-of-range → null") {
+    val df = Seq((Some(95.0), Some(10.0)), (None, Some(10.0)),
+      (Some(45.0), None), (Some(45.0), Some(400.0)))
+      .toDF("lat", "lon")
+      .select(GraftFunctions.geohash(spark, $"lat", $"lon", 8).as("g"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("native geohash works via SQL registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_geohash(57.64911D, 10.40744D, 8) AS g").head()
+    assert(r.getString(0) === "u4pruydq")
+  }
+
+  test("simhash: identical token arrays hash equal; planted near-dups are close") {
+    val sf = "/root/testdata/sf0.001"
+    val planted = ops.DedupOps.jaccardNearDup(spark, sf)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    val hashes = Tables.documents(spark, sf).filter($"doc_id" < 200)
+      .select($"doc_id", GraftFunctions.simhash(spark, split($"text", " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(ham <= 16, s"planted pair ($a,$b) hamming $ham")
+    }
+    // determinism of the pure kernel
+    assert(SimHashCodegen.fnv64("spark".getBytes) ===
+      SimHashCodegen.fnv64("spark".getBytes))
+  }
+
+  test("streaming hourly rollup matches batch rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = streaming.StreamingSessions.hourlyCounts(spark, sf)
+      .collect().map(r => (r.getAs[Any]("hour").toString, r.getString(1), r.getLong(2)))
+    val batch = ops.EventOps.hourlyRollup(spark, sf)
+      .select($"hour", $"event_type", $"n")
+      .collect().map(r => (r.getAs[Any]("hour").toString, r.getString(1), r.getLong(2)))
+    assert(stream.toSet === batch.toSet)
+  }
+
+  test("streaming session counts match batch gap sessionization") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = streaming.StreamingSessions.sessionCounts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = ops.EventOps.sessionize(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream === batch)
+  }
+}
