@@ -177,7 +177,58 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Supplier-side snowflake: supplier ⋈ nation ⋈ region rollup. */
+  def supplierStats(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** X10 shuffle parity: the same join forced through sort-merge (no
+    * broadcast) must produce identical results — exercises the
+    * exchange-based join path the 100 TB fact⋈fact case uses. */
+  def shuffleJoinParity(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).hint("merge")
+      .join(Tables.lineitem(s, d).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** P8/P9: deterministic pagination — rows [100, 120) of a total
+    * order, the batch analog of the reference's --start/--resume. */
+  def rangeSlice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 100 && col("rn") <= 120)
+      .drop("rn")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** S8/A1: per-table row counts — the count-reconciliation scan.
+    * (`events` must go through its ns-timestamp-aware reader.) */
+  def rowCounts(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.all.map { t =>
+      val df = if (t == "events") Tables.events(s, d) else Tables.table(s, d, t)
+      df.select(lit(t).as("tbl"))
+        .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
+    }
+    counted.reduce(_ unionByName _).orderBy(col("tbl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_supplier_stats" -> supplierStats,
+    "join_shuffle_parity" -> shuffleJoinParity,
+    "filter_range_slice" -> rangeSlice,
+    "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
     "filter_selective" -> selectiveFilter,
     "join_top_revenue" -> topRevenue,
@@ -193,6 +244,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_supplier_stats" ->
+      s"""SELECT r_name, COUNT(*) AS n_suppliers,
+         |  ${sql.dsum("s_acctbal")} AS sum_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_shuffle_parity" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "filter_range_slice" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders) t
+        |WHERE rn > 100 AND rn <= 120 ORDER BY o_orderkey""".stripMargin,
+    "scan_row_counts" ->
+      (graft.Tables.all.map(t =>
+        s"SELECT '$t' AS tbl, COUNT(*) AS n_rows FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")),
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sql.dsum("l_quantity")} AS sum_qty,
