@@ -90,11 +90,28 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** X9 via the NATIVE as-of operator (graft.plans.AsOfJoin): one
+    * exchange + sort per side, single merge scan — same oracle as the
+    * composed form above. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    graft.plans.AsOf.join(ev, ord,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> jsonExtract,
     "window_hourly_rollup" -> hourlyRollup,
     "sessionize_gap30m" -> sessionize,
     "join_asof_orders" -> asofJoin,
+    "join_asof_native" -> asofJoinNative,
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +146,14 @@ object EventOps {
         |    AS duration_sec
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "join_asof_native" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |  AS asof_orderkey
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
     "join_asof_orders" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |  (SELECT o.o_orderkey FROM orders o

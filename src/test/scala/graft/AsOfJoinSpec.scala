@@ -1,0 +1,54 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native as-of equals the composed union+window form") {
+    val sf = "/root/testdata/sf0.001"
+    val native = ops.EventOps.asofJoinNative(spark, sf)
+      .select($"event_id", $"asof_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val composed = ops.EventOps.asofJoin(spark, sf)
+      .select($"event_id", $"asof_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(native.toSeq === composed.toSeq)
+  }
+
+  test("plan contains the custom exec with one exchange+sort per side") {
+    val df = ops.EventOps.asofJoinNative(spark, "/root/testdata/sf0.001")
+    // SparkPlan.nodeName strips the "Exec" suffix
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(500))
+  }
+
+  test("null keys and times never match; ties break by largest tiebreak") {
+    val left = Seq(
+      (1L, Some(10L), Some("2024-01-01 10:00:00")),
+      (2L, None, Some("2024-01-01 10:00:00")),      // null key
+      (3L, Some(10L), None),                        // null time
+      (4L, Some(10L), Some("2024-01-01 09:00:00")), // before any right
+      (5L, Some(99L), Some("2024-01-01 10:00:00"))  // key with no right rows
+    ).toDF("id", "k", "t_raw")
+      .withColumn("t", $"t_raw".cast("timestamp_ntz")).drop("t_raw")
+    val right = Seq(
+      (10L, "2024-01-01 09:30:00", 100L),
+      (10L, "2024-01-01 09:30:00", 101L), // same ts: 101 wins (tiebreak)
+      (10L, "2024-01-01 11:00:00", 102L)  // after left times: never matches
+    ).toDF("rk", "rt_raw", "ord")
+      .withColumn("rt", $"rt_raw".cast("timestamp_ntz")).drop("rt_raw")
+    val out = AsOf.join(left, right, "k", "t", "rk", "rt", "ord")
+      .select($"id", $"ord").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out(1L) === 101L) // 09:30 pair, larger ord wins
+    assert(out(2L) === -1L)
+    assert(out(3L) === -1L)
+    assert(out(4L) === -1L)
+    assert(out(5L) === -1L)
+  }
+}
