@@ -31,11 +31,17 @@ object SparkEntry {
   private val streamingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_rollup" -> (streaming.StreamingSessions.hourlyCounts _),
     "stream_sessionize" -> (streaming.StreamingSessions.sessionCounts _),
+    "stream_stateful_totals" -> (streaming.StatefulOps.userTotals _),
   )
   private val streamingOracles: Map[String, String] = Map(
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_stateful_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
