@@ -70,4 +70,35 @@ object Ingest {
     * (load.ts:94-96). Applied to a listing DataFrame of file names. */
   def isDataFile(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     !name.contains("DEMOGRAPHIC") && name.contains(".tab")
+
+  /** S3: unzip a staged archive (utils.ts:43-51 — the reference
+    * extracts each downloaded zip before parsing). Staging-side
+    * utility: runs on the driver/edge, not a distributed op — archives
+    * are per-state files, data-parallelism starts at the TSV scan. */
+  def unzip(zipPath: String, outDir: String): Seq[String] = {
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val entries = scala.jdk.CollectionConverters
+        .EnumerationHasAsScala(zf.entries()).asScala.toSeq
+      entries.filterNot(_.isDirectory).map { e =>
+        val out = java.nio.file.Paths.get(outDir, new java.io.File(e.getName).getName)
+        java.nio.file.Files.createDirectories(out.getParent)
+        val in = zf.getInputStream(e)
+        try java.nio.file.Files.copy(in, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        out.toString
+      }
+    } finally zf.close()
+  }
+
+  /** P11/W1 (download.ts:48-57): among files sharing a state token,
+    * only the newest (highest name, i.e. latest date suffix) survives;
+    * older versions are stale and deleted before a new download.
+    * Returns (keep, stale) name lists, deterministically. */
+  def splitStaleVersions(names: Seq[String]): (Seq[String], Seq[String]) = {
+    val byState = names.groupBy(n => n.split("--").lift(1).getOrElse(""))
+    val keep = byState.values.map(_.max).toSeq.sorted
+    (keep, names.diff(keep).sorted)
+  }
 }

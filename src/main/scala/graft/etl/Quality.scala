@@ -36,4 +36,19 @@ object Quality {
   /** S8 analog: raw line count of a text file (minus header). */
   def lineCount(spark: SparkSession, path: String): Long =
     spark.read.text(path).count() - 1
+
+  /** S12 analog: the alert messages the reference posts to Slack on a
+    * failed reconciliation (utils.ts:99-133, load.ts:244-254). The
+    * transport is an ops concern; the message contract is engine
+    * logic and is what gets tested. */
+  def alerts(report: DataFrame): Seq[String] =
+    report.filter(!col("reconciled"))
+      .orderBy(col("state"))
+      .collect()
+      .map { r =>
+        val st = r.getAs[String]("state")
+        val loaded = r.getAs[Long]("rows_loaded")
+        val expected = r.getAs[Long]("expected_lines")
+        s"Error: state $st loaded $loaded rows, expected $expected"
+      }.toSeq
 }
