@@ -30,6 +30,10 @@ object GraftFunctions {
     ("graft_simhash",
       (es: Seq[Expression]) => SimHash(Cast(es.head, ArrayType(StringType))),
       "graft_simhash(tokens) - 64-bit SimHash of a token array"),
+    ("graft_minhash",
+      (es: Seq[Expression]) => MinHashSignature(Cast(es.head, ArrayType(StringType)),
+        es(1).eval().asInstanceOf[Int]),
+      "graft_minhash(tokens, k) - k-permutation MinHash signature"),
   )
 
   /** Idempotently register all custom functions on a live session. */
@@ -50,6 +54,12 @@ object GraftFunctions {
   def simhash(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("graft_simhash", tokens)
+  }
+
+  def minhash(spark: SparkSession, tokens: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_minhash", tokens,
+      org.apache.spark.sql.functions.lit(k))
   }
 }
 

@@ -95,20 +95,19 @@ object DedupOps {
     val rowsPerBand = 4
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    // Signatures computed as pure column expressions (array_min over a
-    // transformed shingle array, one per seed): a NARROW projection.
-    // The explode(shingles) × seeds + groupBy formulation shuffles
-    // |docs|·|shingles|·k rows — measured 9 s vs <1 s at sf0.1, and it
-    // only gets worse with corpus size.
-    val sigCols = (0 until numHashes).map { seed =>
-      array_min(transform(col("sh"), sh => xxhash64(lit(seed), sh)))
-        .as(s"h$seed")
-    }
-    val sigs = docs.select(col("doc_id") +: col("sh") +: sigCols: _*)
+    // Signature in ONE array pass via the native graft_minhash
+    // expression (each shingle byte-hashed once, k splitmix
+    // finalizations). The explode × seeds + groupBy formulation
+    // shuffled |docs|·|shingles|·k rows (9 s at sf0.1); the k-column
+    // array_min form still traversed the array k times (3.3 s); this
+    // is a single narrow projection.
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(s, col("sh"), numHashes).as("sig"))
     // band bucket = hash of the band's 4 minhashes; one output row per
     // (doc, band) via posexplode of the band-bucket array
     val bucketCols = (0 until numHashes / rowsPerBand).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("sig").getItem(i)): _*)
     }
     val bands = sigs
       .select(col("doc_id"),
