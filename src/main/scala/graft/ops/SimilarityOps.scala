@@ -110,8 +110,30 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact top-5 via the bounded [[graft.functions.TopKAggregator]]:
+    * partial-aggregates k candidates per partition instead of window-
+    * sorting every score — the X3 shape that survives 100 TB candidate
+    * volume. Same oracle as the window formulation. */
+  def cosineTopKAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val v = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    v.crossJoin(broadcast(q))
+      .withColumn("cosine", Vectors.cosine6(col("qe"), col("ve")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("sc.id").as("neighbor_id"), col("sc.score").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK,
+    "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_threshold_join" -> thresholdJoin,
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
@@ -119,7 +141,21 @@ object SimilarityOps {
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
 
+  private def topkOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |v AS (SELECT vec_id AS neighbor_id, embedding AS ve
+       |  FROM embeddings WHERE vec_id >= 10),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  ${cos.format("qe", "ve")} AS cosine FROM q CROSS JOIN v),
+       |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |  AS rank FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_cosine_topk_agg" -> topkOracle,
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |  FROM embeddings WHERE vec_id < 10),
