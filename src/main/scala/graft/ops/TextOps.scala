@@ -138,7 +138,23 @@ object TextOps {
         min(col("fp")).as("min_fp"))
       .orderBy(col("source"))
 
+  /** BPE-ish regex tokenization (letter runs / digit runs / single
+    * symbols — the pre-tokenizer shape BPE vocabularies train over),
+    * contrasted with whitespace counts. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(tokens(col("text"))))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens").cast("long")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens").cast("long")).as("sum_bpe_tokens"),
+        max(col("bpe_tokens")).as("max_bpe_tokens"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_bpe" -> tokenCounts,
     "text_stats" -> textStats,
     "text_token_histogram" -> tokenHistogram,
     "text_lang_id" -> langId,
@@ -147,6 +163,12 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_token_bpe" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+        |  CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS max_bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,

@@ -86,6 +86,16 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(back.count() === 7)
   }
 
+  test("D4-analog: partition pruning on the published state column") {
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    Publish.publishPartitioned(loaded, out)
+    val plan = spark.read.parquet(out).filter($"state" === "AK")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(state"), plan.take(600))
+    // pruned scan reads only the AK partition
+    assert(spark.read.parquet(out).filter($"state" === "AK").count() === 4)
+  }
+
   test("A1/A4: reconciliation report with tolerance") {
     var m = Manifest.empty(spark)
     m = Manifest.register(m, "01--AK--VM2Uniform--2024-01-15.tab", "AK", 5)
