@@ -27,4 +27,15 @@ object Vectors {
   /** Oracle-stable cosine: double math, rounded to 6 places. */
   def cosine6(a: Column, b: Column): Column =
     round(cosine(toDouble(a), toDouble(b)), 6)
+
+  /** Cosine from pre-computed per-row norms: in an all-pairs join the
+    * naive form recomputes |a| and |b| once PER PAIR (3 array passes
+    * per pair); precompute a `norm(...)` column on each side and pay
+    * one pass per pair. Same arithmetic (dot / (na*nb)) → same
+    * round-6 values as `cosine6`. */
+  def cosine6WithNorms(a: Column, an: Column, b: Column, bn: Column): Column =
+    round(dot(toDouble(a), toDouble(b)) / (an * bn), 6)
+
+  /** The per-row norm column to pair with [[cosine6WithNorms]]. */
+  def normCol(a: Column): Column = norm(toDouble(a))
 }

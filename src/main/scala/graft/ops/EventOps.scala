@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Event-stream operators over the `events` table (X5/X6/X9 in
   * SURVEY.md §2.7): JSON extraction, tumbling-window aggregation,
@@ -106,8 +106,37 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** X5 typed path: `from_json` with a declared schema (the idiomatic
+    * form when the JSON shape is known — parses once into a struct,
+    * no per-path re-parse like get_json_object). */
+  def jsonTyped(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("parsed",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("parsed.k")).as("sum_k"),
+        count(col("parsed.k")).as("n_parsed"))
+      .orderBy(col("event_type"))
+
+  /** Time-range window frame: per-user rolling 24 h event count/sum —
+    * RANGE frames over epoch seconds (engine-portable numeric form). */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"))
+      .rangeBetween(-86400L, 0L)
+    Tables.events(s, d)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", sum(col("value").cast(D18_2)).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_24h"), col("sum_24h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> jsonExtract,
+    "json_typed" -> jsonTyped,
+    "window_range_frame" -> rangeFrame,
     "window_hourly_rollup" -> hourlyRollup,
     "sessionize_gap30m" -> sessionize,
     "join_asof_orders" -> asofJoin,
@@ -115,6 +144,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "json_typed" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+        |FROM (SELECT event_id, user_id, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

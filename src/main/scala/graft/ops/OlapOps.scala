@@ -86,7 +86,30 @@ object OlapOps {
         percentile(col("l_quantity"), lit(0.75)).as("q75"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: order counts per priority pivoted by status (fixed pivot
+    * values so the output schema is static and oracle-able as
+    * conditional aggregation). */
+  def pivotOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Outer join: every customer with their order stats, including
+    * order-less customers (LEFT OUTER semantics + null handling). */
+  def leftOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_pivot" -> pivotOrders,
+    "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
     "olap_cube" -> cubeOrders,
     "olap_grouping_sets" -> groupingSets,
@@ -96,6 +119,17 @@ object OlapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "olap_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  coalesce(${sql.dsum("o_totalprice")}, 0.0) AS total_spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "olap_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -26,13 +26,16 @@ object SimilarityOps {
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
     val v = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"),
+        Vectors.normCol(col("embedding")).as("vn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     v.crossJoin(broadcast(q))
-      .withColumn("cosine", Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("cosine",
+        Vectors.cosine6WithNorms(col("qe"), col("qn"), col("ve"), col("vn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -43,10 +46,13 @@ object SimilarityOps {
     * embedding-cosine near-duplicate shape. */
   def thresholdJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      Vectors.normCol(col("embedding")).as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      Vectors.normCol(col("embedding")).as("bn"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cosine", Vectors.cosine6(col("ae"), col("be")))
+      .withColumn("cosine",
+        Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
       .filter(col("cosine") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
@@ -117,12 +123,15 @@ object SimilarityOps {
   def cosineTopKAgg(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
     val v = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ve"),
+        Vectors.normCol(col("embedding")).as("vn"))
     val topk = udaf(new graft.functions.TopKAggregator(5))
     v.crossJoin(broadcast(q))
-      .withColumn("cosine", Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("cosine",
+        Vectors.cosine6WithNorms(col("qe"), col("qn"), col("ve"), col("vn")))
       .groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
