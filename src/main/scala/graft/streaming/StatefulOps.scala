@@ -52,11 +52,17 @@ object StatefulOps {
           Iterator.single(UserSummary(user, n, cents.toDouble / 100.0))
         })
 
-    val q = summarized.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName("stream_user_totals")
-      .start()
+    // see StreamingSessions.runToCompletion: fewer state stores for
+    // the bounded local demo
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      summarized.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("stream_user_totals")
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table("stream_user_totals")
       .orderBy(col("user_id"))

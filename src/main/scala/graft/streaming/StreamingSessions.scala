@@ -63,14 +63,25 @@ object StreamingSessions {
       .orderBy(col("hour"), col("event_type"))
 
   /** Drive a streaming aggregation over the (finite) source to
-    * completion into a memory sink; return the sink table. */
-  private def runToCompletion(spark: SparkSession, agg: DataFrame,
+    * completion into a memory sink; return the sink table.
+    *
+    * Stateful operators allocate one state store per shuffle
+    * partition; for this bounded local demo 8 partitions cut the
+    * fixed store-init/commit cost ~4× vs 32. (On a real cluster the
+    * partition count is sized to state volume, not down.) The
+    * session's setting is restored after the query starts — the value
+    * is captured at query start. */
+  private[streaming] def runToCompletion(spark: SparkSession, agg: DataFrame,
       name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
