@@ -54,6 +54,35 @@ object LoadPipeline {
     Result(Quality.loadReport(normalized, deduped, m), deduped)
   }
 
+  /** The reference's full `npm run load` driver loop (SURVEY.md §3.2),
+    * catalog-driven and idempotent: discover files → skip ones the
+    * manifest marks Loaded (P6) → load/publish the rest → register +
+    * mark Loaded (S10/S11) → persist the manifest. A re-run with an
+    * unchanged input dir loads nothing. Returns the loaded file names.
+    */
+  def runCatalog(spark: SparkSession, inputDir: String,
+      manifestPath: String, outPath: String,
+      tolerance: Long = Quality.defaultTolerance): Seq[String] = {
+    import spark.implicits._
+    var manifest = Manifest.load(spark, manifestPath)
+    val all = listDataFiles(spark, inputDir).map(_.split("/").last)
+    val todo = Manifest.pending(all.toDF("name"), manifest)
+      .collect().map(_.getString(0)).toSeq
+      .sortBy(n => n.split("--")(0).toInt)
+    if (todo.nonEmpty) {
+      val result = run(spark, inputDir, outPath = Some(outPath))
+      todo.foreach { f =>
+        val state = f.split("--")(1)
+        val lines = Quality.lineCount(spark, s"$inputDir/$f")
+        manifest = Manifest.register(manifest, f, state, lines.toInt)
+        manifest = Manifest.markLoaded(manifest, f)
+      }
+      result.report.collect() // force reconciliation eagerly
+    }
+    Manifest.save(manifest, manifestPath)
+    todo
+  }
+
   /** S4/P5/O1: discover `.tab` files, skip DEMOGRAPHIC, numeric sort
     * by the `NN--` prefix. Driver-side listing — the work list is
     * file-count-sized, not data-sized. */

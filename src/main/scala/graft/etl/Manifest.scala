@@ -49,4 +49,17 @@ object Manifest {
   def expectedLines(manifest: DataFrame, filename: String): Option[Int] =
     manifest.filter(col("Filename") === filename)
       .select(col("Lines")).collect().headOption.map(_.getInt(0))
+
+  /** Persist / restore the catalog (tiny table: read-modify-write). */
+  def save(manifest: DataFrame, path: String): Unit = {
+    // localCheckpoint-free safe rewrite: materialize before overwrite
+    val rows = manifest.collect()
+    val fresh = manifest.sparkSession
+      .createDataFrame(java.util.Arrays.asList(rows: _*), Schemas.voterFile)
+    fresh.coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else empty(spark)
 }
