@@ -21,6 +21,7 @@ object SparkEntry {
       (ops.SimilarityOps.queries, ops.SimilarityOps.oracles),
       (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
       (ops.EtlParity.queries, ops.EtlParity.oracles),
+      (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracles),
       (streamingQueries, streamingOracles),
     )
 
