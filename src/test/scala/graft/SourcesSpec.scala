@@ -22,8 +22,10 @@ class SourcesSpec extends AnyFunSuite {
       case _ => spark.read.format(fmt).load(out)
     }
     assert(back.count() === src.count())
+    // JSON infers columns alphabetically: reselect in source order
     val a = src.orderBy(col("o_orderkey")).collect().map(_.toSeq)
-    val b = back.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    val b = back.select(src.columns.map(col): _*)
+      .orderBy(col("o_orderkey")).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq, s"$fmt round-trip mismatch")
   }
 
