@@ -32,8 +32,11 @@ object LoadPipeline {
     val raw = Ingest.withFileMeta(
       Ingest.readTsv(spark, files, strict = true))
 
-    val normalized = Normalize.normalize(raw,
-        passthrough = Seq("source_file", "file_number", "state"))
+    // Narrow projection first: coerce only the columns actually in the
+    // input; the 300+ absent schema columns are added as typed NULLs
+    // AFTER the dedup shuffle (no point shuffling constant nulls).
+    val meta = Seq("source_file", "file_number", "state")
+    val projected = Normalize.project(raw, passthrough = meta)
       .withColumn("City", Normalize.stripEstMarker(col("City")))
       .withColumn("Residence_Addresses_GeoHash",
         Geo.geohash8(col("Residence_Addresses_Latitude"),
@@ -44,14 +47,16 @@ object LoadPipeline {
     // order. The scan-order id must be materialized as a column before
     // the window (non-deterministic exprs can't be window sort keys).
     val deduped = Dedup.firstWins(
-      normalized.withColumn("__seq", monotonically_increasing_id()),
+      projected.withColumn("__seq", monotonically_increasing_id()),
       Seq("LALVOTERID"), Seq(col("file_number"), col("__seq")))
       .drop("__seq")
 
-    outPath.foreach(p => Publish.publishPartitioned(deduped, p))
+    val normalized = Normalize.widen(projected, passthrough = meta)
+    val wide = Normalize.widen(deduped, passthrough = meta)
+    outPath.foreach(p => Publish.publishPartitioned(wide, p))
 
     val m = manifest.getOrElse(Manifest.empty(spark))
-    Result(Quality.loadReport(normalized, deduped, m), deduped)
+    Result(Quality.loadReport(normalized, deduped, m), wide)
   }
 
   /** The reference's full `npm run load` driver loop (SURVEY.md §3.2),

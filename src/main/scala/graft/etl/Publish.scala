@@ -15,11 +15,20 @@ import org.apache.spark.sql.DataFrame
 object Publish {
 
   /** D2: publish `df` partitioned by `state`, replacing exactly the
-    * partitions present in `df` (dynamic overwrite = per-state swap). */
+    * partitions present in `df` (dynamic overwrite = per-state swap).
+    *
+    * The repartition on the partition column is load-bearing: without
+    * it every upstream task writes a file into every state directory —
+    * tasks × states small files, each paying full per-column writer
+    * overhead (45 s vs 7 s measured on a 400k-row × 339-col load).
+    * With it, each state's data converges to one writer task. At a
+    * larger scale the same line bounds file count to
+    * shuffle-partitions, not tasks × states. */
   def publishPartitioned(df: DataFrame, path: String): Unit = {
     df.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    df.repartition(org.apache.spark.sql.functions.col("state"))
+      .write
       .mode("overwrite")
       .partitionBy("state")
       .parquet(path)
