@@ -22,11 +22,18 @@ object LoadPipeline {
 
   case class Result(report: DataFrame, loaded: DataFrame)
 
-  /** Run the load over a directory of `NN--ST--*.tab` files. */
+  /** Run the load over a directory of `NN--ST--*.tab` files (or an
+    * explicit subset of them via `only`). */
   def run(spark: SparkSession, inputDir: String,
       outPath: Option[String] = None,
-      manifest: Option[DataFrame] = None): Result = {
-    val files = listDataFiles(spark, inputDir)
+      manifest: Option[DataFrame] = None,
+      only: Option[Seq[String]] = None): Result = {
+    val discovered = listDataFiles(spark, inputDir)
+    val files = only match {
+      case Some(names) =>
+        discovered.filter(f => names.contains(f.split("/").last))
+      case None => discovered
+    }
     require(files.nonEmpty, s"no data files in $inputDir")
 
     val raw = Ingest.withFileMeta(
@@ -75,7 +82,10 @@ object LoadPipeline {
       .collect().map(_.getString(0)).toSeq
       .sortBy(n => n.split("--")(0).toInt)
     if (todo.nonEmpty) {
-      val result = run(spark, inputDir, outPath = Some(outPath))
+      // load ONLY the pending files: already-loaded partitions stay
+      // untouched (dynamic overwrite replaces only published states)
+      val result = run(spark, inputDir, outPath = Some(outPath),
+        only = Some(todo))
       todo.foreach { f =>
         val state = f.split("--")(1)
         val lines = Quality.lineCount(spark, s"$inputDir/$f")
