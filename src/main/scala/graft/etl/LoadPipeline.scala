@@ -84,8 +84,24 @@ object LoadPipeline {
     if (todo.nonEmpty) {
       // load ONLY the pending files: already-loaded partitions stay
       // untouched (dynamic overwrite replaces only published states)
-      val result = run(spark, inputDir, outPath = Some(outPath),
-        only = Some(todo))
+      val result = run(spark, inputDir, only = Some(todo))
+      // Incremental sink dedup (SURVEY.md §7.4): a PK may already be
+      // published under ANOTHER state's partition — drop such rows
+      // (ON CONFLICT DO NOTHING across the whole table). Keys in the
+      // states being (re)loaded don't count: those partitions are
+      // replaced by this publish.
+      val loadStates = todo.map(_.split("--")(1)).distinct
+      val toPublish =
+        if (new java.io.File(outPath).exists()) {
+          // localCheckpoint: the publish overwrites the path this key
+          // set is read from — materialize the (small) key column
+          // eagerly so the write doesn't read its own target
+          val existingKeys = spark.read.parquet(outPath)
+            .filter(!col("state").isInCollection(loadStates))
+            .select(col("LALVOTERID")).localCheckpoint(true)
+          Dedup.againstExisting(result.loaded, existingKeys, "LALVOTERID")
+        } else result.loaded
+      Publish.publishPartitioned(toPublish, outPath)
       todo.foreach { f =>
         val state = f.split("--")(1)
         val lines = Quality.lineCount(spark, s"$inputDir/$f")
