@@ -1,7 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
 /** Planner strategy mapping the logical AsOfJoin onto its exec node
@@ -16,6 +18,34 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule for the custom node (SURVEY.md §7.2 M4): Catalyst's
+  * own PushDownPredicates cannot see through a foreign operator, so a
+  * `Filter` above an AsOfJoin would otherwise run AFTER the join —
+  * shuffling and merge-scanning rows the filter immediately discards.
+  * Deterministic predicates that reference only left-side columns are
+  * semantically free to move below the join (each left row's match
+  * depends only on that row), so push them down; right-side or mixed
+  * predicates stay put (dropping right rows could change which row is
+  * "latest as of"). Registered via
+  * `spark.experimental.extraOptimizations`. */
+object PushFilterThroughAsOf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoin) =>
+      val (pushable, kept) = splitConjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
 /** User-facing API: `AsOf.join(events, orders, ...)`. */
 object AsOf {
 
@@ -27,6 +57,10 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
     }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

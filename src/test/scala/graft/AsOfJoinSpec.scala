@@ -26,6 +26,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"), plan.take(500))
   }
 
+  test("optimizer rule pushes left-only filters below the as-of join") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val ord = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+    val joined = AsOf.join(ev, ord, "user_id", "ts",
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .filter($"user_id" < 5) // left-only predicate
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // after the rule, no Filter remains ABOVE the AsOfJoin node
+    assert(optimized.linesIterator.next().startsWith("AsOfJoin") ||
+      !optimized.split("AsOfJoin")(0).contains("Filter"), optimized)
+    // and results match applying the filter before the join
+    val a = joined.select($"event_id", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val b = AsOf.join(ev.filter($"user_id" < 5), ord, "user_id", "ts",
+      "o_custkey", "o_orderdate", "o_orderkey")
+      .select($"event_id", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("null keys and times never match; ties break by largest tiebreak") {
     val left = Seq(
       (1L, Some(10L), Some("2024-01-01 10:00:00")),
