@@ -140,7 +140,41 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 scalar quantization — the storage path for a 100 TB
+    * embedding corpus (4× smaller than float32, 8× than float64):
+    * per-vector symmetric scale to [-127,127], then quantized cosine.
+    * The query grades the quantization pipeline end-to-end: top-1
+    * neighbor per query under quantized scores, which the oracle
+    * reproduces with identical integer arithmetic. */
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    def quantize(v: org.apache.spark.sql.Column) = {
+      val vd = Vectors.toDouble(v)
+      val maxAbs = array_max(transform(vd, x => abs(x)))
+      transform(vd, x => round(x * 127.0 / maxAbs).cast("long"))
+    }
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
+    val v = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("vq"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def inorm(a: org.apache.spark.sql.Column) =
+      aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    v.crossJoin(broadcast(q))
+      // integer dot and norms are EXACT; one final double expression
+      .withColumn("qcos", round(idot(col("qq"), col("vq")).cast("double") /
+        (sqrt(inorm(col("qq")).cast("double")) * sqrt(inorm(col("vq")).cast("double"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("qcos"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantized_top1" -> quantizedTopK,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_threshold_join" -> thresholdJoin,
@@ -164,6 +198,26 @@ object SimilarityOps {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_quantized_top1" ->
+      """WITH qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+        |  FROM embeddings),
+        |mx AS (SELECT vec_id, ed,
+        |  list_max(list_transform(ed, y -> abs(y))) AS m FROM qe),
+        |qz AS (SELECT vec_id,
+        |  list_transform(ed, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS z
+        |  FROM mx),
+        |q AS (SELECT vec_id AS query_id, z AS qq FROM qz WHERE vec_id < 10),
+        |v AS (SELECT vec_id AS neighbor_id, z AS vq FROM qz WHERE vec_id >= 10),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  round(list_dot_product(qq, vq) /
+        |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(vq, vq))), 6)
+        |    AS qcos
+        |  FROM q CROSS JOIN v),
+        |r AS (SELECT query_id, neighbor_id, qcos, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, qcos FROM r WHERE rn = 1
+        |ORDER BY query_id""".stripMargin,
     "sim_cosine_topk_agg" -> topkOracle,
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
