@@ -107,7 +107,28 @@ object OlapOps {
         coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
       .orderBy(col("c_custkey"))
 
+  /** Count-Min Sketch heavy-hitter estimates (TypedImperativeAggregate
+    * custom aggregate) graded like the HLL query: the sketch is
+    * implementation-specific, the overestimate contract
+    * (exact ≤ est ≤ exact + ε·N) is not. */
+  def countMinFreq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bytes = ev.agg(graft.functions.CountMinAgg
+      .sketch(s, col("event_type")).as("sk")).head().getAs[Array[Byte]](0)
+    val total = ev.count()
+    val est = udf((t: String) => graft.functions.CountMinAgg.estimate(bytes, t))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("est_n", est(col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          col("est_n") <= col("exact_n") + lit(total) * 0.01 + 10)
+          .as("within_tol"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_countmin_freq" -> countMinFreq,
     "olap_pivot" -> pivotOrders,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
@@ -119,6 +140,9 @@ object OlapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_countmin_freq" ->
+      """SELECT event_type, COUNT(*) AS exact_n, TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "olap_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
