@@ -22,6 +22,7 @@ object SparkEntry {
       (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
       (ops.EtlParity.queries, ops.EtlParity.oracles),
       (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracles),
+      (ops.Analytics.queries, ops.Analytics.oracles),
       (streamingQueries, streamingOracles),
     )
 

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite analytic shapes a reference user's downstream consumers
+  * run: funnels, cohort retention, selective-predicate revenue deltas,
+  * co-occurrence mining, and frame sampling over multimodal metadata.
+  * All oracle-graded; each is a one-or-two-shuffle plan at scale.
+  */
+object Analytics {
+
+  /** Funnel: per user, did signup happen, and did a purchase follow
+    * strictly after the first signup? One shuffle on user_id. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .select(col("user_id"),
+        col("first_signup").isNotNull.as("signed_up"),
+        (col("first_signup").isNotNull && col("last_purchase").isNotNull &&
+          col("last_purchase") > col("first_signup")).as("converted"))
+      .orderBy(col("user_id"))
+
+  /** Cohort retention: users grouped by first-seen week; how many
+    * distinct later weeks each cohort stays active. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(min(struct(col("yr"), col("wk"))).as("first"))
+      .select(col("user_id"), col("first.yr").as("cohort_yr"),
+        col("first.wk").as("cohort_wk"))
+    ev.join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_yr"), col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"),
+        countDistinct(col("yr"), col("wk")).as("active_weeks"))
+      .orderBy(col("cohort_yr"), col("cohort_wk"))
+  }
+
+  /** TPC-H Q6 shape: revenue delta from a tight multi-predicate scan —
+    * the pure pushdown + single-agg pattern. */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice").cast(D18_2) *
+        col("l_discount").cast(D3_2))).cast("double").as("revenue_delta"),
+        count(lit(1)).as("n_items"))
+
+  /** Co-occurrence mining: top 20 part pairs appearing in the same
+    * order (basket pairs via self-join on the order key). */
+  def partCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    val a = li.select(col("ok"), col("l_partkey").as("p1"))
+    val b = li.select(col("ok"), col("l_partkey").as("p2"))
+    a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  /** Multimodal frame sampling: every 5th frame index from the stub
+    * decoder's n_frames — the explode shape a video pipeline uses to
+    * turn one blob row into per-frame work items. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.decodeFeatures(s, d)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> funnel,
+    "events_cohort_retention" -> cohortRetention,
+    "agg_forecast_revenue" -> forecastRevenue,
+    "join_part_cooccurrence" -> partCooccurrence,
+    "mm_frame_sample" -> frameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """SELECT user_id,
+        |  first_signup IS NOT NULL AS signed_up,
+        |  (first_signup IS NOT NULL AND last_purchase IS NOT NULL
+        |   AND last_purchase > first_signup) AS converted
+        |FROM (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        |  FROM events GROUP BY user_id) t
+        |ORDER BY user_id""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(weekofyear(ts) AS INT) AS wk,
+        |  CAST(year(ts) AS INT) AS yr FROM events),
+        |fw AS (SELECT user_id, MIN(struct_pack(yr := yr, wk := wk)) AS first
+        |  FROM ev GROUP BY user_id),
+        |fwx AS (SELECT user_id, first.yr AS cohort_yr, first.wk AS cohort_wk
+        |  FROM fw)
+        |SELECT cohort_yr, cohort_wk,
+        |  COUNT(DISTINCT ev.user_id) AS cohort_users,
+        |  COUNT(DISTINCT ROW(ev.yr, ev.wk)) AS active_weeks
+        |FROM ev JOIN fwx ON ev.user_id = fwx.user_id
+        |GROUP BY cohort_yr, cohort_wk
+        |ORDER BY cohort_yr, cohort_wk""".stripMargin,
+    "agg_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue_delta,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "join_part_cooccurrence" ->
+      """SELECT p1, p2, COUNT(*) AS n_orders FROM (
+        |  SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey) t
+        |GROUP BY p1, p2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT media_id, COUNT(*) AS n_sampled,
+        |  CAST(MAX(frame_idx) AS INT) AS last_frame FROM (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, CAST(octet_length(encode(text)) % 30 + 1 AS INT), 5))
+        |    AS frame_idx
+        |  FROM documents) t
+        |GROUP BY media_id ORDER BY media_id""".stripMargin,
+  )
+}
