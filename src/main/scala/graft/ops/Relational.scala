@@ -149,19 +149,30 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
 
-  /** Set ops: union / except over customer segments (distinct set
-    * semantics, like SQL UNION / EXCEPT). */
+  /** Set ops: UNION (distinct) / EXCEPT / INTERSECT. Key-arithmetic
+    * membership keeps all three branches non-empty at every SF (the
+    * segment-based version degenerated to 0 rows — every nation
+    * appears in every segment once there are >100 customers). */
   def setOps(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
-      .select(col("c_nationkey"))
-    val bld = c.filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_nationkey"))
-    auto.union(bld).distinct()
-      .exceptAll(c.filter(col("c_mktsegment") === "MACHINERY")
-        .select(col("c_nationkey")).distinct())
-      .orderBy(col("c_nationkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val threes = c.filter(col("c_custkey") % 3 === 0)
+    val fives = c.filter(col("c_custkey") % 5 === 0)
+    val fifteens = c.filter(col("c_custkey") % 15 === 0)
+    threes.union(fives).distinct()
+      .exceptAll(fifteens)
+      .intersect(c.filter(col("c_custkey") % 2 === 0))
+      .orderBy(col("c_custkey"))
   }
+
+  /** Reproducible sampling at scale: hash-systematic ~5% sample via an
+    * md5 prefix on the key — unlike `TABLESAMPLE`/`df.sample`, the
+    * selected set is a pure function of the data (same rows on any
+    * cluster, any partitioning, any engine — the oracle proves it). */
+  def systematicSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "0d")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
 
   /** Window frames: per-customer running revenue ordered by date —
     * the frame-spec window surface (extension beyond reference W1). */
@@ -241,6 +252,7 @@ object Relational {
     "sort_limit" -> sortLimit,
     "filter_point_lookup" -> pointLookup,
     "setop_union_except" -> setOps,
+    "sample_systematic" -> systematicSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,12 +361,19 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey = 42""".stripMargin,
     "setop_union_except" ->
-      """(SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-        | UNION
-        | SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        |EXCEPT ALL
-        |(SELECT DISTINCT c_nationkey FROM customer
-        | WHERE c_mktsegment = 'MACHINERY')
-        |ORDER BY c_nationkey""".stripMargin,
+      """SELECT * FROM (
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+        |  EXCEPT ALL
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 15 = 0)
+        |) t
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "sample_systematic" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
