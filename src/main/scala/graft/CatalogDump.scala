@@ -1,0 +1,30 @@
+package graft
+/** Prints the query catalog as markdown (used to generate QUERIES.md). */
+object CatalogDump {
+  def main(args: Array[String]): Unit = {
+    val oracles = SparkEntry.oracleSql.keySet
+    println("| query | oracle | module |")
+    println("|---|---|---|")
+    val modules = Seq(
+      "Relational" -> ops.Relational.queries.keySet,
+      "EventOps" -> ops.EventOps.queries.keySet,
+      "OlapOps" -> ops.OlapOps.queries.keySet,
+      "TextOps" -> ops.TextOps.queries.keySet,
+      "DedupOps" -> ops.DedupOps.queries.keySet,
+      "SimilarityOps" -> ops.SimilarityOps.queries.keySet,
+      "MultimodalOps" -> ops.MultimodalOps.queries.keySet,
+      "EtlParity" -> ops.EtlParity.queries.keySet,
+      "ScalarFuncs" -> ops.ScalarFuncs.queries.keySet,
+      "Analytics" -> ops.Analytics.queries.keySet,
+    )
+    val inModules = modules.flatMap(_._2).toSet
+    for (q <- SparkEntry.queries.keySet.toSeq.sorted) {
+      val mod = modules.find(_._2.contains(q)).map(_._1).getOrElse("streaming")
+      val o = if (oracles.contains(q)) "DuckDB" else "rows-only"
+      println(s"| `$q` | $o | $mod |")
+    }
+    println(s"\nTotal: ${SparkEntry.queries.size} queries, " +
+      s"${oracles.size} DuckDB-oracled, " +
+      s"${SparkEntry.queries.size - oracles.size} rows-only.")
+  }
+}
