@@ -78,7 +78,9 @@ def main(sf_dir, out_dir):
             results[name] = (False, f"spark parquet unreadable: {e}")
             continue
         if name not in oracle:
-            results[name] = (len(spark_df) >= 0, f"rows-only: {len(spark_df)} rows")
+            # a silent 0-row result is a failure, not a pass — the
+            # driver's smoke contract expects rows
+            results[name] = (len(spark_df) > 0, f"rows-only: {len(spark_df)} rows")
             continue
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
@@ -91,10 +93,14 @@ def main(sf_dir, out_dir):
         ok, msg = results[name]
         print(f"{'PASS' if ok else 'FAIL'}  {name}  {msg}")
     print(f"\n{npass}/{len(results)} pass")
-    missing = [k for k in oracle if not os.path.isdir(f"{out_dir}/{k}")]
+    expected = set(oracle)
+    names_file = f"{out_dir}/query_names.json"
+    if os.path.exists(names_file):
+        expected |= set(json.load(open(names_file)))
+    missing = sorted(k for k in expected if not os.path.isdir(f"{out_dir}/{k}"))
     if missing:
-        print("oracle entries with no spark output:", missing)
-    return 0 if npass == len(results) else 1
+        print("queries with no spark output:", missing)
+    return 0 if npass == len(results) and not missing else 1
 
 
 if __name__ == "__main__":

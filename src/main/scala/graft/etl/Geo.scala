@@ -73,27 +73,34 @@ object Geo {
     * box filters. */
   def coverBox(minLat: Double, maxLat: Double, minLon: Double,
       maxLon: Double, precision: Int): Seq[String] = {
-    // cell sizes halve per bit; at precision p: 5p bits, lon gets ceil
+    // cell sizes halve per bit; at precision p: 5p bits, lon gets ceil.
+    // Iterate CELL INDICES of the box's corners (inclusive), never
+    // stepped coordinates — stepping by a cell size from an unaligned
+    // box minimum skips the final row/column of cells (a silent
+    // false-negative filter; caught in review).
     val bits = 5 * precision
     val lonBits = (bits + 1) / 2
     val latBits = bits / 2
     val dLat = 180.0 / (1L << latBits)
     val dLon = 360.0 / (1L << lonBits)
-    val out = scala.collection.mutable.LinkedHashSet[String]()
-    var lat = math.max(-90.0, minLat)
-    while (lat <= math.min(90.0 - 1e-12, maxLat)) {
-      var lon = math.max(-180.0, minLon)
-      while (lon <= math.min(180.0 - 1e-12, maxLon)) {
-        out += encode(lat, lon, precision)
-        lon += dLon
+    def clampLat(x: Double) = math.min(90.0 - 1e-12, math.max(-90.0, x))
+    def clampLon(x: Double) = math.min(180.0 - 1e-12, math.max(-180.0, x))
+    val iLat0 = math.floor((clampLat(minLat) + 90.0) / dLat).toLong
+    val iLat1 = math.floor((clampLat(maxLat) + 90.0) / dLat).toLong
+    val iLon0 = math.floor((clampLon(minLon) + 180.0) / dLon).toLong
+    val iLon1 = math.floor((clampLon(maxLon) + 180.0) / dLon).toLong
+    val out = Seq.newBuilder[String]
+    var i = iLat0
+    while (i <= iLat1) {
+      var j = iLon0
+      while (j <= iLon1) {
+        out += encode(-90.0 + (i + 0.5) * dLat, -180.0 + (j + 0.5) * dLon,
+          precision)
+        j += 1
       }
-      lat += dLat
+      i += 1
     }
-    // box corners/edges not hit by the stepped grid
-    out += encode(math.max(-90, minLat), math.min(180 - 1e-12, maxLon), precision)
-    out += encode(math.min(90 - 1e-12, maxLat), math.max(-180, minLon), precision)
-    out += encode(math.min(90 - 1e-12, maxLat), math.min(180 - 1e-12, maxLon), precision)
-    out.toSeq
+    out.result().distinct
   }
 
   /** Predicate: geohash column falls inside the box's cell cover. */

@@ -39,12 +39,14 @@ object Ingest {
       headerPath: Option[String] = None): DataFrame = {
     val names = headerOf(spark, headerPath.getOrElse(paths.head))
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", (!strict).toString)
     spark.read
       .option("sep", "\t")
       .option("header", "true")
       .option("nullValue", "")
       .option("mode", if (strict) "FAILFAST" else "PERMISSIVE")
+      // per-read option (not session conf — that would leak to other
+      // CSV reads and, being lazy, race with them)
+      .option("columnPruning", (!strict).toString)
       .schema(schema)
       .csv(paths: _*)
   }

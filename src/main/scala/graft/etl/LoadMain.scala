@@ -44,16 +44,21 @@ object LoadMain {
     val all = LoadPipeline.listDataFiles(spark, inputDir)
     val sliced = all.slice(start.getOrElse(0), end.map(_ + 1).getOrElse(all.size))
     if (sliced.isEmpty) return Seq.empty
-    // stage the slice through a filtered view of the directory
+    // stage the slice through a filtered view of the directory;
+    // symlink targets must be ABSOLUTE (relative targets resolve
+    // against the link's own directory → dangling links)
     val sliceDir = java.nio.file.Files.createTempDirectory("load-slice")
     sliced.foreach { f =>
-      val name = f.split("/").last
-      java.nio.file.Files.createSymbolicLink(sliceDir.resolve(name),
-        java.nio.file.Paths.get(f))
+      val target = java.nio.file.Paths.get(f).toAbsolutePath
+      java.nio.file.Files.createSymbolicLink(
+        sliceDir.resolve(target.getFileName), target)
     }
-    val loaded = LoadPipeline.runCatalog(spark, sliceDir.toString,
+    try LoadPipeline.runCatalog(spark, sliceDir.toString,
       manifestPath, outPath, tolerance)
-    loaded
+    finally { // clean the staging links
+      Option(sliceDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+      sliceDir.toFile.delete()
+    }
   }
 
   private def parseArgs(args: Array[String]): (Map[String, String], Array[String]) = {

@@ -27,7 +27,8 @@ object LoadPipeline {
   def run(spark: SparkSession, inputDir: String,
       outPath: Option[String] = None,
       manifest: Option[DataFrame] = None,
-      only: Option[Seq[String]] = None): Result = {
+      only: Option[Seq[String]] = None,
+      tolerance: Long = Quality.defaultTolerance): Result = {
     val discovered = listDataFiles(spark, inputDir)
     val files = only match {
       case Some(names) =>
@@ -63,7 +64,7 @@ object LoadPipeline {
     outPath.foreach(p => Publish.publishPartitioned(wide, p))
 
     val m = manifest.getOrElse(Manifest.empty(spark))
-    Result(Quality.loadReport(normalized, deduped, m), wide)
+    Result(Quality.loadReport(normalized, deduped, m, tolerance), wide)
   }
 
   /** The reference's full `npm run load` driver loop (SURVEY.md §3.2),
@@ -82,9 +83,18 @@ object LoadPipeline {
       .collect().map(_.getString(0)).toSeq
       .sortBy(n => n.split("--")(0).toInt)
     if (todo.nonEmpty) {
+      // S10: register the pending files UP FRONT (expected line counts
+      // in one distributed pass) so reconciliation below runs against
+      // real expectations, not an empty manifest.
+      val lines = Quality.lineCounts(spark, todo.map(f => s"$inputDir/$f"))
+      todo.foreach { f =>
+        manifest = Manifest.register(manifest, f, f.split("--")(1),
+          lines.getOrElse(f, -1L).toInt)
+      }
       // load ONLY the pending files: already-loaded partitions stay
       // untouched (dynamic overwrite replaces only published states)
-      val result = run(spark, inputDir, only = Some(todo))
+      val result = run(spark, inputDir, only = Some(todo),
+        manifest = Some(manifest), tolerance = tolerance)
       // Incremental sink dedup (SURVEY.md §7.4): a PK may already be
       // published under ANOTHER state's partition — drop such rows
       // (ON CONFLICT DO NOTHING across the whole table). Keys in the
@@ -102,13 +112,17 @@ object LoadPipeline {
           Dedup.againstExisting(result.loaded, existingKeys, "LALVOTERID")
         } else result.loaded
       Publish.publishPartitioned(toPublish, outPath)
-      todo.foreach { f =>
-        val state = f.split("--")(1)
-        val lines = Quality.lineCount(spark, s"$inputDir/$f")
-        manifest = Manifest.register(manifest, f, state, lines.toInt)
-        manifest = Manifest.markLoaded(manifest, f)
-      }
-      result.report.collect() // force reconciliation eagerly
+      // A4/S12: reconcile counts with the requested tolerance; alerts
+      // go to stderr (the reference's Slack channel analog) and an
+      // unreconciled state's files are NOT marked Loaded (load.ts
+      // aborts before the swap/markLoaded on a failed check).
+      val report = result.report
+      val alerts = Quality.alerts(report)
+      alerts.foreach(System.err.println)
+      val badStates = report.filter(!col("reconciled"))
+        .select(col("state")).collect().map(_.getString(0)).toSet
+      todo.filterNot(f => badStates.contains(f.split("--")(1)))
+        .foreach(f => manifest = Manifest.markLoaded(manifest, f))
     }
     Manifest.save(manifest, manifestPath)
     todo

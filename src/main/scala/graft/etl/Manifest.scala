@@ -19,15 +19,18 @@ object Manifest {
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.voterFile)
 
-  /** S10: register a downloaded file (Loaded=false). */
+  /** S10: register a downloaded file (Loaded=false). Upsert on the
+    * Filename PK — re-registering must not create duplicate rows
+    * (duplicates would double expected_lines in reconciliation). */
   def register(manifest: DataFrame, filename: String, state: String,
-      lines: Int): DataFrame =
-    manifest.unionByName(
-      manifest.sparkSession.createDataFrame(
-        java.util.List.of(Row(filename, state, Integer.valueOf(lines), java.lang.Boolean.FALSE,
-          new java.sql.Timestamp(0L))),
-        Schemas.voterFile)
-        .withColumn("updatedAt", current_timestamp()))
+      lines: Int): DataFrame = {
+    val row = manifest.sparkSession.createDataFrame(
+      java.util.List.of(Row(filename, state, Integer.valueOf(lines),
+        java.lang.Boolean.FALSE, new java.sql.Timestamp(0L))),
+      Schemas.voterFile)
+      .withColumn("updatedAt", current_timestamp())
+    Merge.upsert(manifest, row, "Filename")
+  }
 
   /** S11: mark a file loaded after a successful publish (upsert). */
   def markLoaded(manifest: DataFrame, filename: String): DataFrame =

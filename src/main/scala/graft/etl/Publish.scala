@@ -25,19 +25,20 @@ object Publish {
     * larger scale the same line bounds file count to
     * shuffle-partitions, not tasks × states. */
   def publishPartitioned(df: DataFrame, path: String): Unit = {
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-write option, NOT session conf: flipping the session-wide
+    // partitionOverwriteMode would silently change the semantics of
+    // later unrelated overwrite writes
     df.repartition(org.apache.spark.sql.functions.col("state"))
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("state")
       .parquet(path)
   }
 
   /** D1: full truncate-and-reload of the target (static overwrite). */
-  def replaceAll(df: DataFrame, path: String): Unit = {
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "static")
-    df.write.mode("overwrite").partitionBy("state").parquet(path)
-  }
+  def replaceAll(df: DataFrame, path: String): Unit =
+    df.write
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").partitionBy("state").parquet(path)
 }

@@ -37,6 +37,18 @@ object Quality {
   def lineCount(spark: SparkSession, path: String): Long =
     spark.read.text(path).count() - 1
 
+  /** Per-file line counts (minus headers) in ONE distributed job —
+    * N sequential `lineCount` calls re-scan the input N times and pay
+    * N job round-trips. */
+  def lineCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    spark.read.text(paths: _*)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg((cnt(lit(1)) - 1).as("lines"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** S12 analog: the alert messages the reference posts to Slack on a
     * failed reconciliation (utils.ts:99-133, load.ts:244-254). The
     * transport is an ops concern; the message contract is engine

@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Character 15-gram shingles at stride 5, as a distinct array.
-    * Mirrors DuckDB `[text[i:i+14] for i in range(1, len-14, 5)]`
-    * (both ends inclusive there; sequence end is len-15 here). */
+    * The sequence stop is `greatest(len-14, 1)` INCLUSIVE: a ≤15-char
+    * text yields one (short) shingle rather than sequence(1,0,...),
+    * which THROWS in Spark ("Illegal sequence boundaries") while
+    * DuckDB's exclusive range() returned empty — both a crash and an
+    * engine divergence (caught in review). The oracle mirrors the
+    * inclusive stop with range(1, stop+1, 5). */
   def shingles(text: Column): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 14, lit(1)) - 1, lit(5)),
+      sequence(lit(1), greatest(length(text) - 14, lit(1)), lit(5)),
       i => substring(text, i, lit(15))))
 
   private val shinglesSql =
-    "list_distinct([%s[i:i+14] for i in range(1, greatest(len(%s)-14, 1), 5)])"
+    "list_distinct([%s[i:i+14] for i in range(1, greatest(len(%s)-14, 1)+1, 5)])"
 
   /** Exact-Jaccard between two distinct shingle arrays, as a double
     * (int/int division — engine-independent). */

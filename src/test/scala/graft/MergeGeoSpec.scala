@@ -32,6 +32,23 @@ class MergeGeoSpec extends AnyFunSuite {
       once.orderBy($"k").collect().toSeq)
   }
 
+  test("box cover regression: unaligned top row is covered (review finding)") {
+    // (11.29, -95.0) is inside lat [3.0, 11.3] lon [-110, -80]; the
+    // coordinate-stepping cover missed its cell ("9f")
+    val cover = Geo.coverBox(3.0, 11.3, -110.0, -80.0, 2)
+    assert(cover.contains(Geo.encode(11.29, -95.0, 2)), cover.mkString(","))
+  }
+
+  test("shingles: short text yields one shingle, no sequence crash") {
+    val out = Seq("tiny", "exactly15chars!", "a somewhat longer text value")
+      .toDF("text")
+      .select(ops.DedupOps.shingles($"text").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("tiny"))
+    assert(out(1) === Seq("exactly15chars!"))
+    assert(out(2).nonEmpty)
+  }
+
   test("geohash box cover: prefix filter == exact box filter") {
     // grid of points around a box; cover filter must select exactly
     // the points whose cell intersects, superset of exact box points
