@@ -36,6 +36,17 @@ object Publish {
       .parquet(path)
   }
 
+  /** Incremental append into the partitioned layout (streaming ingest:
+    * a later file for an already-published state must ADD rows, not
+    * replace the partition — upstream dedup guarantees key
+    * uniqueness). */
+  def appendPartitioned(df: DataFrame, path: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col("state"))
+      .write
+      .mode("append")
+      .partitionBy("state")
+      .parquet(path)
+
   /** D1: full truncate-and-reload of the target (static overwrite). */
   def replaceAll(df: DataFrame, path: String): Unit =
     df.write

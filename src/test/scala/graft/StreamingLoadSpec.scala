@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.StreamingLoad
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingLoadSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val header = Seq("LALVOTERID", "Voters_FirstName", "Voters_Gender",
+    "Voters_CalculatedRegDate", "Residence_Addresses_Latitude",
+    "Residence_Addresses_Longitude", "City")
+
+  private def writeFile(dir: java.nio.file.Path, name: String,
+      rows: Seq[String]): Unit = {
+    val f = dir.resolve(name)
+    java.nio.file.Files.writeString(f,
+      (header.mkString("\t") +: rows).mkString("", "\n", "\n"))
+  }
+
+  test("continuous ingest: files land incrementally, dedup spans batches") {
+    val in = java.nio.file.Files.createTempDirectory("stream-in")
+    val out = java.nio.file.Files.createTempDirectory("stream-out")
+      .resolve("published").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+
+    writeFile(in, "01--AK--VM2Uniform--2024-01-01.tab", Seq(
+      "LALAK1\tANNA\tF\t01/15/2010\t61.2\t-149.9\tANCHORAGE",
+      "LALAK2\tBOB\tM\t02/20/2011\t57.64911\t10.40744\tJUNEAU (EST.)"))
+
+    val q = StreamingLoad.start(spark, in.toString, out, ckpt, header)
+    try {
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(out)
+      assert(v1.count() === 2)
+      assert(v1.filter($"LALVOTERID" === "LALAK2")
+        .head().getAs[String]("City") === "JUNEAU") // F5 applied in-stream
+      // second file arrives later: new AK row + a cross-batch duplicate
+      writeFile(in, "02--AK--VM2Uniform--2024-02-01.tab", Seq(
+        "LALAK1\tANNA-DUP\tF\t01/15/2010\t61.2\t-149.9\tANCHORAGE",
+        "LALAK3\tCARA\tF\t03/30/2012\t\t\tNOME"))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(out)
+      assert(v2.count() === 3) // dup dropped across batches
+      assert(v2.filter($"LALVOTERID" === "LALAK1")
+        .head().getAs[String]("Voters_FirstName") === "ANNA") // first wins
+      // third file: a brand-new state appends alongside AK
+      writeFile(in, "03--CA--VM2Uniform--2024-02-02.tab", Seq(
+        "LALCA1\tEVE\tF\t11/02/2008\t37.8324\t112.5584\tSAN JOSE"))
+      q.processAllAvailable()
+      val v3 = spark.read.parquet(out)
+      assert(v3.count() === 4)
+      assert(v3.filter($"state" === "AK").count() === 3)
+      assert(v3.filter($"state" === "CA").count() === 1)
+      assert(v3.filter($"LALVOTERID" === "LALCA1")
+        .head().getAs[String]("Residence_Addresses_GeoHash") === "ww8p1r4t")
+    } finally q.stop()
+  }
+}
