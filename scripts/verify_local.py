@@ -55,8 +55,11 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
             if xn != yn:
                 return False, f"col {c} row {i}: spark={x!r} duckdb={y!r}"
             if isinstance(x, float) or isinstance(y, float):
-                if float(x) != float(y):  # exact — driver hashes
-                    return False, f"col {c} row {i}: spark={x!r} duckdb={y!r} (float mismatch)"
+                # bit-exact, not ==: a -0.0 vs 0.0 pair passes float
+                # equality but fails a byte-level hash compare
+                import struct
+                if struct.pack("d", float(x)) != struct.pack("d", float(y)):
+                    return False, f"col {c} row {i}: spark={x!r} duckdb={y!r} (float bits mismatch)"
             elif x != y:
                 return False, f"col {c} row {i}: spark={x!r} duckdb={y!r}"
     return True, "ok"

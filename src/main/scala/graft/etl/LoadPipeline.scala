@@ -40,24 +40,8 @@ object LoadPipeline {
     val raw = Ingest.withFileMeta(
       Ingest.readTsv(spark, files, strict = true))
 
-    // Narrow projection first: coerce only the columns actually in the
-    // input; the 300+ absent schema columns are added as typed NULLs
-    // AFTER the dedup shuffle (no point shuffling constant nulls).
-    val meta = Seq("source_file", "file_number", "state")
-    val projected = Normalize.project(raw, passthrough = meta)
-      .withColumn("City", Normalize.stripEstMarker(col("City")))
-      .withColumn("Residence_Addresses_GeoHash",
-        Geo.geohash8(col("Residence_Addresses_Latitude"),
-          col("Residence_Addresses_Longitude")))
-
-    // A3: the reference keeps the first-inserted row per LALVOTERID;
-    // file order (numeric prefix) then in-file order is the insert
-    // order. The scan-order id must be materialized as a column before
-    // the window (non-deterministic exprs can't be window sort keys).
-    val deduped = Dedup.firstWins(
-      projected.withColumn("__seq", monotonically_increasing_id()),
-      Seq("LALVOTERID"), Seq(col("file_number"), col("__seq")))
-      .drop("__seq")
+    val projected = derive(raw)
+    val deduped = dedupeFirstWins(projected)
 
     val normalized = Normalize.widen(projected, passthrough = meta)
     val wide = Normalize.widen(deduped, passthrough = meta)
@@ -66,6 +50,31 @@ object LoadPipeline {
     val m = manifest.getOrElse(Manifest.empty(spark))
     Result(Quality.loadReport(normalized, deduped, m, tolerance), wide)
   }
+
+  /** Metadata columns carried alongside voter data through the load. */
+  val meta: Seq[String] = Seq("source_file", "file_number", "state")
+
+  /** The shared narrow transform (used by BOTH the batch and streaming
+    * ingest paths — one definition so they cannot drift): projection +
+    * coercion on present columns only (the 300+ absent schema columns
+    * become typed NULLs only after the dedup shuffle), city cleanup,
+    * geohash derive. */
+  def derive(raw: DataFrame): DataFrame =
+    Normalize.project(raw, passthrough = meta)
+      .withColumn("City", Normalize.stripEstMarker(col("City")))
+      .withColumn("Residence_Addresses_GeoHash",
+        Geo.geohash8(col("Residence_Addresses_Latitude"),
+          col("Residence_Addresses_Longitude")))
+
+  /** A3: the reference keeps the first-inserted row per LALVOTERID;
+    * file order (numeric prefix) then in-file order is the insert
+    * order. The scan-order id must be materialized as a column before
+    * the window (non-deterministic exprs can't be window sort keys). */
+  def dedupeFirstWins(projected: DataFrame): DataFrame =
+    Dedup.firstWins(
+      projected.withColumn("__seq", monotonically_increasing_id()),
+      Seq("LALVOTERID"), Seq(col("file_number"), col("__seq")))
+      .drop("__seq")
 
   /** The reference's full `npm run load` driver loop (SURVEY.md §3.2),
     * catalog-driven and idempotent: discover files → skip ones the
@@ -102,7 +111,7 @@ object LoadPipeline {
       // replaced by this publish.
       val loadStates = todo.map(_.split("--")(1)).distinct
       val toPublish =
-        if (new java.io.File(outPath).exists()) {
+        if (Publish.pathExists(spark, outPath)) {
           // localCheckpoint: the publish overwrites the path this key
           // set is read from — materialize the (small) key column
           // eagerly so the write doesn't read its own target

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic publish (SURVEY.md §2.6 D1/D2).
   *
@@ -52,4 +53,26 @@ object Publish {
     df.write
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").partitionBy("state").parquet(path)
+
+  /** Existence check through the Hadoop filesystem of the PATH — a
+    * `java.io.File` check is silently false for hdfs://, s3a://, etc.,
+    * which would disable any logic gated on it (review finding). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Compaction for append-mode sinks: streaming ingest adds at least
+    * one file per state per micro-batch; periodically rewrite the
+    * layout into one file per state. Staged write + directory swap so
+    * readers never see a partial table. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = path + ".compacting"
+    val df = spark.read.parquet(path)
+    df.repartition(org.apache.spark.sql.functions.col("state"))
+      .write.mode("overwrite").partitionBy("state").parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
 }

@@ -55,6 +55,20 @@ class StreamingLoadSpec extends AnyFunSuite {
       assert(v3.filter($"state" === "CA").count() === 1)
       assert(v3.filter($"LALVOTERID" === "LALCA1")
         .head().getAs[String]("Residence_Addresses_GeoHash") === "ww8p1r4t")
+
+      // P5: a DEMOGRAPHIC drop must be ignored by the stream
+      writeFile(in, "04--TX--VM2Uniform-DEMOGRAPHIC--2024-02-03.tab", Seq(
+        "LALTX9\tZED\tM\t01/01/2000\t30.0\t-97.0\tAUSTIN"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 4) // unchanged
+
+      // compaction rewrites to one file per state, same data
+      graft.etl.Publish.compact(spark, out)
+      val compacted = spark.read.parquet(out)
+      assert(compacted.count() === 4)
+      val akFiles = new java.io.File(s"$out/state=AK")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(akFiles === 1, s"expected 1 compacted AK file, got $akFiles")
     } finally q.stop()
   }
 }
