@@ -52,4 +52,8 @@ class OpsSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  test("no duplicate query names across modules (silent overwrite)") {
+    assert(SparkEntry.queries.size === SparkEntry.declaredQueryCount)
+  }
 }
