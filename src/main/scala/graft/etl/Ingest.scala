@@ -61,8 +61,14 @@ object Ingest {
   /** Attach source-file metadata columns derived from the input path:
     * basename, numeric file number, state token. The `state` column is
     * the partition key downstream (SURVEY.md §1.4). */
-  def withFileMeta(df: DataFrame): DataFrame = {
-    val base = element_at(split(input_file_name(), "/"), -1)
+  def withFileMeta(df: DataFrame): DataFrame =
+    withFileMetaFrom(df, input_file_name())
+
+  /** Same, from an explicit path column (for plans where the file name
+    * was already materialized upstream, e.g. the streaming ingest). */
+  def withFileMetaFrom(df: DataFrame,
+      file: org.apache.spark.sql.Column): DataFrame = {
+    val base = element_at(split(file, "/"), -1)
     df.withColumn("source_file", base)
       .withColumn("file_number", fileNumber(base))
       .withColumn("state", fileState(base))

@@ -48,7 +48,9 @@ object LoadPipeline {
     outPath.foreach(p => Publish.publishPartitioned(wide, p))
 
     val m = manifest.getOrElse(Manifest.empty(spark))
-    Result(Quality.loadReport(normalized, deduped, m, tolerance), wide)
+    val batchNames = files.map(_.split("/").last)
+    Result(Quality.loadReport(normalized, deduped, m, tolerance,
+      batchFiles = Some(batchNames)), wide)
   }
 
   /** Metadata columns carried alongside voter data through the load. */

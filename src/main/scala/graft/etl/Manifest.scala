@@ -63,6 +63,9 @@ object Manifest {
   }
 
   def load(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    // Hadoop-FS existence check, NOT java.io.File: a local-only check
+    // is silently false on hdfs://s3a:// paths, which would reset the
+    // catalog every run and defeat the P6 idempotent skip entirely
+    if (Publish.pathExists(spark, path)) spark.read.parquet(path)
     else empty(spark)
 }

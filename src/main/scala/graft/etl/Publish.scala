@@ -64,15 +64,28 @@ object Publish {
 
   /** Compaction for append-mode sinks: streaming ingest adds at least
     * one file per state per micro-batch; periodically rewrite the
-    * layout into one file per state. Staged write + directory swap so
-    * readers never see a partial table. */
+    * layout into one file per state.
+    *
+    * Swap order is crash-safe: write compacted data aside, rename the
+    * LIVE dir out of the way, rename the compacted dir in, then delete
+    * the old copy. At every instant at least one complete copy of the
+    * data exists on disk (a crash leaves it in `.old` or
+    * `.compacting`, never stranded mid-delete). There remains a
+    * sub-second window between the two renames where `path` itself is
+    * absent — callers needing strictly gap-free reads must schedule
+    * compaction in a read-quiescent window (directory rename is not
+    * atomic-swap on HDFS/S3). */
   def compact(spark: SparkSession, path: String): Unit = {
-    val tmp = path + ".compacting"
+    val tmp = new Path(path + ".compacting")
+    val old = new Path(path + ".old")
+    val live = new Path(path)
     val df = spark.read.parquet(path)
     df.repartition(org.apache.spark.sql.functions.col("state"))
-      .write.mode("overwrite").partitionBy("state").parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+      .write.mode("overwrite").partitionBy("state").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(old, true) // clear leftovers from a previous crash
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
   }
 }

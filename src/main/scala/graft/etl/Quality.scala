@@ -14,17 +14,35 @@ object Quality {
   val defaultTolerance = 1000L
 
   /** Per-state load report: rows in, rows after dedup, dups dropped,
-    * expected lines (from the manifest, summed per state), reconciled
-    * flag. `raw` must carry `state`; `deduped` is `raw` after PK
-    * dedup. */
+    * expected lines (from the manifest), reconciled flag. `raw` must
+    * carry `state` and `source_file`; `deduped` is `raw` after PK
+    * dedup.
+    *
+    * Expectations are summed over ONLY the manifest rows for files in
+    * the current batch (`batchFiles`, else the files observed in
+    * `raw`): summing over all history compares one batch's counts to
+    * cumulative expectations, which false-alerts the moment an
+    * incremental load adds a file to an already-loaded state (the
+    * reference reconciles per file, load.ts:240). The expected side is
+    * kept via a FULL outer join so a registered batch file that parsed
+    * to ZERO rows still produces a (failing) report row instead of
+    * silently vanishing and being marked Loaded unchecked. */
   def loadReport(raw: DataFrame, deduped: DataFrame, manifest: DataFrame,
-      tolerance: Long = defaultTolerance): DataFrame = {
+      tolerance: Long = defaultTolerance,
+      batchFiles: Option[Seq[String]] = None): DataFrame = {
     val in = raw.groupBy(col("state")).agg(count(lit(1)).as("rows_in"))
     val out = deduped.groupBy(col("state")).agg(count(lit(1)).as("rows_loaded"))
-    val expected = manifest.groupBy(col("State").as("state"))
+    val batchManifest = batchFiles match {
+      case Some(names) => manifest.filter(col("Filename").isInCollection(names))
+      case None => manifest.join(
+        raw.select(col("source_file")).distinct(),
+        manifest("Filename") === col("source_file"), "left_semi")
+    }
+    val expected = batchManifest.groupBy(col("State").as("state"))
       .agg(sum(col("Lines")).cast("long").as("expected_lines"))
     in.join(out, Seq("state"), "left")
-      .join(expected, Seq("state"), "left")
+      .join(expected, Seq("state"), "full_outer")
+      .withColumn("rows_in", coalesce(col("rows_in"), lit(0L)))
       .withColumn("rows_loaded", coalesce(col("rows_loaded"), lit(0L)))
       .withColumn("dups_dropped", col("rows_in") - col("rows_loaded"))
       .withColumn("reconciled",

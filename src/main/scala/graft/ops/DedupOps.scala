@@ -46,10 +46,15 @@ object DedupOps {
       (size(a) + size(b) - size(array_intersect(a, b)))
 
   /** X1: exact dedup on normalized content — keep the smallest doc_id
-    * per distinct normalized text. */
+    * per distinct normalized text. The shuffle key is the SHA-256 of
+    * the normalized text, NOT the text itself: grouping by the raw
+    * body makes the entire corpus the shuffle payload (38 s at sf0.1;
+    * 100 TB shuffled at 100 TB), while the digest is a fixed 32 bytes
+    * per row with identical grouping semantics (collisions are
+    * 2^-128-improbable). The oracle groups by the same digest. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(lower(trim(col("text"))).as("norm"))
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
@@ -163,7 +168,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY lower(trim(text))
+        |FROM documents GROUP BY sha256(lower(trim(text)))
         |ORDER BY keep_id""".stripMargin,
     "dedup_first_wins" ->
       """SELECT user_id, event_type, event_id,

@@ -212,25 +212,43 @@ object Relational {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
-  /** P8/P9: deterministic pagination — rows [100, 120) of a total
-    * order, the batch analog of the reference's --start/--resume. */
+  /** P8/P9: deterministic pagination — rows [100, 120) of the
+    * o_orderkey total order, the batch analog of the reference's
+    * --start/--resume.
+    *
+    * Keyset form, not a global window: `row_number() OVER (ORDER BY
+    * key)` with no partitionBy funnels every row through ONE task
+    * (Spark warns about exactly this). Instead (1) find the page
+    * bound — the 100th key — with a distributed top-k
+    * (TakeOrderedAndProject: per-partition heads, tiny driver merge),
+    * then (2) `key > bound ORDER BY key LIMIT 20`, which is sargable:
+    * the literal bound is pushed into the parquet scan and the limit
+    * is again top-k. In steady-state resume the caller carries the
+    * last key of the previous page, so step (1) disappears entirely. */
   def rangeSlice(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_orderkey"))
+    val key = col("o_orderkey")
+    val bound = Tables.orders(s, d).select(key).orderBy(key).limit(100)
+      .agg(max(key)).head().get(0)
     Tables.orders(s, d)
+      .filter(if (bound == null) lit(true) else key > lit(bound))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 100 && col("rn") <= 120)
-      .drop("rn")
-      .orderBy(col("o_orderkey"))
+      .orderBy(key)
+      .limit(20)
   }
 
   /** S8/A1: per-table row counts — the count-reconciliation scan.
-    * (`events` must go through its ns-timestamp-aware reader.) */
+    * A bare `count(lit(1))` aggregate over the raw scan reads ZERO
+    * columns: the vectorized parquet reader answers it from row-group
+    * metadata (the earlier `select(lit(t)).groupBy(...)` form
+    * materialized and hash-grouped every row — 11 s for what footers
+    * answer in milliseconds). `events` still goes through its
+    * ns-timestamp-aware reader for schema compatibility; the ts
+    * projection is pruned away under the count. */
   def rowCounts(s: SparkSession, d: String): DataFrame = {
     val counted = Tables.all.map { t =>
       val df = if (t == "events") Tables.events(s, d) else Tables.table(s, d, t)
-      df.select(lit(t).as("tbl"))
-        .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("tbl"), col("n_rows"))
     }
     counted.reduce(_ unionByName _).orderBy(col("tbl"))
   }

@@ -107,7 +107,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   pendingRight = null // behind the current key
                 } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
                   held = pendingRight.copy() // newest match so far
-                  heldKey = rk
+                  // re-extract the key from the COPIED row: `rk` may
+                  // alias a buffer the right iterator reuses (sort
+                  // spill reader / unsafe projection), so for
+                  // string/binary/decimal keys it can be overwritten
+                  // before the compare below uses it
+                  heldKey = held.get(rKeyIdx, keyType)
                   pendingRight = null
                 } else {
                   continue = false // ahead of (lk, lt): keep for later

@@ -56,11 +56,26 @@ class StreamingLoadSpec extends AnyFunSuite {
       assert(v3.filter($"LALVOTERID" === "LALCA1")
         .head().getAs[String]("Residence_Addresses_GeoHash") === "ww8p1r4t")
 
-      // P5: a DEMOGRAPHIC drop must be ignored by the stream
-      writeFile(in, "04--TX--VM2Uniform-DEMOGRAPHIC--2024-02-03.tab", Seq(
-        "LALTX9\tZED\tM\t01/01/2000\t30.0\t-97.0\tAUSTIN"))
+      // P5: a DEMOGRAPHIC drop must be ignored by the stream — with a
+      // DIFFERENT header, as in the reference: the skip must happen
+      // before parsing, or this file would permanently fail the
+      // checkpointed batch on every restart
+      java.nio.file.Files.writeString(
+        in.resolve("04--TX--VM2Uniform-DEMOGRAPHIC--2024-02-03.tab"),
+        "SEQUENCE\tDEMO_BLOCK\tDEMO_VALUE\n001\tAGE\t42\n")
       q.processAllAvailable()
       assert(spark.read.parquet(out).count() === 4) // unchanged
+
+      // a DATA file with a wrong header must FAIL the batch (strict
+      // enforceSchema parity), not silently misassign columns
+      java.nio.file.Files.writeString(
+        in.resolve("05--NV--VM2Uniform--2024-02-04.tab"),
+        "WRONG\tHEADER\nLALNV1\tx\n")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(messages.exists(_.contains("header mismatch")), messages)
 
       // compaction rewrites to one file per state, same data
       graft.etl.Publish.compact(spark, out)
