@@ -34,6 +34,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSignature(Cast(es.head, ArrayType(StringType)),
         es(1).eval().asInstanceOf[Int]),
       "graft_minhash(tokens, k) - k-permutation MinHash signature"),
+    ("graft_srp_bands",
+      (es: Seq[Expression]) => SrpBands(Cast(es.head, ArrayType(DoubleType)),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Number].longValue()),
+      "graft_srp_bands(vec, bitsPerBand, nBands, seed) - signed-random-projection LSH band buckets"),
   )
 
   /** Idempotently register all custom functions on a live session. */
@@ -60,6 +65,15 @@ object GraftFunctions {
     register(spark)
     call_function("graft_minhash", tokens,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def srpBands(spark: SparkSession, vec: Column, bitsPerBand: Int,
+      nBands: Int, seed: Long): Column = {
+    register(spark)
+    call_function("graft_srp_bands", vec,
+      org.apache.spark.sql.functions.lit(bitsPerBand),
+      org.apache.spark.sql.functions.lit(nBands),
+      org.apache.spark.sql.functions.lit(seed))
   }
 }
 

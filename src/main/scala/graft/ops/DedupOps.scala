@@ -99,10 +99,30 @@ object DedupOps {
     * recall is asserted against `jaccardNearDup` in ScalaTest instead
     * of the SQL oracle (rows-only check here).
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val numHashes = 32
-    val rowsPerBand = 4
-    val docs = Tables.documents(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOn(Tables.documents(s, d))
+
+  /** Default per-(band,bucket) membership cap: far above anything a
+    * healthy corpus produces at these band widths, low enough that a
+    * degenerate bucket cannot go quadratic. */
+  val defaultMaxBucket = 256
+
+  /** Core of [[minhashLsh]], parameterized for tests and reuse.
+    *
+    * `maxBucket` bounds bucket membership: web corpora routinely carry
+    * thousands of byte-identical boilerplate copies, which land in ONE
+    * bucket per band and would re-create the all-pairs blowup inside
+    * it (5k copies ⇒ 12.5M candidate pairs). Buckets are truncated to
+    * the `maxBucket` smallest doc_ids (deterministic) and the dropped
+    * membership count is published as the `graft_lsh_bucket_overflow`
+    * observed metric so operators see what was skipped. Mass-identical
+    * content is exact-dedup's job (X1 runs first in a real pipeline);
+    * the cap keeps the near-dup pass robust when it hasn't. */
+  def minhashLshOn(docsRaw: DataFrame, numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val s = docsRaw.sparkSession
+    val docs = docsRaw
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     // Signature in ONE array pass via the native graft_minhash
     // expression (each shingle byte-hashed once, k splitmix
@@ -118,9 +138,16 @@ object DedupOps {
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col("sig").getItem(i)): _*)
     }
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id"))
     val bands = sigs
       .select(col("doc_id"),
         posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+      .withColumn("__rank", row_number().over(wBucket))
+      .observe("graft_lsh_bucket_overflow",
+        sum(when(col("__rank") > maxBucket, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("__rank") <= maxBucket)
+      .drop("__rank")
     // candidates: pairs sharing any band bucket (equi-join, no cross product)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -139,20 +166,41 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** SimHash near-dup pairs via the native `graft_simhash` expression:
-    * one 64-bit sketch per doc, then `bit_count(xor)` hamming distance
-    * on a bounded pair set. The sketch pass is a single codegen'd
-    * scan; at scale, candidate pairing would bucket on sketch prefixes
-    * instead of the bounded self-join shown here. */
-  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d).filter(col("doc_id") < 200)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
-    val a = t.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-    val b = t.select(col("doc_id").as("b_id"), col("sh").as("sb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+  /** SimHash near-dup pairs over the FULL corpus via the native
+    * `graft_simhash` expression + Manku-style block buckets.
+    *
+    * One 64-bit sketch per doc (single codegen'd scan), split into
+    * `maxHamming + 1` equal blocks. By pigeonhole, two sketches within
+    * `maxHamming` differing bits must agree EXACTLY on at least one
+    * block — so candidate pairs come from equi-joins on (block index,
+    * block value), with zero recall loss (this bucketing is exact, not
+    * probabilistic), and are then verified with `bit_count(xor)`.
+    * Random 16-bit blocks collide at 2^-16, so candidate volume stays
+    * ~n²/65536 per block on non-duplicate mass. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashNearDupOn(Tables.documents(s, d))
+
+  /** Core of [[simhashNearDup]]; `maxHamming + 1` must divide 64. */
+  def simhashNearDupOn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    val nBlocks = maxHamming + 1
+    require(64 % nBlocks == 0, s"block count $nBlocks must divide 64")
+    val width = 64 / nBlocks
+    val t = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
+    val blockCols = (0 until nBlocks).map(i =>
+      shiftrightunsigned(col("sh"), i * width)
+        .bitwiseAND(lit((1L << width) - 1)))
+    val blocks = t.select(col("doc_id"), col("sh"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "key")))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sh").as("sa"),
+        col("y.doc_id").as("b_id"), col("y.sh").as("sb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .filter(col("hamming") <= 16)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }

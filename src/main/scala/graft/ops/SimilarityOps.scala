@@ -7,9 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.7 X3):
-  * brute-force cosine top-k as the exact baseline, a threshold
-  * similarity self-join, and an IVF-style partitioned variant as the
-  * scale path.
+  * brute-force cosine top-k as the exact baseline, an exact threshold
+  * self-join plus its SRP-LSH bucketed scale path, and an IVF-style
+  * partitioned variant as the top-k scale path.
   *
   * Scale design: the query/centroid side is always the small side and
   * is explicitly `broadcast()` — the big side streams through in one
@@ -42,18 +42,67 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Threshold similarity self-join on a bounded id range — the
-    * embedding-cosine near-duplicate shape. */
-  def thresholdJoin(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+  /** Threshold similarity self-join on a bounded id range — the exact
+    * all-pairs form, kept as the ground truth the LSH path is graded
+    * against (recall test in ScalaTest). */
+  def thresholdJoin(s: SparkSession, d: String): DataFrame =
+    thresholdJoinOn(Tables.embeddings(s, d).filter(col("vec_id") < 300), 0.3)
+
+  /** Exact all-pairs threshold join over an arbitrary embedding set
+    * (O(n²): only for bounded inputs / oracles). */
+  def thresholdJoinOn(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
       Vectors.normCol(col("embedding")).as("an"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
       Vectors.normCol(col("embedding")).as("bn"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .withColumn("cosine",
         Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
-      .filter(col("cosine") >= 0.3)
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** X3 scale path for THRESHOLD similarity (the shape LSH/IVF didn't
+    * cover): signed-random-projection LSH over the FULL embedding
+    * table — band the SRP signature, equi-join band buckets, verify
+    * only candidates with exact cosine. No cross product anywhere.
+    *
+    * Scaling honesty: SRP-LSH cost is ~n^(1+ρ), ρ =
+    * ln(1/p₁)/ln(1/p₂) with p = 1 − arccos(cos θ)/π per bit. At true
+    * near-dup thresholds (cos ≥ 0.8 ⇒ p₁ ≈ 0.80 vs background
+    * p₂ = 0.5) ρ ≈ 0.33 — strongly sub-quadratic. The demo threshold
+    * 0.4 is deliberately near the hard end (ρ ≈ 0.66): band width 8 /
+    * 64 bands keeps recall ≈ 0.8 at the boundary (≈ 0.95 by 0.5)
+    * while candidate volume stays ≈ 2^-8-per-band on the random mass.
+    * Recall vs the exact form is asserted in ScalaTest; rows-only
+    * check here (SRP internals aren't SQL-expressible). */
+  def thresholdLsh(s: SparkSession, d: String): DataFrame =
+    thresholdLshOn(Tables.embeddings(s, d), 0.4)
+
+  /** Core of [[thresholdLsh]], parameterized for tests and reuse. */
+  def thresholdLshOn(emb: DataFrame, threshold: Double,
+      bitsPerBand: Int = 8, nBands: Int = 64, seed: Long = 42L): DataFrame = {
+    val s = emb.sparkSession
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Vectors.normCol(col("embedding")).as("nrm"))
+    val bands = e.select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.srpBands(s, col("embedding"),
+        bitsPerBand, nBands, seed)).as(Seq("band", "bucket")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .withColumn("cosine",
+        Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
+      .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -178,6 +227,8 @@ object SimilarityOps {
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_threshold_join" -> thresholdJoin,
+    "sim_threshold_lsh" -> thresholdLsh, // no oracle: SRP internals
+
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
   )

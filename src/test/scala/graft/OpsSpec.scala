@@ -26,6 +26,77 @@ class OpsSpec extends AnyFunSuite {
       s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("LSH bucket cap: mass-duplicate corpus cannot go quadratic") {
+    import spark.implicits._
+    // 5000 byte-identical docs land in ONE bucket per band; uncapped,
+    // that is 12.5M candidate pairs. The cap truncates each bucket to
+    // the 256 smallest doc_ids and reports dropped membership via the
+    // graft_lsh_bucket_overflow observed metric.
+    @volatile var observedDropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft_lsh_bucket_overflow")
+          .foreach(r => observedDropped = r.getAs[Long]("dropped"))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val boiler = (0L until 5000L).map(i => (i, "the same boilerplate text " * 8))
+      val unique = (5000L until 5010L).map(i =>
+        (i, s"u$i-" * 16)) // mutually dissimilar shingle sets
+      val docs = (boiler ++ unique).toDF("doc_id", "text")
+      val pairs = ops.DedupOps.minhashLshOn(docs)
+      val n = pairs.count()
+      // truncated bucket: at most C(256,2) pairs from the boilerplate
+      assert(n <= 256L * 255 / 2, s"quadratic blowup: $n pairs")
+      assert(n > 0, "capped bucket must still yield in-cap dup pairs")
+      // (5000-256) dropped rows in each of the 8 bands
+      val deadline = System.currentTimeMillis() + 15000
+      while (observedDropped < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(observedDropped === (5000L - 256) * 8)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("SimHash block buckets find exactly the brute-force pairs") {
+    // pigeonhole guarantee: bucketed candidate generation at
+    // maxHamming=3 with 4 blocks is EXACT, not probabilistic
+    val docs = Tables.documents(spark, sf)
+    val bucketed = ops.DedupOps.simhashNearDupOn(docs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash(spark, split(col("text"), " ")).as("sh"))
+    val brute = sk.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+      .join(broadcast(sk.select(col("doc_id").as("b_id"), col("sh").as("sb"))),
+        col("a_id") < col("b_id"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    assert(bucketed === brute,
+      s"missed=${brute -- bucketed} spurious=${bucketed -- brute}")
+  }
+
+  test("SRP threshold-LSH: high recall vs exact, zero false positives") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ops.SimilarityOps.thresholdJoinOn(emb, 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.SimilarityOps.thresholdLshOn(emb, 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain pairs above threshold")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // measured 0.848 at the 0.4 boundary with 8-bit × 64 bands
+    assert(recall >= 0.75, s"SRP recall $recall too low")
+    // verification is exact cosine: every emitted pair is a true pair
+    assert((lsh -- exact).isEmpty, s"spurious=${lsh -- exact}")
+  }
+
   test("IVF probe achieves high recall vs exact top-k") {
     val exact = ops.SimilarityOps.cosineTopK(spark, sf)
       .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
