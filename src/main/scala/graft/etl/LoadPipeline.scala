@@ -86,7 +86,8 @@ object LoadPipeline {
     */
   def runCatalog(spark: SparkSession, inputDir: String,
       manifestPath: String, outPath: String,
-      tolerance: Long = Quality.defaultTolerance): Seq[String] = {
+      tolerance: Long = Quality.defaultTolerance,
+      alertSink: AlertSink = AlertSink.Stderr): Seq[String] = {
     import spark.implicits._
     var manifest = Manifest.load(spark, manifestPath)
     val all = listDataFiles(spark, inputDir).map(_.split("/").last)
@@ -124,12 +125,13 @@ object LoadPipeline {
         } else result.loaded
       Publish.publishPartitioned(toPublish, outPath)
       // A4/S12: reconcile counts with the requested tolerance; alerts
-      // go to stderr (the reference's Slack channel analog) and an
-      // unreconciled state's files are NOT marked Loaded (load.ts
-      // aborts before the swap/markLoaded on a failed check).
-      val report = result.report
+      // go to the pluggable sink directly AND are published as an
+      // observed metric (any registered AlertListener also delivers
+      // them), and an unreconciled state's files are NOT marked Loaded
+      // (load.ts aborts before the swap/markLoaded on a failed check).
+      val report = Alerts.observed(result.report)
       val alerts = Quality.alerts(report)
-      alerts.foreach(System.err.println)
+      alerts.foreach(alertSink.send)
       val badStates = report.filter(!col("reconciled"))
         .select(col("state")).collect().map(_.getString(0)).toSet
       todo.filterNot(f => badStates.contains(f.split("--")(1)))

@@ -26,16 +26,24 @@ object Analytics {
       .orderBy(col("user_id"))
 
   /** Cohort retention: users grouped by first-seen week; how many
-    * distinct later weeks each cohort stays active. */
+    * distinct later weeks each cohort stays active.
+    *
+    * Everything after the first shuffle runs at the distinct
+    * (user, week) grain, not the event grain: both countDistincts are
+    * insensitive to duplicate user-weeks, and Spark plans a double
+    * countDistinct as an Expand (×2 row multiplier) — paying that over
+    * user-weeks instead of raw events is the difference between
+    * shuffling the activity matrix and re-shuffling the corpus. */
   def cohortRetention(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val userWeeks = Tables.events(s, d)
       .select(col("user_id"),
         weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
-    val firstWeek = ev.groupBy(col("user_id"))
+      .distinct()
+    val firstWeek = userWeeks.groupBy(col("user_id"))
       .agg(min(struct(col("yr"), col("wk"))).as("first"))
       .select(col("user_id"), col("first.yr").as("cohort_yr"),
         col("first.wk").as("cohort_wk"))
-    ev.join(firstWeek, Seq("user_id"))
+    userWeeks.join(firstWeek, Seq("user_id"))
       .groupBy(col("cohort_yr"), col("cohort_wk"))
       .agg(countDistinct(col("user_id")).as("cohort_users"),
         countDistinct(col("yr"), col("wk")).as("active_weeks"))
