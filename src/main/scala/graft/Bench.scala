@@ -14,11 +14,14 @@ object Bench {
     // so the first timed query doesn't absorb ~8 s of JVM warm-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // The streaming engine (state stores, offset log, sinks) has its
-    // own one-time class-load/init cost (~4-5 s); warm it on the
-    // smallest SF too, so measured streaming queries reflect
-    // steady-state micro-batch cost rather than first-ever-query cost.
-    try SparkEntry.queries("stream_stateful_totals")(
-      spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+    // own one-time class-load/init cost (~4-5 s); warm it on the same
+    // smallest-SF dir entry() reads, so measured streaming queries
+    // reflect steady-state micro-batch cost rather than
+    // first-ever-query cost. (If that dir is absent the entry warm-up
+    // already failed the same way; both are best-effort by design.)
+    val warmSf = "/root/testdata/sf0.001"
+    try SparkEntry.queries("stream_stateful_totals")(spark, warmSf).count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

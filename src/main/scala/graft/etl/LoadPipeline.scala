@@ -129,11 +129,13 @@ object LoadPipeline {
       // observed metric (any registered AlertListener also delivers
       // them), and an unreconciled state's files are NOT marked Loaded
       // (load.ts aborts before the swap/markLoaded on a failed check).
-      val report = Alerts.observed(result.report)
-      val alerts = Quality.alerts(report)
-      alerts.foreach(alertSink.send)
-      val badStates = report.filter(!col("reconciled"))
-        .select(col("state")).collect().map(_.getString(0)).toSet
+      // ONE action over the observed frame — a second collect would
+      // fire the observed metric again and make a registered
+      // AlertListener deliver every alert twice
+      val unreconciled = Alerts.observed(result.report)
+        .filter(!col("reconciled")).orderBy(col("state")).collect()
+      Quality.alertMessages(unreconciled).foreach(alertSink.send)
+      val badStates = unreconciled.map(_.getAs[String]("state")).toSet
       todo.filterNot(f => badStates.contains(f.split("--")(1)))
         .foreach(f => manifest = Manifest.markLoaded(manifest, f))
     }
@@ -143,12 +145,18 @@ object LoadPipeline {
 
   /** S4/P5/O1: discover `.tab` files, skip DEMOGRAPHIC, numeric sort
     * by the `NN--` prefix. Driver-side listing — the work list is
-    * file-count-sized, not data-sized. */
+    * file-count-sized, not data-sized. Listed through the path's
+    * Hadoop filesystem, NOT java.io.File: a local-only listing is
+    * silently empty on hdfs://s3a:// input dirs, which would make
+    * runCatalog "succeed" having loaded nothing (the same failure
+    * class as the Manifest.load fix). */
   def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    val names = Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .filter(n => n.contains(".tab") && !n.contains("DEMOGRAPHIC"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val names =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+        .filter(n => n.contains(".tab") && !n.contains("DEMOGRAPHIC"))
     names.sortBy(n => n.split("--")(0).toInt).map(n => s"$dir/$n").toSeq
   }
 }

@@ -84,8 +84,16 @@ object Publish {
       .write.mode("overwrite").partitionBy("state").parquet(tmp.toString)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(old, true) // clear leftovers from a previous crash
-    fs.rename(live, old)
-    fs.rename(tmp, live)
+    // Hadoop rename reports most failures by RETURNING FALSE, not
+    // throwing; proceeding past a false (e.g. rename-into-existing
+    // nests the source INSIDE the target on HDFS) silently duplicates
+    // or strands the table, so every step is checked.
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: rename $live -> $old failed")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore the live table before giving up
+      throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+    }
     fs.delete(old, true)
   }
 }

@@ -72,13 +72,18 @@ object Quality {
     * transport is an ops concern; the message contract is engine
     * logic and is what gets tested. */
   def alerts(report: DataFrame): Seq[String] =
-    report.filter(!col("reconciled"))
-      .orderBy(col("state"))
-      .collect()
-      .map { r =>
-        val st = r.getAs[String]("state")
-        val loaded = r.getAs[Long]("rows_loaded")
-        val expected = r.getAs[Long]("expected_lines")
-        s"Error: state $st loaded $loaded rows, expected $expected"
-      }.toSeq
+    alertMessages(report.filter(!col("reconciled"))
+      .orderBy(col("state")).collect())
+
+  /** Message contract over already-collected unreconciled rows —
+    * callers that also need the rows (e.g. runCatalog's badStates)
+    * collect ONCE and reuse, so an `Alerts.observed` frame fires its
+    * metric (and any registered listener) once, not per action. */
+  def alertMessages(unreconciled: Array[org.apache.spark.sql.Row]): Seq[String] =
+    unreconciled.map { r =>
+      val st = r.getAs[String]("state")
+      val loaded = r.getAs[Long]("rows_loaded")
+      val expected = r.getAs[Long]("expected_lines")
+      s"Error: state $st loaded $loaded rows, expected $expected"
+    }.toSeq
 }

@@ -186,11 +186,14 @@ object DedupOps {
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0, s"block count $nBlocks must divide 64")
     val width = 64 / nBlocks
+    // width=64 (maxHamming=0): (1L << 64) wraps to 1 in Java, so the
+    // mask expression would be 0 and every key would collide into one
+    // all-pairs bucket — use the full mask explicitly
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val t = docs.select(col("doc_id"),
       graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
     val blockCols = (0 until nBlocks).map(i =>
-      shiftrightunsigned(col("sh"), i * width)
-        .bitwiseAND(lit((1L << width) - 1)))
+      shiftrightunsigned(col("sh"), i * width).bitwiseAND(lit(mask)))
     val blocks = t.select(col("doc_id"), col("sh"),
       posexplode(array(blockCols: _*)).as(Seq("blk", "key")))
     blocks.as("x").join(blocks.as("y"),

@@ -46,7 +46,6 @@ object StreamingLoad {
   def start(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String, header: Seq[String]) = {
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
-    val headerLine = header.mkString("\t")
     val lines = spark.readStream
       .option("pathGlobFilter", "*.tab")
       .option("maxFileAge", "36500d") // never age out a backfill
@@ -58,48 +57,71 @@ object StreamingLoad {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, schema, headerLine, outPath)
+        ingestBatch(batch, schema, outPath)
         ()
       }
       .start()
   }
 
   /** One micro-batch: verify headers, parse strictly, run the shared
-    * batch transform, dedup across batches, append-publish. */
-  private[streaming] def ingestBatch(batch: DataFrame, schema: StructType,
-      headerLine: String, outPath: String): Unit = {
-    if (batch.isEmpty) return
-    // enforceSchema=false analog: every file must contain exactly one
-    // line equal to the expected header (its first). 0 ⇒ wrong header
-    // (column names/order mismatch would silently misassign columns);
-    // >1 ⇒ a data row collides with the header text — refuse both.
-    val badFiles = batch
-      .groupBy(col("__file"))
-      .agg(sum(when(col("value") === headerLine, 1).otherwise(0)).as("n_header"))
-      .filter(col("n_header") =!= 1)
-      .select(col("__file")).collect().map(_.getString(0))
-    if (badFiles.nonEmpty)
-      throw new IllegalStateException(
-        s"header mismatch in data file(s): ${badFiles.mkString(", ")}")
+    * batch transform, dedup across batches, append-publish. The batch
+    * lines are persisted for the duration — foreachBatch frames
+    * re-read their source files on EVERY action, and this method runs
+    * three (file list, header-collision check, publish). */
+  private[graft] def ingestBatch(batch0: DataFrame, schema: StructType,
+      outPath: String): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val files = batch.select(col("__file")).distinct()
+        .collect().map(_.getString(0)).sorted
+      if (files.isEmpty) return
+      // enforceSchema=false analog, per file: the FIRST line must carry
+      // exactly the expected (trimmed, F3) column names — counting
+      // header-shaped lines anywhere in the file would let a headerless
+      // file with one header-identical data row slip through. One-line
+      // driver read per file, like the batch reader's header peek.
+      val rawHeaders = files.map(f => f -> spark.read.textFile(f).first())
+      val expected = schema.fieldNames.toSeq
+      val bad = rawHeaders.collect {
+        case (f, line) if !line.split('\t').map(_.trim).toSeq.equals(expected) => f
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"header mismatch in data file(s): ${bad.mkString(", ")}")
+      // the parse below drops each file's raw header line by equality;
+      // a DATA row equal to it would be silently swallowed — refuse
+      // the file instead (exactly one header-shaped line allowed)
+      val hdrDf = broadcast(rawHeaders.toSeq.toDF("__file", "__hdr"))
+      val collided = batch.join(hdrDf, Seq("__file"))
+        .filter(col("value") === col("__hdr"))
+        .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 1)
+        .select(col("__file")).collect().map(_.getString(0))
+      if (collided.nonEmpty)
+        throw new IllegalStateException(
+          s"data row collides with header text in: ${collided.mkString(", ")}")
 
-    val parsed = batch
-      .filter(col("value") =!= headerLine)
-      .withColumn("__p", from_csv(col("value"), schema,
-        Map("sep" -> "\t", "mode" -> "FAILFAST", "nullValue" -> "")))
-      .select(col("__file") +: schema.fieldNames.map(f => col(s"__p.$f")): _*)
-    val withMeta = Ingest.withFileMetaFrom(parsed, col("__file")).drop("__file")
+      val parsed = batch.join(hdrDf, Seq("__file"))
+        .filter(col("value") =!= col("__hdr"))
+        .withColumn("__p", from_csv(col("value"), schema,
+          Map("sep" -> "\t", "mode" -> "FAILFAST", "nullValue" -> "")))
+        .select(col("__file") +: schema.fieldNames.map(f => col(s"__p.$f")): _*)
+      val withMeta = Ingest.withFileMetaFrom(parsed, col("__file")).drop("__file")
 
-    val deduped = LoadPipeline.dedupeFirstWins(LoadPipeline.derive(withMeta))
-    // cross-batch dedup against everything already published
-    val fresh =
-      if (Publish.pathExists(batch.sparkSession, outPath)) {
-        val existing = batch.sparkSession.read.parquet(outPath)
-          .select(col("LALVOTERID")).localCheckpoint(true)
-        Dedup.againstExisting(deduped, existing, "LALVOTERID")
-      } else deduped
-    // append, not partition-overwrite: a later batch's file for an
-    // already-published state must add to it
-    Publish.appendPartitioned(
-      Normalize.widen(fresh, passthrough = LoadPipeline.meta), outPath)
+      val deduped = LoadPipeline.dedupeFirstWins(LoadPipeline.derive(withMeta))
+      // cross-batch dedup against everything already published
+      val fresh =
+        if (Publish.pathExists(spark, outPath)) {
+          val existing = spark.read.parquet(outPath)
+            .select(col("LALVOTERID")).localCheckpoint(true)
+          Dedup.againstExisting(deduped, existing, "LALVOTERID")
+        } else deduped
+      // append, not partition-overwrite: a later batch's file for an
+      // already-published state must add to it
+      Publish.appendPartitioned(
+        Normalize.widen(fresh, passthrough = LoadPipeline.meta), outPath)
+    } finally batch.unpersist()
   }
 }

@@ -81,6 +81,19 @@ class OpsSpec extends AnyFunSuite {
       s"missed=${brute -- bucketed} spurious=${bucketed -- brute}")
   }
 
+  test("SimHash maxHamming=0 (identical sketches) stays bucketed, not all-pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here"), (4L, "yet another unrelated doc"))
+      .toDF("doc_id", "text")
+    val pairs = ops.DedupOps.simhashNearDupOn(docs, maxHamming = 0)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the identical pair; a zero mask bug would emit all 6 pairs
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("SRP threshold-LSH: high recall vs exact, zero false positives") {
     val emb = Tables.embeddings(spark, sf)
     val exact = ops.SimilarityOps.thresholdJoinOn(emb, 0.4)

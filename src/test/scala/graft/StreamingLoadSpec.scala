@@ -19,6 +19,29 @@ class StreamingLoadSpec extends AnyFunSuite {
       (header.mkString("\t") +: rows).mkString("", "\n", "\n"))
   }
 
+  test("ingestBatch refuses a data row that collides with the header text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hdr-collide")
+    val f = dir.resolve("01--AK--VM2Uniform--2024-01-01.tab").toString
+    val headerLine = header.mkString("\t")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      Seq(headerLine,
+        "LALAK1\tANNA\tF\t01/15/2010\t61.2\t-149.9\tANCHORAGE",
+        headerLine // a data row identical to the header: ambiguous, refuse
+      ).mkString("", "\n", "\n"))
+    val schema = org.apache.spark.sql.types.StructType(header.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val batch = spark.read.textFile(f).toDF("value")
+      .withColumn("__file", lit(f))
+    val out = java.nio.file.Files.createTempDirectory("hdr-collide-out")
+      .resolve("pub").toString
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamingLoad.ingestBatch(batch, schema, out)
+    }
+    assert(ex.getMessage.contains("collides"))
+  }
+
   test("continuous ingest: files land incrementally, dedup spans batches") {
     val in = java.nio.file.Files.createTempDirectory("stream-in")
     val out = java.nio.file.Files.createTempDirectory("stream-out")
