@@ -208,12 +208,80 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over an undirected candidate-pair graph —
+    * the last stage of a real dedup pipeline: pairwise near-dup
+    * verdicts (LSH/SimHash/Jaccard) become duplicate CLUSTERS, each
+    * labeled by its minimum doc_id, so "keep one per cluster" is a
+    * simple `doc_id === cluster_id` filter even when similarity is
+    * only transitive (A~B, B~C, A≁C).
+    *
+    * Algorithm: min-label propagation. Each round every vertex takes
+    * the min label over itself and its neighbors — one equi-join
+    * (messages) + one groupBy-min (combine), both shuffling only the
+    * vertex/edge frames (candidate-pair-sized, NOT corpus-sized;
+    * map-side combine applies to the min). Converges in O(diameter)
+    * rounds; near-dup graphs are star-like (diameter ≲ 5) because
+    * every member of a cluster pairs with most others, so the bound
+    * is tight in practice and `maxIter` is a safety rail, not a
+    * tuning knob. Lineage is cut with an eager localCheckpoint per
+    * round — iterative self-joins otherwise stack plans until
+    * analysis itself dominates.
+    *
+    * Determinism: labels only ever decrease and the fixpoint (min id
+    * reachable) is unique, so output is engine-independent — the
+    * oracle is a DuckDB recursive CTE over the same pair list. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = msgs.union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // labels are monotone non-increasing, so "different" = "smaller";
+      // one count over a node-sized join decides convergence
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter — raise it)")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Duplicate clustering end-to-end: the exact-Jaccard near-dup
+    * pairs (the SQL-expressible graph) → connected components →
+    * (doc_id, cluster_id, cluster_size). In the full-scale pipeline
+    * the SAME operator consumes `minhashLsh` output instead. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_first_wins" -> firstWins,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
+    "dedup_clusters" -> clusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +311,30 @@ object DedupOps {
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |    >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // same near-dup pair graph, clustered by a recursive CTE: walk
+    // labels along (symmetric) edges, min reachable id = cluster id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) a
+         |  JOIN (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) b
+         |    ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |         FROM walk GROUP BY id)
+         |SELECT c.doc_id, c.cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+         |    AS cluster_size
+         |FROM comp c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -94,6 +94,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("connectedComponents: transitive chains cluster, min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 only transitively), isolated pair 10-11, and a
+    // 9-edge path 20..29 that needs several propagation rounds
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val got = ops.DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((20L to 29L).forall(got(_) == 20L))
+    assert(got.size == 15) // only vertices that appear in some pair
+  }
+
+  test("connectedComponents: maxIter too small for the diameter throws") {
+    import spark.implicits._
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      ops.DedupOps.connectedComponents(path, maxIter = 2).collect()
+    }
+  }
+
   test("SRP threshold-LSH: high recall vs exact, zero false positives") {
     val emb = Tables.embeddings(spark, sf)
     val exact = ops.SimilarityOps.thresholdJoinOn(emb, 0.4)
