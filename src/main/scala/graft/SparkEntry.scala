@@ -34,6 +34,7 @@ object SparkEntry {
     "stream_hourly_rollup" -> (streaming.StreamingSessions.hourlyCounts _),
     "stream_sessionize" -> (streaming.StreamingSessions.sessionCounts _),
     "stream_stateful_totals" -> (streaming.StatefulOps.userTotals _),
+    "stream_dedup_users" -> (streaming.StreamingSessions.distinctUsers _),
   )
   private val streamingOracles: Map[String, String] = Map(
     "stream_hourly_rollup" ->
@@ -44,6 +45,11 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // streaming dropDuplicates state = batch DISTINCT key set; which
+    // physical row survives differs by arrival order, the COUNT cannot
+    "stream_dedup_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

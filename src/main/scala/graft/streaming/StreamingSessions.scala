@@ -62,6 +62,34 @@ object StreamingSessions {
         col("event_type"), col("n"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Streaming deduplication: stateful `dropDuplicates` on
+    * (user_id, event_type) over the event stream — each key's FIRST
+    * arrival passes, every later duplicate is dropped at the operator,
+    * so downstream (here: distinct-users-per-type counts, batch-side
+    * over the append sink) never sees duplicate traffic. This is the
+    * streaming twin of the batch distinct/first-wins family: the batch
+    * engine dedups with a corpus-wide shuffle, the stream holds one
+    * state entry per key and dedups continuously.
+    *
+    * State discipline at scale: exact global dedup needs a state entry
+    * per live key FOREVER, by definition (same information a batch
+    * distinct shuffles). When duplicates are temporally local (the
+    * at-least-once-redelivery case), `dropDuplicatesWithinWatermark`
+    * bounds state by evicting keys older than the watermark — that
+    * variant is exercised in `StreamingDedupSpec`, where redeliveries
+    * land inside the delay. Output counts only (not the retained
+    * rows): WHICH duplicate survives is arrival-order-dependent, the
+    * key set is not — counts are engine-independent and oracle-able. */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      "stream_dedup", mode = "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+
   /** Drive a streaming aggregation over the (finite) source to
     * completion into a memory sink; return the sink table.
     *
@@ -71,13 +99,13 @@ object StreamingSessions {
     * partition count is sized to state volume, not down.) The
     * session's setting is restored after the query starts — the value
     * is captured at query start. */
-  private[streaming] def runToCompletion(spark: SparkSession, agg: DataFrame,
-      name: String): DataFrame = {
+  private[graft] def runToCompletion(spark: SparkSession, agg: DataFrame,
+      name: String, mode: String = "complete"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {
       agg.writeStream
-        .outputMode("complete")
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -66,6 +66,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stream.toSet === batch.toSet)
   }
 
+  test("streaming dedup distinct-user counts match batch COUNT(DISTINCT)") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = streaming.StreamingSessions.distinctUsers(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark: redelivery inside the delay is dropped") {
+    // at-least-once redelivery: same event_id lands twice, minutes
+    // apart — the watermark-bounded dedup variant must emit it ONCE
+    // while holding state only for the 10-minute delay, not forever
+    val dir = java.nio.file.Files.createTempDirectory("wmdedup")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:01:00"),
+      (1L, "2024-01-01 00:03:00"), // redelivered inside the delay
+      (3L, "2024-01-01 01:00:00")) // advances the watermark past key 1
+    rows.toDF("event_id", "ts_s")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(dir.toString)
+    val out = streaming.StreamingSessions.runToCompletion(spark,
+      spark.readStream.schema(schema).parquet(dir.toString)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "wm_dedup_test", mode = "append")
+    assert(out.select($"event_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("streaming session counts match batch gap sessionization") {
     val sf = "/root/testdata/sf0.001"
     val stream = streaming.StreamingSessions.sessionCounts(spark, sf)
