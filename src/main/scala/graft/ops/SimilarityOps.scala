@@ -195,31 +195,80 @@ object SimilarityOps {
     * The query grades the quantization pipeline end-to-end: top-1
     * neighbor per query under quantized scores, which the oracle
     * reproduces with identical integer arithmetic. */
+  /** Per-vector symmetric int8 quantization: scale to [-127,127]. */
+  private def quantize(v: org.apache.spark.sql.Column) = {
+    val vd = Vectors.toDouble(v)
+    val maxAbs = array_max(transform(vd, x => abs(x)))
+    transform(vd, x => round(x * 127.0 / maxAbs).cast("long"))
+  }
+  /** Integer dot product / squared norm — exact, engine-independent. */
+  private def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  private def inorm(a: org.apache.spark.sql.Column) =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  /** Quantized cosine: exact integer dot/norms, ONE final double
+    * expression rounded to 6 dp (the engine-parity discipline). */
+  private def qcosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(idot(a, b).cast("double") /
+      (sqrt(inorm(a).cast("double")) * sqrt(inorm(b).cast("double"))), 6)
+
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    def quantize(v: org.apache.spark.sql.Column) = {
-      val vd = Vectors.toDouble(v)
-      val maxAbs = array_max(transform(vd, x => abs(x)))
-      transform(vd, x => round(x * 127.0 / maxAbs).cast("long"))
-    }
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
     val v = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("vq"))
-    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    def inorm(a: org.apache.spark.sql.Column) =
-      aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
     v.crossJoin(broadcast(q))
-      // integer dot and norms are EXACT; one final double expression
-      .withColumn("qcos", round(idot(col("qq"), col("vq")).cast("double") /
-        (sqrt(inorm(col("qq")).cast("double")) * sqrt(inorm(col("vq")).cast("double"))), 6))
+      .withColumn("qcos", qcosine(col("qq"), col("vq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("qcos"))
       .orderBy(col("query_id"))
+  }
+
+  /** IVF pruning × int8 quantized scoring — the two scale levers
+    * COMPOSED, the full production read path for a 100 TB embedding
+    * corpus: the index prunes which partitions are read (2 of 16
+    * clusters per query), quantization shrinks what each partition
+    * holds and scores (4× vs float32, integer arithmetic). Assignment
+    * and probe selection run on float centroids (the index is built
+    * once at full precision); candidate scoring is fully quantized.
+    * Every stage is deterministic (round-6 float assignment, exact
+    * integer scoring), so unlike `ivfProbe` this composition IS
+    * SQL-expressible and oracle-graded end to end. */
+  def ivfQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"),
+        col("centroid_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", Vectors.cosine6(col("qe"), col("ce")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("query_id"), quantize(col("qe")).as("qq"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", qcosine(col("qq"), col("vq")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qcos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,6 +280,7 @@ object SimilarityOps {
 
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
+    "sim_ivf_quantized" -> ivfQuantized,
   )
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
@@ -300,5 +350,38 @@ object SimilarityOps {
          |  FROM scored)
          |SELECT centroid_id, COUNT(*) AS n_members FROM best
          |WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "sim_ivf_quantized" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |  FROM embeddings),
+         |mx AS (SELECT vec_id, ed,
+         |  list_max(list_transform(ed, y -> abs(y))) AS m FROM ed),
+         |qz AS (SELECT vec_id,
+         |  list_transform(ed, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS z
+         |  FROM mx),
+         |assigned AS (SELECT e.vec_id, c.centroid_id, row_number() OVER (
+         |  PARTITION BY e.vec_id ORDER BY
+         |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+         |  FROM embeddings e CROSS JOIN c),
+         |a1 AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+         |probes AS (SELECT e.vec_id AS query_id, c.centroid_id,
+         |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id) AS prn
+         |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+         |p2 AS (SELECT query_id, centroid_id FROM probes WHERE prn <= 2),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  round(list_dot_product(zq.z, zv.z) /
+         |    (sqrt(list_dot_product(zq.z, zq.z)) *
+         |     sqrt(list_dot_product(zv.z, zv.z))), 6) AS qcos
+         |  FROM p2 p JOIN a1 a ON a.centroid_id = p.centroid_id
+         |  JOIN qz zq ON zq.vec_id = p.query_id
+         |  JOIN qz zv ON zv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, qcos, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -143,6 +143,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (2/16 clusters probed)")
   }
 
+  test("IVF+quantized search keeps high recall vs exact float top-k") {
+    // both approximations stacked (cluster pruning + int8 scores):
+    // the top-3 under quantized-pruned search should still mostly be
+    // real top-5 neighbors under the exact float scan
+    val exact = ops.SimilarityOps.cosineTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = ops.SimilarityOps.ivfQuantized(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.count(exact.contains).toDouble / approx.size
+    assert(recall >= 0.5, s"recall $recall (approx=${approx.size})")
+  }
+
   test("multimodal: mapPartitions decode equals expression decode") {
     val a = ops.MultimodalOps.decodeFeatures(spark, sf).collect().toSeq
     val b = ops.MultimodalOps.decodeMapPartitions(spark, sf).collect().toSeq
