@@ -174,6 +174,19 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Stratified variant of [[systematicSample]]: per-stratum rates —
+    * the corpus-rebalancing shape (downsample the dominant language
+    * hard, keep the rest), the first step of most LLM data mixes.
+    * Same md5-prefix mechanism, so the selected set is a pure function
+    * of the data and the oracle reproduces it row-for-row: en is kept
+    * at 32/256 ≈ 12.5%, every other language at 128/256 = 50%. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+        when(col("lang") === "en", lit("20")).otherwise(lit("80")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Window frames: per-customer running revenue ordered by date —
     * the frame-spec window surface (extension beyond reference W1). */
   def runningTotal(s: SparkSession, d: String): DataFrame = {
@@ -271,6 +284,7 @@ object Relational {
     "filter_point_lookup" -> pointLookup,
     "setop_union_except" -> setOps,
     "sample_systematic" -> systematicSample,
+    "sample_stratified" -> stratifiedSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,5 +407,10 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
         |ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  (CASE WHEN lang = 'en' THEN '20' ELSE '80' END)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

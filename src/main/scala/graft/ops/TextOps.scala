@@ -88,14 +88,14 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
-  /** Language-ID confusion matrix: labeled lang × heuristic guess.
+  /** Adds a `guess` column with the heuristic language verdict.
     * Scores are materialized ONCE as columns before the argmax — the
     * naive nested-CASE form recomputes every `contains` per branch
     * (O(langs²·markers) scans per row: measured 13 s vs <1 s at
     * sf0.1). */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
-      case (df, (l, _)) => df.withColumn(s"s_$l", langScore("text", l))
+  def withLangGuess(df: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(df) {
+      case (acc, (l, _)) => acc.withColumn(s"s_$l", langScore("text", l))
     }
     val guess = langMarkers.foldRight(lit("und")) { case ((l, _), rest) =>
       val s = col(s"s_$l")
@@ -104,12 +104,16 @@ object TextOps {
         .foldLeft(s > 0)(_ && _)
       when(geAll, lit(l)).otherwise(rest)
     }
-    scored
-      .withColumn("guess", guess)
+    scored.withColumn("guess", guess)
+      .drop(langMarkers.map { case (l, _) => s"s_$l" }: _*)
+  }
+
+  /** Language-ID confusion matrix: labeled lang × heuristic guess. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    withLangGuess(Tables.documents(s, d))
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("guess"))
-  }
 
   /** Quality score: bounded blend of length and stopword signals, the
     * standard cheap pre-filter for LLM corpus cleaning. Arithmetic is
@@ -153,6 +157,70 @@ object TextOps {
         max(col("bpe_tokens")).as("max_bpe_tokens"))
       .orderBy(col("lang"))
 
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the batching step that turns a cleaned corpus into training
+    * sequences. Docs fill bins in doc_id order within each `source`
+    * shard; a doc goes to the bin its EXCLUSIVE token prefix lands in
+    * (floor(prefix/budget)), the streaming-packing approximation that
+    * needs only a running sum — no sequential bin state. One window
+    * shuffle partitioned by shard: per-shard packing is inherently
+    * order-sequential, and shard count (files) is what scales, not
+    * per-shard size. */
+  def packSequences(s: SparkSession, d: String, budget: Int = 2048): DataFrame =
+    packSequencesOn(Tables.documents(s, d), budget)
+
+  /** Core of [[packSequences]], parameterized for tests and reuse. */
+  def packSequencesOn(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")).cast("double")
+        / budget.toDouble).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs, in ONE pass: language filter (keep docs
+    * the heuristic can identify) → quality filter (score ≥ 0.3) →
+    * exact dedup (first doc_id per normalized fingerprint survives).
+    * Emits the funnel: how many docs (and tokens) each stage dropped
+    * and what survived. Single scan + one window shuffle + one agg;
+    * the dedup window partitions by (fingerprint, passed-filters) so
+    * filtered-out docs never consume a duplicate slot. */
+  def corpusClean(s: SparkSession, d: String): DataFrame =
+    corpusCleanOn(Tables.documents(s, d))
+
+  /** Core of [[corpusClean]], parameterized for tests and reuse. */
+  def corpusCleanOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"), col("pass_q")).orderBy(col("doc_id"))
+    withLangGuess(docs)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_the",
+        regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
+      .withColumn("q",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.6 +
+          least(col("n_the") / 10.0, lit(1.0)) * 0.4)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("pass_lang", col("guess") =!= "und")
+      .withColumn("pass_q", col("pass_lang") && col("q") >= 0.3)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("stage",
+        when(!col("pass_lang"), "dropped_lang")
+          .when(!col("pass_q"), "dropped_quality")
+          .when(col("rn") > 1, "dropped_dup")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_bpe" -> tokenCounts,
     "text_stats" -> textStats,
@@ -160,6 +228,8 @@ object TextOps {
     "text_lang_id" -> langId,
     "text_quality_score" -> qualityScore,
     "text_fingerprint" -> fingerprint,
+    "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "corpus_clean" -> corpusClean,
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +263,33 @@ object TextOps {
       """SELECT source, COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct,
         |  COUNT(*) AS n_docs, MIN(md5(lower(trim(text)))) AS min_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_pack_sequences" ->
+      """SELECT source, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0)
+        |    AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents) t
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  (${langGuessSql("text")} <> 'und') AS pass_lang,
+         |  (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.6
+         |   + least(CAST(len(regexp_extract_all(text, '\\b(the)\\b')) AS DOUBLE) / 10.0, 1.0) * 0.4)
+         |    AS q,
+         |  md5(lower(trim(text))) AS fp
+         |  FROM documents),
+         |t2 AS (SELECT *, (pass_lang AND q >= 0.3) AS pass_q FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY fp, pass_q
+         |  ORDER BY doc_id) AS rn FROM t2)
+         |SELECT CASE WHEN NOT pass_lang THEN 'dropped_lang'
+         |            WHEN NOT pass_q THEN 'dropped_quality'
+         |            WHEN rn > 1 THEN 'dropped_dup'
+         |            ELSE 'kept' END AS stage,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM r GROUP BY 1 ORDER BY stage""".stripMargin,
   )
 }

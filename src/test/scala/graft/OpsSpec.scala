@@ -161,6 +161,43 @@ class OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("sequence packing: exclusive-prefix bins within each shard") {
+    import spark.implicits._
+    // 4 docs of 10 tokens each in one shard, budget 25: exclusive
+    // prefixes 0/10/20/30 → bins 0,0,0,1 (third doc straddles but
+    // belongs to the bin its prefix starts in)
+    val tenTokens = Seq.fill(10)("w").mkString(" ")
+    val docs = (1L to 4L).map(i => (i, "s1", tenTokens))
+      .toDF("doc_id", "source", "text")
+    val got = ops.TextOps.packSequencesOn(docs, budget = 25)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 3L, 30L), (1L, 1L, 10L)))
+  }
+
+  test("corpus_clean: funnel stages partition the corpus") {
+    val out = ops.TextOps.corpusClean(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(out.values.sum === total, s"stages $out must sum to $total")
+    assert(out.getOrElse("kept", 0L) > 0L)
+  }
+
+  test("corpus_clean: duplicates past the filters drop all but first") {
+    import spark.implicits._
+    // 3 copies of a good English doc (passes lang + quality), 1 doc
+    // that fails the language gate: expect kept=1, dropped_dup=2,
+    // dropped_lang=1 — and a filtered-out doc never shields a dup.
+    val good = ("the quick brown fox and the lazy dog walked with " +
+      "the other animals to the river and the forest was quiet ") * 3
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, good), (4L, "zzz qqq xxx"))
+      .toDF("doc_id", "text")
+    val out = ops.TextOps.corpusCleanOn(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "kept" -> 1L, "dropped_dup" -> 2L, "dropped_lang" -> 1L))
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
