@@ -35,6 +35,7 @@ object SparkEntry {
     "stream_sessionize" -> (streaming.StreamingSessions.sessionCounts _),
     "stream_stateful_totals" -> (streaming.StatefulOps.userTotals _),
     "stream_dedup_users" -> (streaming.StreamingSessions.distinctUsers _),
+    "stream_join_attrib" -> (streaming.StreamingSessions.purchaseAttribution _),
   )
   private val streamingOracles: Map[String, String] = Map(
     "stream_hourly_rollup" ->
@@ -50,6 +51,16 @@ object SparkEntry {
     "stream_dedup_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // inner interval join emits eagerly, so the streamed pair set
+    // equals the batch join over the same bounds
+    "stream_join_attrib" ->
+      """SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT p.user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 100.0 AS sum_value
+        |FROM events p JOIN events v ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |""".stripMargin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -275,6 +275,41 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination check: what fraction of the training
+    * corpus shares a character 15-gram with a held-out probe set
+    * (eval/benchmark documents)? The standard pre-training hygiene
+    * scan, run before any eval claim. Probe set here = every 97th
+    * doc_id (a stand-in for a benchmark suite); at real scale the
+    * probe side is a fixed benchmark corpus — small and bounded —
+    * which is why its distinct shingle set is `broadcast()`: the
+    * corpus side then streams map-side through the hash join with no
+    * shuffle of the 100 TB side at all. The only wide ops are
+    * corpus-side `distinct` on (hit doc_id) — a 1-column shuffle —
+    * and the final per-source count. */
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOn(Tables.documents(s, d))
+
+  /** Core of [[contamination]], parameterized for tests and reuse. */
+  def contaminationOn(docs: DataFrame): DataFrame = {
+    val probeShingles = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(shingles(col("text"))).as("sh"))
+      .distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus
+      .select(col("doc_id").as("hit_id"),
+        explode(shingles(col("text"))).as("sh"))
+      .join(broadcast(probeShingles), Seq("sh"))
+      .select(col("hit_id")).distinct()
+    corpus.join(hits, corpus("doc_id") === hits("hit_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit_id").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_first_wins" -> firstWins,
@@ -282,6 +317,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
     "dedup_clusters" -> clusters,
+    "text_contamination" -> contamination,
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +372,23 @@ object DedupOps {
          |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
          |    AS cluster_size
          |FROM comp c ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      s"""WITH probes AS (
+         |  SELECT DISTINCT unnest(${shinglesSql.format("text", "text")}) AS sh
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, source, ${shinglesSql.format("text", "text")} AS shs
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |hits AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(shs) AS sh FROM corpus) c
+         |  JOIN probes USING (sh))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contaminated_frac
+         |FROM corpus LEFT JOIN hits h USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

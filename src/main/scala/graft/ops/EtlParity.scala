@@ -88,6 +88,38 @@ object EtlParity {
           .as("geohash"))
       .orderBy(col("c_custkey"))
 
+  /** PII redaction — the scrub step a voter-file/PII pipeline (the
+    * reference's whole domain) runs before data leaves the trust
+    * boundary, and a training-data pipeline runs before text reaches
+    * a tokenizer. Contact strings are synthesized deterministically
+    * from customer keys so every SF has hits, then redacted by three
+    * chained `regexp_replace` passes (phone → email → residual long
+    * digit runs). All regexes are RE2-safe (no backrefs/lookaround) so
+    * the DuckDB oracle runs the identical patterns. The collapse of
+    * `n_distinct_scrubbed` vs `n_distinct_raw` is the anonymization
+    * signal: every contact in a segment becomes the same masked
+    * string. Pure codegen'd projection + one aggregate — no UDFs. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val idRe = "[0-9]{4,}"
+    Tables.customer(s, d)
+      .withColumn("contact", concat(col("c_name"), format_string(
+        " ph:%03d-%04d mail:user%d@example.com",
+        col("c_custkey") % 1000, col("c_custkey") % 10000, col("c_custkey"))))
+      .withColumn("s1", regexp_replace(col("contact"), phoneRe, "[PHONE]"))
+      .withColumn("s2", regexp_replace(col("s1"), emailRe, "[EMAIL]"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), idRe, "[ID]"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(regexp_count(col("contact"), lit(phoneRe))).as("n_phones"),
+        sum(regexp_count(col("s1"), lit(emailRe))).as("n_emails"),
+        sum(regexp_count(col("s2"), lit(idRe))).as("n_ids"),
+        countDistinct(col("contact")).as("n_distinct_raw"),
+        countDistinct(col("scrubbed")).as("n_distinct_scrubbed"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
@@ -95,6 +127,7 @@ object EtlParity {
     "etl_filename_grammar" -> filenameGrammar,
     "etl_est_marker_strip" -> estMarkerStrip,
     "etl_geohash" -> geohashDerive, // no oracle: geohash not in DuckDB
+    "etl_pii_scrub" -> piiScrub,
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +170,27 @@ object EtlParity {
         |       ELSE c_name END AS city_raw
         |  FROM customer) t
         |ORDER BY c_custkey""".stripMargin,
+    "etl_pii_scrub" ->
+      """WITH raw AS (SELECT c_mktsegment,
+        |  c_name || printf(' ph:%03d-%04d mail:user%d@example.com',
+        |    c_custkey % 1000, c_custkey % 10000, c_custkey) AS contact
+        |  FROM customer),
+        |st AS (SELECT c_mktsegment, contact,
+        |  regexp_replace(contact, '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS s1
+        |  FROM raw),
+        |st2 AS (SELECT *, regexp_replace(s1,
+        |  '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g') AS s2 FROM st),
+        |st3 AS (SELECT *, regexp_replace(s2,
+        |  '[0-9]{4,}', '[ID]', 'g') AS scrubbed FROM st2)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(len(regexp_extract_all(contact, '[0-9]{3}-[0-9]{4}')))
+        |    AS BIGINT) AS n_phones,
+        |  CAST(SUM(len(regexp_extract_all(s1, '[a-z0-9]+@[a-z]+\.[a-z]+')))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(SUM(len(regexp_extract_all(s2, '[0-9]{4,}')))
+        |    AS BIGINT) AS n_ids,
+        |  COUNT(DISTINCT contact) AS n_distinct_raw,
+        |  COUNT(DISTINCT scrubbed) AS n_distinct_scrubbed
+        |FROM st3 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -157,6 +157,45 @@ object TextOps {
         max(col("bpe_tokens")).as("max_bpe_tokens"))
       .orderBy(col("lang"))
 
+  /** Repetition metrics (Gopher-style corpus quality signals):
+    * duplicate-token and duplicate-bigram fractions per source shard.
+    * Highly repetitive text (boilerplate, keyword stuffing, broken
+    * markup) is the canonical train-data removal target; the fraction
+    * of tokens/bigrams that are repeats of an earlier one is the
+    * standard cheap signal for it. All per-doc work is array math
+    * inside one codegen'd projection; the aggregate sums exact
+    * integer counts and performs ONE double division per group, so
+    * the result is bit-deterministic across engines and partition
+    * orders. Bigrams are guarded for 1-token docs (Spark's `sequence`
+    * reverses when start > stop rather than returning empty). */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOn(Tables.documents(s, d))
+
+  /** Core of [[repetition]], parameterized for tests and reuse. */
+  def repetitionOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bigrams", when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_tokens"),
+        sum(size(array_distinct(col("toks"))).cast("long"))
+          .as("sum_distinct_tokens"),
+        sum(size(col("bigrams")).cast("long")).as("sum_bigrams"),
+        sum(size(array_distinct(col("bigrams"))).cast("long"))
+          .as("sum_distinct_bigrams"))
+      .withColumn("dup_token_frac", lit(1.0) -
+        col("sum_distinct_tokens").cast("double") /
+          col("sum_tokens").cast("double"))
+      .withColumn("dup_bigram_frac", lit(1.0) -
+        col("sum_distinct_bigrams").cast("double") /
+          col("sum_bigrams").cast("double"))
+      .orderBy(col("source"))
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batching step that turns a cleaned corpus into training
     * sequences. Docs fill bins in doc_id order within each `source`
@@ -230,6 +269,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint,
     "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "corpus_clean" -> corpusClean,
+    "text_repetition" -> repetition,
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,5 +331,20 @@ object TextOps {
          |            ELSE 'kept' END AS stage,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM r GROUP BY 1 ORDER BY stage""".stripMargin,
+    "text_repetition" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct_tokens,
+        |  CAST(SUM(len(bigrams)) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(len(list_distinct(bigrams))) AS BIGINT) AS sum_distinct_bigrams,
+        |  1.0 - CAST(SUM(len(list_distinct(toks))) AS DOUBLE)
+        |      / CAST(SUM(len(toks)) AS DOUBLE) AS dup_token_frac,
+        |  1.0 - CAST(SUM(len(list_distinct(bigrams))) AS DOUBLE)
+        |      / CAST(SUM(len(bigrams)) AS DOUBLE) AS dup_bigram_frac
+        |FROM (
+        |  SELECT source, toks,
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bigrams
+        |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

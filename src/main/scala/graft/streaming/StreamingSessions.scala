@@ -90,6 +90,41 @@ object StreamingSessions {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
 
+  /** Stream-stream interval join: attribute each purchase to the
+    * views by the same user in the preceding 30 minutes — the
+    * streaming twin of the batch as-of/interval-join family and the
+    * canonical two-stream enrichment shape (clickstream ⋈ orders).
+    *
+    * Both sides carry an event-time watermark and the join predicate
+    * bounds `p_ts` to `[v_ts, v_ts + 30 min]`, which is what lets the
+    * state store EVICT: a view older than watermark − 30 min can never
+    * match a future purchase and is dropped, so state is bounded by
+    * the interval × arrival rate, not by history. Inner stream-stream
+    * joins emit eagerly (no watermark hold-back), so the finite-source
+    * memory-sink drive sees every pair. The aggregate over the sink is
+    * batch-side; sums use the integer-cents form so the oracle matches
+    * bit-for-bit. */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("v_user") === col("p_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("p_ts") <= col("v_ts") + expr("interval 30 minutes"))
+    runToCompletion(spark, joined, "stream_attrib", mode = "append")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_users"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
+  }
+
   /** Drive a streaming aggregation over the (finite) source to
     * completion into a memory sink; return the sink table.
     *

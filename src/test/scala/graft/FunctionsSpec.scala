@@ -77,6 +77,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = streaming.StreamingSessions.purchaseAttribution(spark, sf)
+      .collect().head
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+    val batch = p.join(v, $"v_user" === $"p_user" && $"v_ts" <= $"p_ts" &&
+        $"p_ts" <= $"v_ts" + expr("interval 30 minutes"))
+      .agg(count(lit(1)), countDistinct($"p_user"))
+      .collect().head
+    assert(stream.getLong(0) === batch.getLong(0), "pair counts differ")
+    assert(stream.getLong(1) === batch.getLong(1), "user counts differ")
+    assert(stream.getLong(0) > 0, "fixture should produce matches")
+  }
+
   test("dropDuplicatesWithinWatermark: redelivery inside the delay is dropped") {
     // at-least-once redelivery: same event_id lands twice, minutes
     // apart — the watermark-bounded dedup variant must emit it ONCE

@@ -198,6 +198,48 @@ class OpsSpec extends AnyFunSuite {
       "kept" -> 1L, "dropped_dup" -> 2L, "dropped_lang" -> 1L))
   }
 
+  test("repetition: duplicate token/bigram fractions on a known corpus") {
+    import spark.implicits._
+    // doc 1: 4×"a" → 4 tokens 1 distinct, 3 bigrams 1 distinct;
+    // doc 2: single token → no bigrams (the sequence-reversal guard)
+    val docs = Seq((1L, "s1", "a a a a"), (2L, "s1", "x"))
+      .toDF("doc_id", "source", "text")
+    val r = ops.TextOps.repetitionOn(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(2) === 5L && row.getLong(3) === 2L) // tokens
+    assert(row.getLong(4) === 3L && row.getLong(5) === 1L) // bigrams
+    assert(math.abs(row.getDouble(6) - 0.6) < 1e-12)
+    assert(math.abs(row.getDouble(7) - (1.0 - 1.0 / 3.0)) < 1e-12)
+  }
+
+  test("contamination: only docs sharing a probe shingle are flagged") {
+    import spark.implicits._
+    val benchmark = "the quick brown fox jumps over the lazy dog tonight"
+    val clean = "completely unrelated words about database query planning"
+    // doc 0 is the probe (0 % 97 == 0); doc 1 contains the benchmark
+    // text verbatim, doc 2 shares nothing
+    val docs = Seq(
+      (0L, "probe", benchmark),
+      (1L, "web", benchmark + " plus extra trailing context"),
+      (2L, "web", clean)).toDF("doc_id", "source", "text")
+    val out = ops.DedupOps.contaminationOn(docs).collect()
+    assert(out.length === 1 && out.head.getString(0) === "web")
+    assert(out.head.getLong(1) === 2L, "probe doc must not count itself")
+    assert(out.head.getLong(2) === 1L, "only the overlapping doc flagged")
+  }
+
+  test("pii scrub: masked contacts collapse to one string per segment") {
+    val rows = ops.EtlParity.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), "every row has a phone hit")
+      assert(r.getLong(1) === r.getLong(3), "every row has an email hit")
+      assert(r.getLong(5) === r.getLong(1), "raw contacts all distinct")
+      assert(r.getLong(6) === 1L, "scrub must collapse the segment")
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
