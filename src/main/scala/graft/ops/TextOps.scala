@@ -201,22 +201,20 @@ object TextOps {
     * sequences. Docs fill bins in doc_id order within each `source`
     * shard; a doc goes to the bin its EXCLUSIVE token prefix lands in
     * (floor(prefix/budget)), the streaming-packing approximation that
-    * needs only a running sum — no sequential bin state. One window
-    * shuffle partitioned by shard: per-shard packing is inherently
-    * order-sequential, and shard count (files) is what scales, not
-    * per-shard size. */
+    * needs only a running sum — no sequential bin state. The running
+    * sum itself goes through [[PrefixSum.runningSum]] (bucketed
+    * two-phase prefix sum) rather than a per-shard window, so no
+    * single task ever sees a whole source shard — the naive
+    * `Window.partitionBy(source)` form puts a 100 TB shard's packing
+    * on one core. */
   def packSequences(s: SparkSession, d: String, budget: Int = 2048): DataFrame =
     packSequencesOn(Tables.documents(s, d), budget)
 
   /** Core of [[packSequences]], parameterized for tests and reuse. */
   def packSequencesOn(docs: DataFrame, budget: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs
+    val counted = docs
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    PrefixSum.runningSum(counted, Seq("source"), "doc_id", "n_tokens", "cum")
       .withColumn("bin", floor((col("cum") - col("n_tokens")).cast("double")
         / budget.toDouble).cast("long"))
       .groupBy(col("source"), col("bin"))

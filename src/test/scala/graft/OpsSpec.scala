@@ -240,6 +240,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix sum: two-phase form matches the naive per-group window") {
+    import spark.implicits._
+    // 500 keys across 3 groups with bucketWidth=16 → ~31 buckets, so
+    // every phase (local window, offset window, broadcast-back) is
+    // exercised across many boundaries; values vary so a wrong offset
+    // cannot cancel out
+    val df = (1L to 500L).map(i => (i, s"s${i % 3}", (i * 7) % 13))
+      .toDF("doc_id", "source", "v")
+      .withColumn("v", col("v").cast("long"))
+    val got = ops.PrefixSum
+      .runningSum(df, Seq("source"), "doc_id", "v", "cum", bucketWidth = 16)
+      .select("doc_id", "source", "v", "cum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select("doc_id", "source", "v", "cum")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the data-bearing window must partition by (group, bucket) — not
+    // by group alone — and offsets must come back via broadcast
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("_psum_bucket"), "bucketed window missing")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), "offset join must broadcast")
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
