@@ -36,6 +36,7 @@ object SparkEntry {
     "stream_stateful_totals" -> (streaming.StatefulOps.userTotals _),
     "stream_dedup_users" -> (streaming.StreamingSessions.distinctUsers _),
     "stream_join_attrib" -> (streaming.StreamingSessions.purchaseAttribution _),
+    "stream_enrich_static" -> (streaming.StreamingSessions.enrichStatic _),
   )
   private val streamingOracles: Map[String, String] = Map(
     "stream_hourly_rollup" ->
@@ -61,6 +62,22 @@ object SparkEntry {
         |  AND p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |""".stripMargin,
+    // stream-static left join is stateless: streamed views ⋈ the
+    // batch-computed spend-tier dim = the same batch join
+    "stream_enrich_static" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CAST(round(value * 100) AS BIGINT)) >= 50000
+        |           THEN 'high'
+        |         WHEN SUM(CAST(round(value * 100) AS BIGINT)) >= 10000
+        |           THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT COALESCE(d.tier, 'none') AS tier, COUNT(*) AS n_views,
+        |  COUNT(DISTINCT v.user_id) AS n_users
+        |FROM events v LEFT JOIN dim d ON d.user_id = v.user_id
+        |WHERE v.event_type = 'view'
+        |GROUP BY 1 ORDER BY tier""".stripMargin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

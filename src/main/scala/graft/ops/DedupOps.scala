@@ -310,9 +310,39 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** SemDeDup-style semantic deduplication: embedding-cosine pairs →
+    * duplicate clusters → keep the minimum id per cluster. The pair
+    * stage here is the bounded exact form (same vec_id < 300 /
+    * cosine ≥ 0.3 slice as `sim_threshold_join`, which is what makes
+    * the recursive-CTE oracle feasible); the full-scale pipeline
+    * swaps in `SimilarityOps.thresholdLsh` candidates — the clustering
+    * and keep-rule are IDENTICAL either way, which is the point:
+    * semantic dedup is pair-generation ∘ connectedComponents ∘
+    * min-id filter, all three already scale-pathed. Singletons (no
+    * near-dup) keep themselves: cluster_id = own id, size 1. */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+    val pairs = SimilarityOps.thresholdJoinOn(emb, 0.3)
+      .select(col("a_id"), col("b_id"))
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val assigned = emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("cluster_id"))
+      .withColumn("kept",
+        (col("vec_id") === col("cluster_id")).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_first_wins" -> firstWins,
+    "dedup_semantic" -> semantic,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
@@ -372,6 +402,32 @@ object DedupOps {
          |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
          |    AS cluster_size
          |FROM comp c ORDER BY doc_id""".stripMargin,
+    // same recursive-CTE clustering as dedup_clusters, but the edge
+    // list is the exact cosine pair slice from sim_threshold_join
+    "dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300
+        |    AND round(list_cosine_similarity(
+        |      CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+        |comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+        |assigned AS (
+        |  SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+        |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+        |  WHERE e.vec_id < 300)
+        |SELECT a.vec_id, a.cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+        |    AS cluster_size,
+        |  CAST(a.vec_id = a.cluster_id AS BIGINT) AS kept
+        |FROM assigned a ORDER BY a.vec_id""".stripMargin,
     "text_contamination" ->
       s"""WITH probes AS (
          |  SELECT DISTINCT unnest(${shinglesSql.format("text", "text")}) AS sh

@@ -196,6 +196,48 @@ object TextOps {
           col("sum_bigrams").cast("double"))
       .orderBy(col("source"))
 
+  /** Corpus-relative rare-token (OOV-style) quality signal: the
+    * fraction of a document's tokens whose CORPUS frequency is ≤ 2 —
+    * the integer-exact stand-in for the CCNet/KenLM perplexity filter
+    * (a float log-prob sum is not bit-deterministic across engines;
+    * hapax/doubleton rate measures the same "unusual vocabulary"
+    * signal with exact arithmetic). Docs land in 0.1-wide rate
+    * buckets per source; a training pipeline drops the top buckets.
+    *
+    * Scale shape: tokens are first deduplicated WITHIN each doc
+    * (groupBy doc, token — caps any hot token at one row per doc),
+    * then the (doc, token) frame joins the vocabulary frequency table
+    * on token. The frequent-key skew that remains ("the" appears in
+    * every doc) is bounded by doc count, and AQE skew-join or
+    * `Skew.saltedJoin` handles it at 100 TB; the vocabulary table is
+    * NOT broadcast because real vocabularies (hapax-heavy) are
+    * corpus-scale. */
+  def oovRate(s: SparkSession, d: String): DataFrame =
+    oovRateOn(Tables.documents(s, d))
+
+  /** Core of [[oovRate]], parameterized for tests and reuse. */
+  def oovRateOn(docs: DataFrame): DataFrame = {
+    val docToks = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+    val vocab = docToks.groupBy(col("tok"))
+      .agg(sum(col("n_occ")).as("tf"))
+    docToks.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        sum(when(col("tf") <= 2, col("n_occ")).otherwise(0L)).as("n_rare"))
+      .withColumn("bucket",
+        floor(col("n_rare").cast("double") / col("n_tokens").cast("double")
+          * 10.0).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_rare")).as("sum_rare"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batching step that turns a cleaned corpus into training
     * sequences. Docs fill bins in doc_id order within each `source`
@@ -268,6 +310,7 @@ object TextOps {
     "text_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "corpus_clean" -> corpusClean,
     "text_repetition" -> repetition,
+    "text_oov_rate" -> oovRate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,6 +372,28 @@ object TextOps {
          |            ELSE 'kept' END AS stage,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM r GROUP BY 1 ORDER BY stage""".stripMargin,
+    "text_oov_rate" ->
+      """WITH dt AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS n_occ
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, source, tok),
+        |vocab AS (SELECT tok, SUM(n_occ) AS tf FROM dt GROUP BY tok),
+        |per_doc AS (
+        |  SELECT dt.doc_id, dt.source,
+        |    CAST(SUM(dt.n_occ) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.tf <= 2 THEN dt.n_occ ELSE 0 END)
+        |      AS BIGINT) AS n_rare
+        |  FROM dt JOIN vocab v USING (tok)
+        |  GROUP BY dt.doc_id, dt.source)
+        |SELECT source,
+        |  CAST(floor(CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    * 10.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_rare) AS BIGINT) AS sum_rare,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM per_doc GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
     "text_repetition" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,

@@ -125,6 +125,36 @@ object StreamingSessions {
           .as("sum_value"))
   }
 
+  /** Stream-static enrichment join: tag each streaming view event
+    * with the user's spend tier from a STATIC dimension (per-user
+    * lifetime purchase cents from the batch events table). The
+    * canonical "enrich the stream with a dim table" shape: the static
+    * side is read once per micro-batch, `broadcast()` keeps the join
+    * map-side, and no watermark or join state is needed — stream-
+    * static inner/left joins are stateless. Spend is aggregated in
+    * integer cents so tier boundaries are exact and the DuckDB oracle
+    * reproduces them bit-for-bit. */
+  def enrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id").as("d_user"),
+        when(col("cents") >= 50000L, "high")
+          .when(col("cents") >= 10000L, "mid")
+          .otherwise("low").as("tier"))
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+    val joined = views
+      .join(broadcast(dim), views("user_id") === dim("d_user"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("none")))
+    runToCompletion(spark, joined, "stream_enrich", mode = "append")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("tier"))
+  }
+
   /** Drive a streaming aggregation over the (finite) source to
     * completion into a memory sink; return the sink table.
     *

@@ -95,6 +95,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stream.getLong(0) > 0, "fixture should produce matches")
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = streaming.StreamingSessions.enrichStatic(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+    val dim = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      .select($"user_id".as("d_user"),
+        when($"cents" >= 50000L, "high")
+          .when($"cents" >= 10000L, "mid")
+          .otherwise("low").as("tier"))
+    val batch = ev.filter($"event_type" === "view")
+      .join(dim, $"user_id" === $"d_user", "left")
+      .withColumn("tier", coalesce($"tier", lit("none")))
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_views"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"tier")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stream.toSeq === batch.toSeq)
+    assert(stream.map(_._1).toSet.size >= 2, "fixture should span tiers")
+  }
+
   test("dropDuplicatesWithinWatermark: redelivery inside the delay is dropped") {
     // at-least-once redelivery: same event_id lands twice, minutes
     // apart — the watermark-bounded dedup variant must emit it ONCE

@@ -240,6 +240,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("oov rate: rare-token buckets on a known corpus") {
+    import spark.implicits._
+    // vocabulary: "common" ×4 (tf=4 > 2), "rare1"/"rare2" once each
+    // (tf=1 ≤ 2). doc 1: 2 common + 2 rare → rate 0.5 → bucket 5;
+    // doc 2: 2 common → rate 0 → bucket 0
+    val docs = Seq(
+      (1L, "s1", "common rare1 common rare2"),
+      (2L, "s1", "common common")).toDF("doc_id", "source", "text")
+    val r = ops.TextOps.oovRateOn(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r === Set(("s1", 0L, 1L), ("s1", 5L, 1L)))
+  }
+
+  test("semantic dedup: min id per cluster survives, singletons keep themselves") {
+    val out = ops.DedupOps.semantic(spark, sf)
+    val rows = out.collect()
+    assert(rows.length === 300)
+    // every cluster keeps exactly its min member
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min === cid, s"cluster $cid")
+      assert(members.count(_.getLong(3) == 1L) === 1, s"cluster $cid keeps")
+      assert(members.forall(_.getLong(2) == members.length), s"size $cid")
+    }
+    // the fixture plants near-dups, so clustering must be non-trivial
+    assert(byCluster.size < 300, "expected at least one multi-member cluster")
+  }
+
   test("prefix sum: two-phase form matches the naive per-group window") {
     import spark.implicits._
     // 500 keys across 3 groups with bucketWidth=16 → ~31 buckets, so
