@@ -339,8 +339,43 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental dedup: clean a NEW batch against an already-published
+    * corpus snapshot — the steady-state form of exact dedup once a
+    * pipeline runs continuously (the ETL twin is
+    * `etl/Dedup.againstExisting`). Batch = doc_id ≡ 8,9 (mod 10);
+    * snapshot = the rest. Two stages, both keyed on the 32-byte md5
+    * fingerprint (never the text): first-wins WITHIN the batch
+    * (fp-partitioned window), then anti-join style membership against
+    * the snapshot's distinct fingerprint set. Emits the per-source
+    * funnel: how many batch docs were dropped as in-batch dups, as
+    * already-published, and how many are genuinely new. */
+  def incremental(s: SparkSession, d: String): DataFrame =
+    incrementalOn(Tables.documents(s, d))
+
+  /** Core of [[incremental]], parameterized for tests and reuse. */
+  def incrementalOn(docs: DataFrame): DataFrame = {
+    val fp = md5(lower(trim(col("text"))))
+    val existing = docs.filter(col("doc_id") % 10 < 8)
+      .select(fp.as("fp")).distinct()
+      .withColumn("published", lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs.filter(col("doc_id") % 10 >= 8)
+      .withColumn("fp", fp)
+      .withColumn("rn", row_number().over(w))
+      .join(existing, Seq("fp"), "left")
+      .withColumn("stage",
+        when(col("rn") > 1, "dropped_in_batch")
+          .when(col("published") === 1L, "dropped_published")
+          .otherwise("new"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
+    "dedup_incremental" -> incremental,
     "dedup_first_wins" -> firstWins,
     "dedup_semantic" -> semantic,
     "dedup_jaccard_neardup" -> jaccardNearDup,
@@ -402,6 +437,22 @@ object DedupOps {
          |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
          |    AS cluster_size
          |FROM comp c ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT b.source,
+        |  CASE WHEN b.rn > 1 THEN 'dropped_in_batch'
+        |       WHEN e.fp IS NOT NULL THEN 'dropped_published'
+        |       ELSE 'new' END AS stage,
+        |  COUNT(*) AS n_docs
+        |FROM batch b LEFT JOIN existing e ON e.fp = b.fp
+        |GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
     // same recursive-CTE clustering as dedup_clusters, but the edge
     // list is the exact cosine pair slice from sim_threshold_join
     "dedup_semantic" ->

@@ -133,8 +133,41 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Hourly-count anomaly scan: flag (event_type, hour) buckets whose
+    * count sits ≥ 2σ from the type's hourly mean — the monitoring
+    * query an ingest pipeline runs over its own volume. Mean/variance
+    * come from exact integer sums (n, Σx, Σx²) with the divisions and
+    * sqrt done once per GROUP in both engines — identical IEEE
+    * expression trees, so the z-scores (and the ≥ 2σ cut itself) are
+    * bit-deterministic. The tiny per-type stats frame broadcasts back
+    * onto the hourly counts: the wide data never shuffles twice. */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .withColumn("mean",
+        col("s").cast("double") / col("n_hours").cast("double"))
+      .withColumn("variance",
+        col("ss").cast("double") / col("n_hours").cast("double") -
+          col("mean") * col("mean"))
+      .select(col("event_type"), col("mean"), col("variance"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(col("variance") > 0.0)
+      .withColumn("z",
+        (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> jsonExtract,
+    "events_anomaly" -> anomaly,
     "json_typed" -> jsonTyped,
     "window_range_frame" -> rangeFrame,
     "window_hourly_rollup" -> hourlyRollup,
@@ -164,6 +197,29 @@ object EventOps {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(n) AS BIGINT) AS s,
+        |    CAST(SUM(n * n) AS BIGINT) AS ss
+        |  FROM hourly GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
+        |    CAST(ss AS DOUBLE) / CAST(n_hours AS DOUBLE) -
+        |      (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) *
+        |      (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS variance
+        |  FROM stats)
+        |SELECT h.event_type, h.hour, h.n,
+        |  round((CAST(h.n AS DOUBLE) - st.mean) / sqrt(st.variance), 6) AS z
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE st.variance > 0
+        |  AND abs((CAST(h.n AS DOUBLE) - st.mean) / sqrt(st.variance)) >= 2.0
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     "window_hourly_rollup" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sql.dsum("value")} AS sum_value

@@ -266,7 +266,54 @@ object Relational {
     counted.reduce(_ unionByName _).orderBy(col("tbl"))
   }
 
+  /** Generic band (range) join: match each fact row to the band whose
+    * `[lo, hi)` interval contains `value` — WITHOUT the
+    * BroadcastNestedLoopJoin a naive non-equi join plans to. Bands are
+    * exploded to the fixed-width key buckets they overlap; the fact
+    * side computes its bucket with one `floor`, equi-joins (hash,
+    * broadcast for a small band table), and an exact range filter
+    * removes bucket-edge false positives. This is the standard
+    * interval-bucketing reduction: non-equi → equi + residual filter,
+    * which keeps the 100 TB side in a codegen'd hash join instead of
+    * an O(n·bands) loop join. */
+  def bandJoin(fact: DataFrame, value: org.apache.spark.sql.Column,
+      bands: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    val exploded = bands.withColumn("_band_bucket",
+      explode(sequence(
+        floor(col(loCol).cast("double") / bucketWidth).cast("long"),
+        floor((col(hiCol).cast("double") - 1.0) / bucketWidth)
+          .cast("long"))))
+    fact
+      .withColumn("_band_bucket",
+        floor(value.cast("double") / bucketWidth).cast("long"))
+      .join(broadcast(exploded), Seq("_band_bucket"))
+      .filter(value >= col(loCol).cast("double") &&
+        value < col(hiCol).cast("double"))
+      .drop("_band_bucket")
+  }
+
+  /** Order-value histogram over non-uniform price bands via
+    * [[bandJoin]] — count + exact revenue per band. */
+  def priceBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b0_lt1k", 0L, 1000L), ("b1_1k_5k", 1000L, 5000L),
+      ("b2_5k_20k", 5000L, 20000L), ("b3_20k_60k", 20000L, 60000L),
+      ("b4_60k_150k", 60000L, 150000L),
+      ("b5_150k_400k", 150000L, 400000L),
+      ("b6_ge400k", 400000L, 600000L))
+      .toDF("band", "lo", "hi")
+    bandJoin(Tables.orders(s, d), col("o_totalprice"), bands,
+        "lo", "hi", bucketWidth = 50000L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_bands" -> priceBands,
     "join_supplier_stats" -> supplierStats,
     "join_shuffle_parity" -> shuffleJoinParity,
     "filter_range_slice" -> rangeSlice,
@@ -288,6 +335,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range_bands" ->
+      s"""WITH bands(band, lo, hi) AS (
+         |  SELECT * FROM (VALUES
+         |    ('b0_lt1k', 0, 1000), ('b1_1k_5k', 1000, 5000),
+         |    ('b2_5k_20k', 5000, 20000), ('b3_20k_60k', 20000, 60000),
+         |    ('b4_60k_150k', 60000, 150000),
+         |    ('b5_150k_400k', 150000, 400000),
+         |    ('b6_ge400k', 400000, 600000)))
+         |SELECT b.band, COUNT(*) AS n_orders,
+         |  ${sql.dsum("o.o_totalprice")} AS sum_price
+         |FROM orders o JOIN bands b
+         |  ON o.o_totalprice >= CAST(b.lo AS DOUBLE)
+         |  AND o.o_totalprice < CAST(b.hi AS DOUBLE)
+         |GROUP BY b.band ORDER BY b.band""".stripMargin,
     "join_supplier_stats" ->
       s"""SELECT r_name, COUNT(*) AS n_suppliers,
          |  ${sql.dsum("s_acctbal")} AS sum_acctbal

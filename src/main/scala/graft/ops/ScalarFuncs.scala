@@ -87,8 +87,32 @@ object ScalarFuncs {
       .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
+  /** Offset-function pack: lag / lead / first_value / last_value /
+    * nth_value over each customer's order timeline, plus the
+    * inter-order gap in days — the "previous row" surface that
+    * complements [[rankFuncs]]. Frame note: the value offsets use the
+    * explicit full frame (unbounded both ways); lag/lead ignore
+    * frames by definition. */
+  def lagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_key"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "func_string" -> stringFuncs,
+    "window_lag_lead" -> lagLead,
     "func_date" -> dateFuncs,
     "func_math" -> mathFuncs,
     "func_array" -> arrayFuncs,
@@ -138,6 +162,23 @@ object ScalarFuncs {
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  string_split(text, ' ')[1] AS first_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+        |  CAST(datediff('day',
+        |    lag(CAST(o_orderdate AS DATE), 1) OVER w,
+        |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "window_rank_funcs" ->
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,

@@ -238,6 +238,59 @@ object TextOps {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Corpus mixing: resample sources to a target token mixture — the
+    * domain-weighting step (web/wiki/books ratios) every pre-training
+    * data recipe runs. Target shares here are proportional to
+    * `10 − source_index` (src0 weighted 10 … src9 weighted 1); the
+    * retention-maximal exact mixture keeps ALL of the most
+    * constraining source (k = min tokens_s/w_s) and downsamples the
+    * rest to w_s·k tokens. Weights are Zipf-style, w = 1/(index+1)
+    * (src0 twice src1's share, …), so the formula is valid for any
+    * number of sources. Sampling is the same deterministic
+    * md5-prefix systematic scheme as `sample_stratified`, with the
+    * per-source rate quantized to 1/256 so the threshold is a hex
+    * byte. Everything is computed IN the plan (the per-source rate
+    * table is an aggregate cross-joined back, never collected), so
+    * the same code runs unchanged on a 1000-executor corpus. */
+  def corpusMix(s: SparkSession, d: String): DataFrame =
+    corpusMixOn(Tables.documents(s, d))
+
+  /** Core of [[corpusMix]], parameterized for tests and reuse. */
+  def corpusMixOn(docs: DataFrame): DataFrame = {
+    val counted = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySource = counted.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens_s"))
+      .withColumn("w",
+        lit(1.0) / (substring(col("source"), 4, 2).cast("long") + 1L)
+          .cast("double"))
+    val k = bySource
+      .agg(min(col("tokens_s").cast("double") / col("w")).as("k"))
+    val rates = bySource.crossJoin(broadcast(k))
+      .withColumn("rate256",
+        floor(least(lit(1.0),
+          col("w") * col("k") / col("tokens_s").cast("double")) * 256.0)
+          .cast("long"))
+      .select(col("source"), col("rate256"))
+    val kept = counted.join(broadcast(rates), Seq("source"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+        when(col("rate256") >= 256L, lit("zz"))
+          .otherwise(lower(lpad(hex(col("rate256")), 2, "0"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    val total = kept.agg(sum(col("sum_tokens")).as("total_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("sum_tokens", coalesce(col("sum_tokens"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("achieved_share",
+        col("sum_tokens").cast("double") / col("total_tokens").cast("double"))
+      .select(col("source"), col("rate256"), col("n_docs"),
+        col("sum_tokens"), col("achieved_share"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batching step that turns a cleaned corpus into training
     * sequences. Docs fill bins in doc_id order within each `source`
@@ -311,6 +364,7 @@ object TextOps {
     "corpus_clean" -> corpusClean,
     "text_repetition" -> repetition,
     "text_oov_rate" -> oovRate,
+    "corpus_mix" -> corpusMix,
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +426,38 @@ object TextOps {
          |            ELSE 'kept' END AS stage,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM r GROUP BY 1 ORDER BY stage""".stripMargin,
+    "corpus_mix" ->
+      """WITH counted AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |by_s AS (
+        |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_s,
+        |    1.0 / CAST(CAST(substring(source, 4, 2) AS BIGINT) + 1
+        |      AS DOUBLE) AS w
+        |  FROM counted GROUP BY source),
+        |kf AS (SELECT MIN(CAST(tokens_s AS DOUBLE) / w) AS k FROM by_s),
+        |rates AS (
+        |  SELECT source, CAST(floor(LEAST(1.0,
+        |    w * kf.k / CAST(tokens_s AS DOUBLE)) * 256.0) AS BIGINT)
+        |    AS rate256
+        |  FROM by_s CROSS JOIN kf),
+        |kept AS (
+        |  SELECT c.source, COUNT(*) AS n_docs,
+        |    CAST(SUM(c.n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM counted c JOIN rates r USING (source)
+        |  WHERE substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 2) <
+        |    CASE WHEN r.rate256 >= 256 THEN 'zz'
+        |         ELSE printf('%02x', r.rate256) END
+        |  GROUP BY c.source)
+        |SELECT r.source, r.rate256,
+        |  COALESCE(k.n_docs, 0) AS n_docs,
+        |  COALESCE(k.sum_tokens, 0) AS sum_tokens,
+        |  CAST(COALESCE(k.sum_tokens, 0) AS DOUBLE) /
+        |    CAST((SELECT CAST(SUM(sum_tokens) AS BIGINT) FROM kept)
+        |      AS DOUBLE) AS achieved_share
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY r.source""".stripMargin,
     "text_oov_rate" ->
       """WITH dt AS (
         |  SELECT doc_id, source, tok, COUNT(*) AS n_occ

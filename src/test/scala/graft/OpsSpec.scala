@@ -268,6 +268,50 @@ class OpsSpec extends AnyFunSuite {
     assert(byCluster.size < 300, "expected at least one multi-member cluster")
   }
 
+  test("incremental dedup: batch funnel on a constructed corpus") {
+    import spark.implicits._
+    // snapshot = doc_id%10<8 → docs 1,2; batch = 8,9,18,19.
+    // doc 8 repeats doc 1 (already published), docs 18/19 repeat each
+    // other only (18 wins first-wins), doc 9 is genuinely new
+    val docs = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"),
+      (8L, "s1", "alpha"), (9L, "s1", "gamma"),
+      (18L, "s1", "delta"), (19L, "s1", "delta"))
+      .toDF("doc_id", "source", "text")
+    val got = ops.DedupOps.incrementalOn(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      "dropped_published" -> 1L, "dropped_in_batch" -> 1L, "new" -> 2L))
+  }
+
+  test("corpus mix: rates hit the target mixture invariants") {
+    val rows = ops.TextOps.corpusMix(spark, sf).collect()
+    assert(rows.length === 20, "one row per source")
+    // the most-constraining source is kept whole (rate 256 = keep all)
+    assert(rows.exists(_.getLong(1) === 256L), "some source keeps all")
+    assert(rows.forall(r => r.getLong(1) > 0L && r.getLong(1) <= 256L))
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, "shares sum to 1")
+    // heavier-weighted (lower-index) sources should not get smaller
+    // achieved shares than the lightest one
+    val bySrc = rows.map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(bySrc("src0") > bySrc("src19"),
+      "src0 (weight 1) must out-share src19 (weight 1/20)")
+  }
+
+  test("band join: bucketed range join avoids the nested-loop plan") {
+    val df = ops.Relational.priceBands(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must not plan BNLJ")
+    assert(plan.contains("BroadcastHashJoin"), "bucketed equi join expected")
+    // bands tile [0, 600k): every order in range lands in exactly one
+    val total = df.agg(sum(col("n_orders"))).collect().head.getLong(0)
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 0 && col("o_totalprice") < 600000)
+      .count()
+    assert(total === expect)
+  }
+
   test("prefix sum: two-phase form matches the naive per-group window") {
     import spark.implicits._
     // 500 keys across 3 groups with bucketWidth=16 → ~31 buckets, so
