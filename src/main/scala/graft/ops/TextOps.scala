@@ -238,6 +238,40 @@ object TextOps {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Duplicated-n-gram rate: what fraction of each source's token
+    * 5-grams also occur in at least one OTHER document — substring-
+    * granularity duplication (the train-data-dedup result that exact
+    * and near-dup doc-level passes both miss: boilerplate headers,
+    * quoted passages, licence blocks). Grams shuffle as 32-byte md5
+    * hashes, never as text; the ≥2-distinct-docs gram set comes from
+    * one count-distinct aggregate keyed on the hash, and re-joins the
+    * gram stream on the same key — two hash-keyed shuffles, linear in
+    * corpus size, no pairwise comparison anywhere. */
+  def dupNgrams(s: SparkSession, d: String): DataFrame =
+    dupNgramsOn(Tables.documents(s, d))
+
+  /** Core of [[dupNgrams]], parameterized for tests and reuse. */
+  def dupNgramsOn(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g", explode(when(size(col("toks")) >= 5,
+        transform(sequence(lit(1), size(col("toks")) - 4),
+          i => concat_ws(" ", slice(col("toks"), i, lit(5)))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_dup") === 1L, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus mixing: resample sources to a target token mixture — the
     * domain-weighting step (web/wiki/books ratios) every pre-training
     * data recipe runs. Target shares here are proportional to
@@ -365,6 +399,7 @@ object TextOps {
     "text_repetition" -> repetition,
     "text_oov_rate" -> oovRate,
     "corpus_mix" -> corpusMix,
+    "text_dup_ngrams" -> dupNgrams,
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,6 +461,26 @@ object TextOps {
          |            ELSE 'kept' END AS stage,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM r GROUP BY 1 ORDER BY stage""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH grams AS (
+        |  SELECT doc_id, source, md5(g) AS h FROM (
+        |    SELECT doc_id, source,
+        |      unnest(CASE WHEN len(toks) >= 5 THEN
+        |        [array_to_string(toks[i:i+4], ' ')
+        |         for i in range(1, len(toks) - 3)]
+        |        ELSE [] END) AS g
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |          FROM documents))),
+        |dup AS (
+        |  SELECT h FROM grams GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT g.source, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM grams g LEFT JOIN dup d ON d.h = g.h
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
     "corpus_mix" ->
       """WITH counted AS (
         |  SELECT doc_id, source,

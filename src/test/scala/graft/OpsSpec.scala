@@ -299,6 +299,21 @@ class OpsSpec extends AnyFunSuite {
       "src0 (weight 1) must out-share src19 (weight 1/20)")
   }
 
+  test("dup ngrams: shared 5-gram counted, short docs contribute none") {
+    import spark.implicits._
+    // docs 1,2 share exactly the 5-gram "a b c d e"; doc 3 is too
+    // short to produce any gram
+    val docs = Seq(
+      (1L, "s1", "a b c d e f"),
+      (2L, "s1", "a b c d e x"),
+      (3L, "s1", "short one")).toDF("doc_id", "source", "text")
+    val r = ops.TextOps.dupNgramsOn(docs).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L, "four grams total")
+    assert(r.head.getLong(2) === 2L, "the shared gram counts twice")
+    assert(math.abs(r.head.getDouble(3) - 0.5) < 1e-12)
+  }
+
   test("band join: bucketed range join avoids the nested-loop plan") {
     val df = ops.Relational.priceBands(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
