@@ -34,6 +34,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSignature(Cast(es.head, ArrayType(StringType)),
         es(1).eval().asInstanceOf[Int]),
       "graft_minhash(tokens, k) - k-permutation MinHash signature"),
+    ("graft_winnow",
+      (es: Seq[Expression]) => Winnow(Cast(es.head, StringType),
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+      "graft_winnow(text, k, w) - winnowed rolling-hash fingerprint set"),
     ("graft_srp_bands",
       (es: Seq[Expression]) => SrpBands(Cast(es.head, ArrayType(DoubleType)),
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
@@ -65,6 +69,13 @@ object GraftFunctions {
     register(spark)
     call_function("graft_minhash", tokens,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def winnow(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    register(spark)
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   }
 
   def srpBands(spark: SparkSession, vec: Column, bitsPerBand: Int,

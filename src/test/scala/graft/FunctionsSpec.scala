@@ -77,6 +77,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("winnow: guarantee, no-short-share, and determinism properties") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] = {
+      val a = graft.functions.WinnowCodegen
+        .winnow(UTF8String.fromString(s), 8, 4)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    // determinism + identity
+    val doc = "the quick brown fox jumps over the lazy dog"
+    assert(fps(doc) === fps(doc))
+    // guarantee: a shared substring of length >= w+k-1 = 11 must
+    // produce at least one shared fingerprint (MOSS theorem)
+    val shared = "abcdefghijklmnop" // 16 chars
+    val a = "XXXX " + shared + " YYYY"
+    val b = "qqq " + shared + " zzz"
+    assert(fps(a).intersect(fps(b)).nonEmpty, "guarantee violated")
+    // disjoint alphabets share no 8-gram, hence no fingerprint
+    assert(fps("aaaabbbbccccdddd").intersect(fps("EEEEFFFFGGGGHHHH")).isEmpty)
+    // shorter than k → empty set
+    assert(fps("short").isEmpty)
+  }
+
+  test("winnow near-dup pairs cover the exact-Jaccard pair set") {
+    val sf = "/root/testdata/sf0.001"
+    val winnow = ops.DedupOps.winnowNearDup(spark, sf)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the planted near-dups (shingle Jaccard >= 0.5 on
+    // the bounded slice) share many 15-char runs, so winnowing (11+
+    // char guarantee) must recover every one of them
+    val docs = Tables.documents(spark, sf)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", ops.DedupOps.shingles($"text").as("sh"))
+    val exact = docs.select($"doc_id".as("a_id"), $"sh".as("sa"))
+      .join(docs.select($"doc_id".as("b_id"), $"sh".as("sb")),
+        $"a_id" < $"b_id")
+      .withColumn("j", ops.DedupOps.jaccard($"sa", $"sb"))
+      .filter($"j" >= 0.5)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact.subsetOf(winnow), s"missed=${exact -- winnow}")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val sf = "/root/testdata/sf0.001"
     val stream = streaming.StreamingSessions.purchaseAttribution(spark, sf)
