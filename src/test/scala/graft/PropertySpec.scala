@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (ScalaCheck) for the primitives whose
+  * correctness rests on an algebraic guarantee rather than an
+  * example: winnowing's shared-substring theorem and the two-phase
+  * prefix sum's equivalence to the sequential form.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def passes(prop: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def fps(s: String): Set[Long] = {
+    val a = graft.functions.WinnowCodegen.winnow(UTF8String.fromString(s), 8, 4)
+    (0 until a.numElements()).map(a.getLong).toSet
+  }
+
+  test("winnow theorem: any shared >=11-char substring shares a fingerprint") {
+    val lowerStr = Gen.stringOfN(12, Gen.alphaLowerChar)
+    val prop = Prop.forAll(lowerStr, lowerStr, lowerStr,
+      Gen.choose(11, 40)) { (pre, post, seed, len) =>
+      // build a shared run of exactly `len` chars (>= w+k-1 = 11)
+      val shared = Iterator.continually(seed).flatten.take(len).mkString
+      val a = pre + shared + post.reverse
+      val b = post + shared + pre.reverse
+      fps(a).intersect(fps(b)).nonEmpty
+    }
+    passes(prop)
+  }
+
+  test("winnow: deterministic and empty below k") {
+    val anyStr = Gen.asciiPrintableStr
+    passes(Prop.forAll(anyStr) { s =>
+      fps(s) == fps(s) && (s.getBytes.length >= 8 || fps(s).isEmpty)
+    })
+  }
+
+  test("winnow: disjoint byte alphabets never share fingerprints") {
+    val lo = Gen.stringOfN(30, Gen.alphaLowerChar)
+    val hi = Gen.stringOfN(30, Gen.numChar)
+    passes(Prop.forAll(lo, hi) { (a, b) =>
+      fps(a).intersect(fps(b)).isEmpty
+    }, n = 50)
+  }
+
+  test("prefix sum: random data/buckets match the sequential scan") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      groups <- Gen.choose(1, 4)
+      width <- Gen.oneOf(1L, 3L, 16L, 1000L)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield (groups, width, vals)
+    val prop = Prop.forAll(gen) { case (groups, width, vals) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, s"g${i % groups}", v)
+      }
+      val df = rows.toDF("id", "grp", "v")
+      val got = ops.PrefixSum
+        .runningSum(df, Seq("grp"), "id", "v", "cum", width)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum")))
+        .toMap
+      // sequential reference: running sum per group in id order
+      val want = rows.groupBy(_._2).values.flatMap { g =>
+        g.sortBy(_._1).scanLeft((-1L, 0L)) { case ((_, acc), (id, _, v)) =>
+          (id, acc + v)
+        }.drop(1)
+      }.toMap
+      got == want
+    }
+    passes(prop, n = 8)
+  }
+}
