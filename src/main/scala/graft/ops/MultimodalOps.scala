@@ -74,8 +74,33 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Chunk-level blob dedup — the content-addressable-storage scan a
+    * media lake runs: split each blob into fixed 64-byte chunks, hash
+    * each chunk, report per-source total vs distinct chunk counts and
+    * the implied storage dedup ratio. Chunks travel as md5 hashes;
+    * the only wide op is the distinct-count aggregate on the hash.
+    * Chunking is done on the hex encoding (2 chars/byte) because that
+    * is the widest portable substring surface — the arithmetic is
+    * byte-identical to slicing the blob. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("hb", hex(col("blob")))
+      .withColumn("n", ceil(length(col("blob")).cast("double") / 64.0)
+        .cast("long"))
+      .withColumn("i", explode(sequence(lit(0L), col("n") - 1)))
+      .withColumn("h",
+        md5(col("hb").substr(col("i") * 128L + 1L, lit(128L))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"))
+      .withColumn("dedup_ratio", lit(1.0) -
+        col("n_distinct_chunks").cast("double") /
+          col("n_chunks").cast("double"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> blobStats,
+    "mm_chunk_dedup" -> chunkDedup,
     "mm_decode_features" -> decodeFeatures,
     "mm_decode_mappartitions" -> decodeMapPartitions, // no oracle: UDF path
   )
@@ -87,6 +112,20 @@ object MultimodalOps {
         |  CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
         |  CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "mm_chunk_dedup" ->
+      """WITH chunks AS (
+        |  SELECT source, md5(substring(hb, CAST(i*128+1 AS BIGINT), 128))
+        |    AS h
+        |  FROM (
+        |    SELECT source, hex(encode(text)) AS hb,
+        |      unnest(range(0, CAST(ceil(octet_length(encode(text))/64.0)
+        |        AS BIGINT))) AS i
+        |    FROM documents))
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT h) AS n_distinct_chunks,
+        |  1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS dedup_ratio
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,

@@ -209,9 +209,11 @@ object TextOps {
     * then the (doc, token) frame joins the vocabulary frequency table
     * on token. The frequent-key skew that remains ("the" appears in
     * every doc) is bounded by doc count, and AQE skew-join or
-    * `Skew.saltedJoin` handles it at 100 TB; the vocabulary table is
-    * NOT broadcast because real vocabularies (hapax-heavy) are
-    * corpus-scale. */
+    * `Skew.saltedJoin` handles it at 100 TB. No broadcast is FORCED
+    * on the vocabulary side: real vocabularies (hapax-heavy) are
+    * corpus-scale, so size-based planning must stay free to pick the
+    * shuffle hash join (it auto-broadcasts at test SFs, where the
+    * vocab is tiny). */
   def oovRate(s: SparkSession, d: String): DataFrame =
     oovRateOn(Tables.documents(s, d))
 
