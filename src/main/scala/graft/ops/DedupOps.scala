@@ -49,12 +49,15 @@ object DedupOps {
     * per distinct normalized text. The shuffle key is the SHA-256 of
     * the normalized text, NOT the text itself: grouping by the raw
     * body makes the entire corpus the shuffle payload (38 s at sf0.1;
-    * 100 TB shuffled at 100 TB), while the digest is a fixed 32 bytes
-    * per row with identical grouping semantics (collisions are
-    * 2^-128-improbable). The oracle groups by the same digest. */
+    * 100 TB shuffled at 100 TB), while the digest — unhexed to true
+    * 32-byte binary; `sha2` itself returns a 64-char hex string — is
+    * fixed-width with identical grouping semantics (collisions are
+    * 2^-128-improbable). The oracle groups by the equivalent digest
+    * (hex vs binary key is a bijection, and the key itself is not
+    * output). */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(sha2(lower(trim(col("text"))), 256).as("norm"))
+      .groupBy(unhex(sha2(lower(trim(col("text"))), 256)).as("norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
@@ -251,6 +254,10 @@ object DedupOps {
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label")).count()
+      // reassignment drops the only reference to the superseded
+      // round's checkpoint; the ContextCleaner then frees its blocks
+      // on driver GC (Dataset.unpersist cannot release localCheckpoint
+      // storage), so live state is O(1) rounds, not O(maxIter)
       labels = next
       iter += 1
     }
@@ -385,7 +392,7 @@ object DedupOps {
 
   /** Core of [[incremental]], parameterized for tests and reuse. */
   def incrementalOn(docs: DataFrame): DataFrame = {
-    val fp = md5(lower(trim(col("text"))))
+    val fp = TextOps.normalizedFp(col("text"))
     val existing = docs.filter(col("doc_id") % 10 < 8)
       .select(fp.as("fp")).distinct()
       .withColumn("published", lit(1L))

@@ -83,11 +83,20 @@ object MultimodalOps {
     * is the widest portable substring surface — the arithmetic is
     * byte-identical to slicing the blob. */
   def chunkDedup(s: SparkSession, d: String): DataFrame =
-    mediaTable(s, d)
+    chunkDedupOn(mediaTable(s, d))
+
+  /** Core of [[chunkDedup]] over any (source, blob) frame. */
+  def chunkDedupOn(media: DataFrame): DataFrame =
+    media
       .withColumn("hb", hex(col("blob")))
       .withColumn("n", ceil(length(col("blob")).cast("double") / 64.0)
         .cast("long"))
-      .withColumn("i", explode(sequence(lit(0L), col("n") - 1)))
+      // empty blob → no chunks; Spark's sequence(0, -1) would REVERSE
+      // (emit [0, -1]) instead of returning empty, unlike the
+      // oracle's range(0, 0)
+      .withColumn("i", explode(when(col("n") > 0L,
+        sequence(lit(0L), col("n") - 1))
+        .otherwise(array().cast("array<long>"))))
       .withColumn("h",
         md5(col("hb").substr(col("i") * 128L + 1L, lit(128L))))
       .groupBy(col("source"))

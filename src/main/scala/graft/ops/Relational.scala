@@ -279,11 +279,16 @@ object Relational {
   def bandJoin(fact: DataFrame, value: org.apache.spark.sql.Column,
       bands: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
-    val exploded = bands.withColumn("_band_bucket",
-      explode(sequence(
-        floor(col(loCol).cast("double") / bucketWidth).cast("long"),
-        floor((col(hiCol).cast("double") - 1.0) / bucketWidth)
-          .cast("long"))))
+    // degenerate bands ([lo, hi) with hi <= lo) match nothing — and
+    // would reverse the bucket sequence; the upper bucket uses hi
+    // itself (exclusive bound, possibly fractional): at most one
+    // extra bucket whose false positives the exact filter removes
+    val exploded = bands
+      .filter(col(hiCol).cast("double") > col(loCol).cast("double"))
+      .withColumn("_band_bucket",
+        explode(sequence(
+          floor(col(loCol).cast("double") / bucketWidth).cast("long"),
+          floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
     fact
       .withColumn("_band_bucket",
         floor(value.cast("double") / bucketWidth).cast("long"))

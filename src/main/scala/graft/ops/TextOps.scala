@@ -19,6 +19,20 @@ object TextOps {
   /** Whitespace tokenization; the corpus is single-space separated. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Normalized-content fingerprint — THE exact-dedup key. One
+    * definition shared by `text_fingerprint`, `corpus_clean`, and
+    * `DedupOps.incrementalOn` so the normalization rule cannot drift
+    * between the operators (each has a hand-written oracle using the
+    * same `md5(lower(trim(text)))`). */
+  def normalizedFp(c: Column): Column = md5(lower(trim(c)))
+
+  /** Quality blend shared by `text_quality_score` and `corpus_clean`:
+    * bounded mix of length and stopword-rate signals over int-derived
+    * doubles (identical expression tree on the oracle side). */
+  def qualityBlend(nTokens: Column, nThe: Column): Column =
+    least(nTokens / 100.0, lit(1.0)) * 0.6 +
+      least(nThe / 10.0, lit(1.0)) * 0.4
+
   /** Stopword marker lists for the language-ID heuristic. Scores are
     * substring-hit counts per language; ties resolve in declaration
     * order. A real system would use char-trigram profiles; the shape
@@ -123,9 +137,7 @@ object TextOps {
     Tables.documents(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
       .withColumn("n_the", regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
-      .withColumn("score",
-        least(col("n_tokens") / 100.0, lit(1.0)) * 0.6 +
-          least(col("n_the") / 10.0, lit(1.0)) * 0.4)
+      .withColumn("score", qualityBlend(col("n_tokens"), col("n_the")))
       .withColumn("bucket", floor(col("score") * 10).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
@@ -135,7 +147,7 @@ object TextOps {
     * the id-independent key used for cross-shard exact dedup. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", normalizedFp(col("text")))
       .groupBy(col("source"))
       .agg(countDistinct(col("fp")).as("n_distinct"),
         count(lit(1)).as("n_docs"),
@@ -276,13 +288,11 @@ object TextOps {
 
   /** Corpus mixing: resample sources to a target token mixture — the
     * domain-weighting step (web/wiki/books ratios) every pre-training
-    * data recipe runs. Target shares here are proportional to
-    * `10 − source_index` (src0 weighted 10 … src9 weighted 1); the
-    * retention-maximal exact mixture keeps ALL of the most
+    * data recipe runs. Target shares are Zipf-style, w = 1/(index+1)
+    * (src0 twice src1's share, …), valid for any number of sources;
+    * the retention-maximal exact mixture keeps ALL of the most
     * constraining source (k = min tokens_s/w_s) and downsamples the
-    * rest to w_s·k tokens. Weights are Zipf-style, w = 1/(index+1)
-    * (src0 twice src1's share, …), so the formula is valid for any
-    * number of sources. Sampling is the same deterministic
+    * rest to w_s·k tokens. Sampling is the same deterministic
     * md5-prefix systematic scheme as `sample_stratified`, with the
     * per-source rate quantized to 1/256 so the threshold is a hex
     * byte. Everything is computed IN the plan (the per-source rate
@@ -373,9 +383,8 @@ object TextOps {
       .withColumn("n_the",
         regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
       .withColumn("q",
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.6 +
-          least(col("n_the") / 10.0, lit(1.0)) * 0.4)
-      .withColumn("fp", md5(lower(trim(col("text")))))
+        qualityBlend(col("n_tokens").cast("double"), col("n_the")))
+      .withColumn("fp", normalizedFp(col("text")))
       .withColumn("pass_lang", col("guess") =!= "und")
       .withColumn("pass_q", col("pass_lang") && col("q") >= 0.3)
       .withColumn("rn", row_number().over(w))

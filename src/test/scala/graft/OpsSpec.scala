@@ -314,6 +314,37 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.head.getDouble(3) - 0.5) < 1e-12)
   }
 
+  test("band join: fractional bounds and degenerate bands") {
+    import spark.implicits._
+    // value 10.2 sits in the band's top sub-bucket range: the band
+    // must be exploded up to floor(hi/W), not floor((hi-1)/W)
+    val bands = Seq(("x", 0.0, 10.5), ("empty", 7.0, 7.0))
+      .toDF("band", "lo", "hi")
+    val fact = Seq(10.2, 10.6, 7.0).toDF("v")
+    val got = ops.Relational
+      .bandJoin(fact, col("v"), bands, "lo", "hi", bucketWidth = 10L)
+      .select("v", "band").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    // 10.2 ∈ [0,10.5) matches; 10.6 matches nothing; the degenerate
+    // [7,7) band matches nothing (and must not blow up the sequence)
+    assert(got === Set((10.2, "x"), (7.0, "x")))
+  }
+
+  test("chunk dedup: empty blob contributes zero chunks") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "s1", "0123456789abcdef" * 8), // exactly 2 chunks of 64B
+      (2L, "s1", ""))
+      .toDF("media_id", "source", "txt")
+      .withColumn("blob", encode(col("txt"), "utf-8"))
+    val r = ops.MultimodalOps.chunkDedupOn(media).collect()
+    assert(r.length === 1, r.mkString(";"))
+    assert(r.head.getLong(1) === 2L,
+      "empty blob must add no chunks: " + r.mkString(";"))
+    assert(r.head.getLong(2) === 1L,
+      "identical 64-byte chunks must collapse: " + r.mkString(";"))
+  }
+
   test("band join: bucketed range join avoids the nested-loop plan") {
     val df = ops.Relational.priceBands(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
