@@ -329,8 +329,12 @@ object DedupOps {
     * and fingerprints shuffle as longs, never text. No oracle (hash
     * internals); graded by the ScalaTest recall check against the
     * exact-Jaccard pair set. */
-  def winnowNearDup(s: SparkSession, d: String): DataFrame = {
-    val fps = Tables.documents(s, d)
+  def winnowNearDup(s: SparkSession, d: String): DataFrame =
+    winnowNearDupOn(s, Tables.documents(s, d))
+
+  /** Core of [[winnowNearDup]], parameterized for tests and reuse. */
+  def winnowNearDupOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    val fps = docs
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.winnow(s,
           lower(trim(col("text"))), 8, 4)).as("fp"))

@@ -314,6 +314,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.head.getDouble(3) - 0.5) < 1e-12)
   }
 
+  test("winnow stop-fingerprint guard: mass-duplicate corpus stays sub-quadratic") {
+    import spark.implicits._
+    // 200 byte-identical docs: every fingerprint occurs in 200 > 64
+    // docs, so the stop-fingerprint filter drops them all — no
+    // candidate pairs instead of 200*199/2. Two docs sharing a rarer
+    // fragment must still pair.
+    val boiler = "this exact boilerplate paragraph repeats across the corpus verbatim"
+    val rare = "a genuinely distinctive shared sentence appears only twice"
+    val docs = ((1L to 200L).map(i => (i, boiler)) ++
+      Seq((201L, rare + " tail one"), (202L, rare + " tail two")))
+      .toDF("doc_id", "text")
+    val pairs = ops.DedupOps.winnowNearDupOn(spark, docs)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((201L, 202L)),
+      s"expected only the rare pair, got ${pairs.size} pairs")
+  }
+
   test("band join: fractional bounds and degenerate bands") {
     import spark.implicits._
     // value 10.2 sits in the band's top sub-bucket range: the band
