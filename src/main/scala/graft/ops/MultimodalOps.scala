@@ -107,9 +107,36 @@ object MultimodalOps {
           col("n_chunks").cast("double"))
       .orderBy(col("source"))
 
+  /** Resize planning: aspect-preserving fit of each media item into a
+    * 224×224 target box — the geometry a real resize kernel runs per
+    * image; the pixel op itself lives behind the stub decoder, but
+    * the scale/output-dimension arithmetic (and its zero-dimension
+    * guard) is the engine's contract with it. Narrow projection, no
+    * UDF; dims are int-derived doubles with one `least`/`floor` per
+    * row so the oracle replicates bit-for-bit. */
+  def resizePlan(s: SparkSession, d: String): DataFrame = {
+    val target = 224.0
+    val eff = (c: org.apache.spark.sql.Column) => greatest(c, lit(1L))
+    mediaTable(s, d)
+      .withColumn("blob_len", length(col("blob")).cast("long"))
+      .withColumn("width", eff(col("blob_len") % 640))
+      .withColumn("height", eff(col("blob_len") * 7 % 480))
+      .withColumn("scale",
+        least(lit(target) / col("width").cast("double"),
+          lit(target) / col("height").cast("double")))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(floor(col("width").cast("double") * col("scale"))
+          .cast("long"), lit(1L)).as("out_w"),
+        greatest(floor(col("height").cast("double") * col("scale"))
+          .cast("long"), lit(1L)).as("out_h"),
+        round(col("scale"), 6).as("scale"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_blob_stats" -> blobStats,
     "mm_chunk_dedup" -> chunkDedup,
+    "mm_resize" -> resizePlan,
     "mm_decode_features" -> decodeFeatures,
     "mm_decode_mappartitions" -> decodeMapPartitions, // no oracle: UDF path
   )
@@ -135,6 +162,25 @@ object MultimodalOps {
         |  1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS dedup_ratio
         |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    GREATEST(octet_length(encode(text)) % 640, 1) AS width,
+        |    GREATEST(octet_length(encode(text)) * 7 % 480, 1) AS height
+        |  FROM documents),
+        |sc AS (
+        |  SELECT media_id, CAST(width AS BIGINT) AS width,
+        |    CAST(height AS BIGINT) AS height,
+        |    LEAST(224.0 / CAST(width AS DOUBLE),
+        |          224.0 / CAST(height AS DOUBLE)) AS scale
+        |  FROM m)
+        |SELECT media_id, width, height,
+        |  GREATEST(CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT),
+        |    1) AS out_w,
+        |  GREATEST(CAST(floor(CAST(height AS DOUBLE) * scale) AS BIGINT),
+        |    1) AS out_h,
+        |  round(scale, 6) AS scale
+        |FROM sc ORDER BY media_id""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
