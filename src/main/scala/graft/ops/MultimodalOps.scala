@@ -35,6 +35,15 @@ object MultimodalOps {
       .select(col("doc_id").as("media_id"), col("source"),
         encode(col("text"), "utf-8").as("blob"))
 
+  /** Stub-decoder geometry as shared column expressions — ONE
+    * definition of the width/height formulas for `decodeFeatures`,
+    * `resizePlan`, and the tests (the Scala twin is
+    * [[FakeDecoder.decode]]; keep the arithmetic in sync). */
+  def decodedWidth(blobLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (blobLen % 640).cast("int")
+  def decodedHeight(blobLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (blobLen * 7 % 480).cast("int")
+
   /** Blob statistics per source — binary columns flowing through
     * scan → project → aggregate with exact byte lengths. */
   def blobStats(s: SparkSession, d: String): DataFrame =
@@ -53,8 +62,8 @@ object MultimodalOps {
     mediaTable(s, d)
       .withColumn("blob_len", length(col("blob")).cast("long"))
       .select(col("media_id"), col("blob_len"),
-        (col("blob_len") % 640).cast("int").as("width"),
-        (col("blob_len") * 7 % 480).cast("int").as("height"),
+        decodedWidth(col("blob_len")).as("width"),
+        decodedHeight(col("blob_len")).as("height"),
         (col("blob_len") % 30 + 1).cast("int").as("n_frames"))
       .orderBy(col("media_id"))
 
@@ -111,19 +120,22 @@ object MultimodalOps {
     * 224×224 target box — the geometry a real resize kernel runs per
     * image; the pixel op itself lives behind the stub decoder, but
     * the scale/output-dimension arithmetic (and its zero-dimension
-    * guard) is the engine's contract with it. Narrow projection, no
+    * guard) is the engine's contract with it. Reported width/height
+    * are the RAW decoded dims (identical to `mm_decode_features` for
+    * the same media_id — the clamp applies only to the scale
+    * denominator and the output box, so a degenerate 0-dim item still
+    * reads consistently across the catalog). Narrow projection, no
     * UDF; dims are int-derived doubles with one `least`/`floor` per
     * row so the oracle replicates bit-for-bit. */
   def resizePlan(s: SparkSession, d: String): DataFrame = {
     val target = 224.0
-    val eff = (c: org.apache.spark.sql.Column) => greatest(c, lit(1L))
     mediaTable(s, d)
       .withColumn("blob_len", length(col("blob")).cast("long"))
-      .withColumn("width", eff(col("blob_len") % 640))
-      .withColumn("height", eff(col("blob_len") * 7 % 480))
+      .withColumn("width", decodedWidth(col("blob_len")).cast("long"))
+      .withColumn("height", decodedHeight(col("blob_len")).cast("long"))
       .withColumn("scale",
-        least(lit(target) / col("width").cast("double"),
-          lit(target) / col("height").cast("double")))
+        least(lit(target) / greatest(col("width"), lit(1L)).cast("double"),
+          lit(target) / greatest(col("height"), lit(1L)).cast("double")))
       .select(col("media_id"), col("width"), col("height"),
         greatest(floor(col("width").cast("double") * col("scale"))
           .cast("long"), lit(1L)).as("out_w"),
@@ -165,14 +177,13 @@ object MultimodalOps {
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    GREATEST(octet_length(encode(text)) % 640, 1) AS width,
-        |    GREATEST(octet_length(encode(text)) * 7 % 480, 1) AS height
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |    CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
         |  FROM documents),
         |sc AS (
-        |  SELECT media_id, CAST(width AS BIGINT) AS width,
-        |    CAST(height AS BIGINT) AS height,
-        |    LEAST(224.0 / CAST(width AS DOUBLE),
-        |          224.0 / CAST(height AS DOUBLE)) AS scale
+        |  SELECT media_id, width, height,
+        |    LEAST(224.0 / CAST(GREATEST(width, 1) AS DOUBLE),
+        |          224.0 / CAST(GREATEST(height, 1) AS DOUBLE)) AS scale
         |  FROM m)
         |SELECT media_id, width, height,
         |  GREATEST(CAST(floor(CAST(width AS DOUBLE) * scale) AS BIGINT),
