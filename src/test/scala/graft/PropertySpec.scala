@@ -52,6 +52,35 @@ class PropertySpec extends AnyFunSuite {
     }, n = 50)
   }
 
+  test("band join: random bands/values match the naive non-equi join") {
+    import spark.implicits._
+    val gen = for {
+      nBands <- Gen.choose(1, 5)
+      edges <- Gen.listOfN(nBands * 2, Gen.choose(0.0, 100.0))
+      vals <- Gen.listOfN(40, Gen.choose(-10.0, 110.0))
+      width <- Gen.oneOf(1L, 7L, 25L)
+    } yield (edges, vals, width)
+    val prop = Prop.forAll(gen) { case (edges, vals, width) =>
+      // pair consecutive sorted edges into [lo, hi) bands (may touch
+      // or be degenerate when duplicates collapse an interval)
+      val bands = edges.sorted.grouped(2).collect {
+        case List(lo, hi) => (s"b$lo", lo, hi)
+      }.toSeq
+      val bandsDf = bands.toDF("band", "lo", "hi")
+      val factDf = vals.toDF("v")
+      val got = ops.Relational
+        .bandJoin(factDf, col("v"), bandsDf, "lo", "hi", width)
+        .select("v", "band").collect()
+        .map(r => (r.getDouble(0), r.getString(1))).sorted.toSeq
+      val want = (for {
+        v <- vals
+        (b, lo, hi) <- bands if v >= lo && v < hi
+      } yield (v, b)).sorted
+      got == want
+    }
+    passes(prop, n = 10)
+  }
+
   test("prefix sum: random data/buckets match the sequential scan") {
     import spark.implicits._
     val gen = for {
