@@ -317,8 +317,32 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Per-group uniform sample via the bottom-k-by-hash sketch: keep
+    * the k docs with the smallest md5 values per source. Reuses
+    * [[graft.functions.TopKAggregator]] (score = negated hash), so
+    * each partition holds at most k candidates per group and partials
+    * merge k-vs-k — a mergeable SAMPLING sketch with the same scale
+    * shape as top-k search, vs. the window formulation that sorts
+    * every row. The hash is the first 12 hex chars (48 bits — exact
+    * in a Double) of md5(doc_id): deterministic, uniform, and
+    * order-preserving vs the oracle's lexicographic hex sort. */
+  def bottomKSample(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("picked"))
+      .select(col("source"), posexplode(col("picked")).as(Seq("pos", "sc")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("sc.id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_bands" -> priceBands,
+    "sample_bottomk_per_group" -> ((s, d) => bottomKSample(s, d)),
     "join_supplier_stats" -> supplierStats,
     "join_shuffle_parity" -> shuffleJoinParity,
     "filter_range_slice" -> rangeSlice,
@@ -340,6 +364,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // lexicographic sort of the fixed-length lowercase hex prefix ==
+    // numeric sort of the parsed 48-bit value the aggregator scores by
+    "sample_bottomk_per_group" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hp
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hp, doc_id) AS INT) AS rank
+        |  FROM h)
+        |SELECT source, rank, doc_id FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     "join_range_bands" ->
       s"""WITH bands(band, lo, hi) AS (
          |  SELECT * FROM (VALUES
