@@ -340,9 +340,32 @@ object Relational {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Full-outer join with side classification — the reconciliation
+    * shape (both / left-only / right-only) completing the join-type
+    * surface next to inner/left/semi/anti. One shuffle on the key;
+    * the BUILDING filter makes both null sides non-empty. */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("side",
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull,
+          "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("orders_only"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
+      .orderBy(col("side"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_bands" -> priceBands,
     "sample_bottomk_per_group" -> ((s, d) => bottomKSample(s, d)),
+    "join_full_outer" -> fullOuter,
     "join_supplier_stats" -> supplierStats,
     "join_shuffle_parity" -> shuffleJoinParity,
     "filter_range_slice" -> rangeSlice,
@@ -364,6 +387,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey)
+        |SELECT CASE
+        |    WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+        |      THEN 'both'
+        |    WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+        |    ELSE 'orders_only' END AS side,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(o.n_orders, 0)) AS BIGINT) AS sum_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |GROUP BY side ORDER BY side""".stripMargin,
     // lexicographic sort of the fixed-length lowercase hex prefix ==
     // numeric sort of the parsed 48-bit value the aggregator scores by
     "sample_bottomk_per_group" ->
