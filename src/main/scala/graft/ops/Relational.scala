@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * (`utils.ts:19-23`, `load.ts:80-87`). Here they are first-class
   * distributed operators over the testdata star schema.
   *
-  * Scale notes (100 TB): dimension joins use `broadcast()` explicitly;
-  * fact-fact joins shuffle on their keys and rely on AQE for skew.
+  * Scale notes (100 TB): only genuinely bounded dimensions (`nation`
+  * 25 rows, `region` 5) carry explicit `broadcast()` hints; anything
+  * that grows with the corpus (`customer`, `orders`, `lineitem`) is
+  * left to the planner/AQE size check so it broadcasts at small SF and
+  * shuffles at 100×. Fact-fact joins shuffle on their keys and rely on
+  * AQE for skew.
   * Filters and projections are plain Catalyst expressions so pushdown
   * and column pruning reach the parquet scan.
   */
@@ -51,8 +55,14 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** TPC-H Q3 shape: dim ⋈ fact ⋈ fact, grouped revenue, top-k.
-    * `customer` is broadcast; orders⋈lineitem is a shuffle join on
-    * orderkey. Tie-break on l_orderkey keeps the limit deterministic. */
+    * `customer` carries NO broadcast hint: it grows linearly with the
+    * corpus (1.5 M rows/SF; billions at the 100 TB design point), so a
+    * forced broadcast would bypass the planner's size guard and OOM at
+    * scale. The planner/AQE picks broadcast-hash when the filtered side
+    * fits `autoBroadcastJoinThreshold` and shuffle otherwise — exactly
+    * the behavior we want at both test SF and 100×. orders⋈lineitem is
+    * a shuffle join on orderkey. Tie-break on l_orderkey keeps the
+    * limit deterministic. */
   def topRevenue(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, d)
@@ -60,7 +70,7 @@ object Relational {
     val l = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
@@ -69,8 +79,11 @@ object Relational {
 
   }
 
-  /** TPC-H Q5 shape: snowflake join through two broadcast dims, revenue
-    * by nation. region→nation→customer→orders→lineitem. */
+  /** TPC-H Q5 shape: snowflake join, revenue by nation.
+    * region→nation→customer→orders→lineitem. Only the genuinely
+    * fixed-cardinality dims carry broadcast hints (`nation` 25 rows,
+    * `region` 5 — bounded by construction); `customer` scales with the
+    * corpus, so its join is left to the planner/AQE size check. */
   def regionalRevenue(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val n = Tables.nation(s, d)
@@ -80,7 +93,7 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
     val l = Tables.lineitem(s, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * scan with no shuffle until the final per-query top-k window (which
   * shuffles only |queries|·|candidates-per-query| rows after the
   * in-partition filter). IVF replaces the all-pairs scan with
-  * centroid-bucketed joins: cluster once (one broadcast join), then
+  * centroid-bucketed search: cluster once via a map-side argmax over
+  * the (bounded, driver-known) centroid array — zero shuffle — then
   * search only matching clusters.
   */
 object SimilarityOps {
@@ -107,21 +108,54 @@ object SimilarityOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** IVF build step: assign every vector to its nearest of 16 fixed
-    * centroids (vec_id < 16 — deterministic stand-ins for k-means
-    * output). At scale this is THE layout step: cluster assignment is
-    * a broadcast join + argmax, and the table is then repartitioned by
-    * `centroid_id` so a probe touches only matching partitions. */
-  def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") < 16)
+  /** Per-row centroid scoring, map-side (zero shuffle). The centroid
+    * set is bounded by construction — it is k-means output, k = 16
+    * here, always driver-sized — so instead of
+    * `crossJoin(broadcast(cent))` + a `row_number` window (which
+    * shuffles k×|corpus| rows just to take each vector's argmax) the
+    * centroids are collected ONCE into a sorted array literal and
+    * every row folds over it inside the projection. Returns the
+    * scored array sorted (cosine desc, centroid_id asc) — the same
+    * total order the window form used — so:
+    * assignment = `element_at(result, 1).cid`,
+    * probe set  = `slice(result, 1, nprobe)`.
+    * The assignment stage becomes a narrow map over the scan: no
+    * Exchange at all before the first downstream aggregation. */
+  private def centroidScores(cent: DataFrame, vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val rows = cent.orderBy(col("centroid_id")).collect()
+    val lits = rows.map { r =>
+      struct(lit(r.get(0)).as("cid"),
+        typedLit(r.getSeq[Float](1).toSeq.map(_.toDouble)).as("ce"))
+    }
+    val scored = transform(array(lits.toSeq: _*), c =>
+      struct(Vectors.cosine6(vec, c.getField("ce")).as("cos"),
+        c.getField("cid").as("cid")))
+    array_sort(scored, (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0).cast("int"))
+  }
+
+  /** The fixed 16-centroid set (vec_id < 16 — deterministic stand-ins
+    * for k-means output) as (centroid_id, ce). */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+
+  /** IVF build step: assign every vector to its nearest of 16 fixed
+    * centroids. At scale this is THE layout step: cluster assignment
+    * is a map-side argmax over the centroid array (see
+    * [[centroidScores]] — no crossJoin, no window, zero shuffle), and
+    * the table is then repartitioned by `centroid_id` so a probe
+    * touches only matching partitions. The only Exchange in this
+    * query is the tiny 16-group count at the end. */
+  def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val scores = centroidScores(centroids(s, d), col("embedding"))
+    Tables.embeddings(s, d)
+      .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("centroid_id"))
@@ -133,26 +167,16 @@ object SimilarityOps {
     * ScalaTest rather than by the SQL oracle. */
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    // assignment of all vectors to their nearest centroid
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val scores = centroidScores(centroids(s, d), col("embedding"))
+    // map-side assignment of all vectors to their nearest centroid
+    val assigned = e
+      .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
-    // queries probe their 2 nearest clusters
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
+    // queries probe their 2 nearest clusters — also map-side
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", Vectors.cosine6(col("qe"), col("ce")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
-      .select(col("query_id"), col("qe"), col("centroid_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(scores, 1, 2)).as("pc"))
+      .select(col("query_id"), col("qe"), col("pc.cid").as("centroid_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
@@ -240,25 +264,18 @@ object SimilarityOps {
     * SQL-expressible and oracle-graded end to end. */
   def ivfQuantized(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cosine", Vectors.cosine6(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val scores = centroidScores(centroids(s, d), col("embedding"))
+    // map-side assignment (float centroids) + int8 quantized storage
+    val assigned = e
+      .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
       .select(col("vec_id"), quantize(col("embedding")).as("vq"),
         col("centroid_id"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("centroid_id"))
+    // map-side probe selection: 2 nearest clusters per query
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", Vectors.cosine6(col("qe"), col("ce")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 2)
-      .select(col("query_id"), quantize(col("qe")).as("qq"), col("centroid_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(slice(scores, 1, 2)).as("pc"))
+      .select(col("query_id"), quantize(col("qe")).as("qq"),
+        col("pc.cid").as("centroid_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
