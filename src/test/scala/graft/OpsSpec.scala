@@ -61,6 +61,21 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("SimHash bucket cap: mass-duplicate corpus cannot go quadratic") {
+    import spark.implicits._
+    // 5000 byte-identical docs have IDENTICAL sketches — one bucket
+    // per block. Uncapped that re-creates the quadratic blowup the
+    // "n²/65536" argument only rules out for NON-duplicate mass
+    // (ADVICE r2); the per-(blk,key) cap truncates it like MinHash.
+    val boiler = (0L until 5000L).map(i => (i, "the same boilerplate text " * 8))
+    val unique = (5000L until 5010L).map(i =>
+      (i, (0 until 12).map(j => s"tok${i}x$j").mkString(" "))) // disjoint vocab
+    val docs = (boiler ++ unique).toDF("doc_id", "text")
+    val n = ops.DedupOps.simhashNearDupOn(docs).count()
+    assert(n <= 256L * 255 / 2, s"quadratic blowup: $n pairs")
+    assert(n > 0, "capped bucket must still yield in-cap dup pairs")
+  }
+
   test("SimHash block buckets find exactly the brute-force pairs") {
     // pigeonhole guarantee: bucketed candidate generation at
     // maxHamming=3 with 4 blocks is EXACT, not probabilistic
@@ -130,6 +145,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"SRP recall $recall too low")
     // verification is exact cosine: every emitted pair is a true pair
     assert((lsh -- exact).isEmpty, s"spurious=${lsh -- exact}")
+  }
+
+  test("semantic dedup: LSH→clustering composition recalls the exact clusters") {
+    // VERDICT r2 #3: the scale pipeline (thresholdLsh candidates →
+    // connectedComponents → min-id keep) must reproduce the bounded
+    // exact form's clusters. Compared on the same vec_id < 300 slice:
+    // recall = co-clustered pairs of the exact form recovered by the
+    // LSH form. LSH-side edges are exact-cosine-verified, so any
+    // co-clustering it adds is ≥-threshold connectivity, not noise.
+    def coClustered(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val byCluster = df.filter(col("cluster_size") > 1)
+        .select(col("cluster_id"), col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).values
+      byCluster.flatMap { members =>
+        val ids = members.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val exact = coClustered(ops.DedupOps.semantic(spark, sf))
+    val lsh = coClustered(ops.DedupOps.semanticOnPairs(emb,
+      ops.DedupOps.semanticLshPairs(emb)))
+    assert(exact.nonEmpty, "fixture should contain non-singleton clusters")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH-composed cluster recall $recall too low")
   }
 
   test("IVF probe achieves high recall vs exact top-k") {
