@@ -28,8 +28,15 @@ object SparkEntry {
 
   /** Structured Streaming twins of the batch event queries (SURVEY.md
     * §7.2 M4). The hourly rollup is oracle-able (tumbling windows are
-    * epoch-aligned = date_trunc); session counts stay rows-only
-    * (gap-boundary semantics are engine-specific at exact-gap ties). */
+    * epoch-aligned = date_trunc). Session counts are oracle-able too:
+    * `session_window` was probed empirically (TieProbeSpec pattern) —
+    * an event EXACTLY gap-after the previous EXTENDS the session
+    * (merge condition `next.ts <= prev_end`), i.e. a new session
+    * starts iff the gap is STRICTLY exceeded, which is expressible as
+    * `ts - lag(ts) > INTERVAL 30 MINUTE` in ANSI SQL. The fixtures
+    * carry no sub-microsecond timestamp residue (DuckDB reads the
+    * nanos parquet at full precision, Spark truncates to µs), so both
+    * engines evaluate the same strict comparison on the same values. */
   private val streamingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_rollup" -> (streaming.StreamingSessions.hourlyCounts _),
     "stream_sessionize" -> (streaming.StreamingSessions.sessionCounts _),
@@ -42,6 +49,21 @@ object SparkEntry {
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // new session iff strictly more than the 30-min gap since the
+    // user's previous event — session_window's empirically-verified
+    // tie rule (exact-gap extends); session identity = running sum of
+    // session-start markers, the standard batch sessionizer
+    "stream_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_stateful_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
