@@ -423,14 +423,16 @@ object DedupOps {
 
   /** The full-scale composition [[semantic]]'s docstring narrates,
     * actually wired (VERDICT r2 #3): SRP-LSH candidate pairs
-    * (`SimilarityOps.thresholdLshOn` — sub-quadratic band buckets +
-    * exact cosine verification, over the WHOLE embedding table) →
-    * the SAME `connectedComponents` + min-id keep-rule. Band params
-    * are widened for the 0.3 threshold (7 bits × 96 bands → ~0.93
-    * boundary recall per the SRP collision formula; the default
-    * 8×64 is tuned for 0.4). Rows-only for the driver (SRP internals
-    * aren't SQL-expressible); cluster-recall vs the exact form on the
-    * bounded slice is asserted in ScalaTest. */
+    * (`SimilarityOps.thresholdLshAuto` — band buckets sized to the
+    * corpus by `srpAutoParams`, so the sub-quadratic claim holds
+    * across scales, + exact cosine verification, over the WHOLE
+    * embedding table) → the SAME `connectedComponents` + min-id
+    * keep-rule. At the sf0.1 corpus (n = 2 000) the auto-tuning
+    * lands on 7 bits × 98 bands — ~0.93 boundary recall at the 0.3
+    * threshold per the SRP collision formula. Rows-only for the
+    * driver (SRP internals aren't SQL-expressible); cluster-recall
+    * vs the exact form on the bounded slice is asserted in
+    * ScalaTest. */
   def semanticLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     semanticOnPairs(emb, semanticLshPairs(emb))
@@ -438,7 +440,7 @@ object DedupOps {
 
   /** Candidate stage of [[semanticLsh]], shared with the recall test. */
   def semanticLshPairs(emb: DataFrame): DataFrame =
-    SimilarityOps.thresholdLshOn(emb, 0.3, bitsPerBand = 7, nBands = 96)
+    SimilarityOps.thresholdLshAuto(emb, 0.3)
       .select(col("a_id"), col("b_id"))
 
   /** Incremental dedup: clean a NEW batch against an already-published

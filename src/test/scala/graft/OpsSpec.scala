@@ -147,6 +147,30 @@ class OpsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"spurious=${lsh -- exact}")
   }
 
+  test("srpAutoParams: reproduces the hand-tuned point and scales sub-quadratically") {
+    // the previously hand-picked (7, 96) for the 0.3-threshold demo at
+    // n=2000 is what the tuner derives from the same collision formula
+    // (96 bands gave recall 0.926; the exact-0.93 solution is 98)
+    assert(ops.SimilarityOps.srpAutoParams(2000L, 0.3) === (7, 98))
+    // covered fraction of the pair space ≈ L/2^b must FALL as n grows
+    // (fixed params would keep it constant = quadratic candidates)
+    def frac(n: Long): Double = {
+      val (b, l) = ops.SimilarityOps.srpAutoParams(n, 0.3, maxBands = Int.MaxValue)
+      l.toDouble / math.pow(2.0, b)
+    }
+    assert(frac(1000L) > frac(100000L))
+    assert(frac(100000L) > frac(10000000L))
+    // candidate count ~ n^(1+ρ): the per-n candidate ESTIMATE
+    // n²·frac(n) must grow far slower than n² — check the empirical
+    // exponent over two decades is below 1.85 (theory: 1 + ρ ≈ 1.75)
+    val e = math.log((1e14 * frac(10000000L)) / (1e10 * frac(100000L))) /
+      math.log(100.0)
+    assert(e < 1.85, s"empirical candidate exponent $e not sub-quadratic")
+    // the bands rail caps compute, not correctness
+    val (_, lCapped) = ops.SimilarityOps.srpAutoParams(1000000000L, 0.3)
+    assert(lCapped === 4096)
+  }
+
   test("semantic dedup: LSH→clustering composition recalls the exact clusters") {
     // VERDICT r2 #3: the scale pipeline (thresholdLsh candidates →
     // connectedComponents → min-id keep) must reproduce the bounded
