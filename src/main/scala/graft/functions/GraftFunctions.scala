@@ -52,6 +52,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => SrpBands(Cast(es.head, ArrayType(DoubleType)),
         intArg(es(1)), intArg(es(2)), longArg(es(3))),
       "graft_srp_bands(vec, bitsPerBand, nBands, seed) - signed-random-projection LSH band buckets"),
+    // no cast: DotProduct reads float arrays natively (the cast pass
+    // is exactly the allocation it exists to eliminate)
+    ("graft_dot",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)),
+      "graft_dot(a, b) - allocation-free dot product of two float/double vectors"),
   )
 
   /** Idempotently register all custom functions on a live session. */

@@ -1,23 +1,34 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, composed from
-  * codegen'd higher-order builtins (`zip_with` + `aggregate`) — no
-  * UDF, so similarity search stays inside WholeStageCodegen.
+/** Vector math over `array<float>` embedding columns, built on the
+  * native [[DotProduct]] expression (`graft_dot`) — a single fused,
+  * allocation-free loop inside WholeStageCodegen. The earlier
+  * composed form (`aggregate(zip_with(...))` over `array<double>`
+  * casts) computed the same values but allocated three intermediate
+  * arrays per evaluation, which dominates when evaluations number
+  * in the candidate-pair millions (LSH verification, all-pairs
+  * oracles).
   *
-  * All math is done in double precision (the float arrays are
-  * upcast first) and rounded once at the end; two engines computing
-  * dot/(|a|·|b|) agree to ~1e-15, so round-6 values are stable across
-  * Spark and the DuckDB oracle.
+  * All math is done in double precision (floats widen exactly,
+  * products accumulate left-to-right in double — the identical IEEE
+  * sequence to the old composed form) and rounded once at the end;
+  * two engines computing dot/(|a|·|b|) agree to ~1e-15, so round-6
+  * values are stable across Spark and the DuckDB oracle.
   */
 object Vectors {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    // lazy idempotent registration on the active session: Vectors is
+    // a session-free Column API, but call_function resolves names
+    // against the session that analyzes the plan
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -26,7 +37,7 @@ object Vectors {
 
   /** Oracle-stable cosine: double math, rounded to 6 places. */
   def cosine6(a: Column, b: Column): Column =
-    round(cosine(toDouble(a), toDouble(b)), 6)
+    round(cosine(a, b), 6)
 
   /** Cosine from pre-computed per-row norms: in an all-pairs join the
     * naive form recomputes |a| and |b| once PER PAIR (3 array passes
@@ -34,8 +45,8 @@ object Vectors {
     * one pass per pair. Same arithmetic (dot / (na*nb)) → same
     * round-6 values as `cosine6`. */
   def cosine6WithNorms(a: Column, an: Column, b: Column, bn: Column): Column =
-    round(dot(toDouble(a), toDouble(b)) / (an * bn), 6)
+    round(dot(a, b) / (an * bn), 6)
 
   /** The per-row norm column to pair with [[cosine6WithNorms]]. */
-  def normCol(a: Column): Column = norm(toDouble(a))
+  def normCol(a: Column): Column = norm(a)
 }

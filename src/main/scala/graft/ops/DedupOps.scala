@@ -125,7 +125,7 @@ object DedupOps {
       rowsPerBand: Int = 4,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val s = docsRaw.sparkSession
-    val docs = docsRaw
+    val docs = fanOut(docsRaw)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     // Signature in ONE array pass via the native graft_minhash
     // expression (each shingle byte-hashed once, k splitmix
@@ -199,7 +199,7 @@ object DedupOps {
     // mask expression would be 0 and every key would collide into one
     // all-pairs bucket — use the full mask explicitly
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val t = docs.select(col("doc_id"),
+    val t = fanOut(docs).select(col("doc_id"),
       graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
     val blockCols = (0 until nBlocks).map(i =>
       shiftrightunsigned(col("sh"), i * width).bitwiseAND(lit(mask)))
@@ -254,19 +254,27 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // labels only ever decrease, so the sum of labels is a monotone
+    // convergence witness: a round changed some label iff the (exact,
+    // decimal) sum got strictly smaller. One node-sized aggregate per
+    // round replaces the old join+count convergence probe.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var curSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var changed = true
+    while (changed && iter < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val next = msgs.union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      // labels are monotone non-increasing, so "different" = "smaller";
-      // one count over a node-sized join decides convergence
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label")).count()
+      val nextSum = labelSum(next)
+      // null sum = empty label frame (empty pair graph): converged
+      changed = nextSum != null && curSum != null &&
+        nextSum.compareTo(curSum) < 0
+      curSum = nextSum
       // reassignment drops the only reference to the superseded
       // round's checkpoint; the ContextCleaner then frees its blocks
       // on driver GC (Dataset.unpersist cannot release localCheckpoint
@@ -274,7 +282,7 @@ object DedupOps {
       labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter — raise it)")
@@ -353,31 +361,39 @@ object DedupOps {
   def winnowNearDup(s: SparkSession, d: String): DataFrame =
     winnowNearDupOn(s, Tables.documents(s, d))
 
-  /** Core of [[winnowNearDup]], parameterized for tests and reuse. */
+  /** Core of [[winnowNearDup]], parameterized for tests and reuse.
+    *
+    * Plan shape: the winnow expression is the expensive part (a
+    * rolling hash over the full text), so it must run ONCE per doc.
+    * `array_distinct` dedups fingerprints inside the projection
+    * (per-doc dups are the only possible dups, so this replaces a
+    * full row-level `distinct()` shuffle), the per-doc set size
+    * `nfp` rides along through the explode (no separate count join),
+    * and the exploded (doc_id, nfp, fp-long) frame — linear in the
+    * corpus, text-free — is localCheckpointed so the three downstream
+    * consumers (stop-fingerprint census + both self-join sides) read
+    * the materialization instead of re-evaluating the hash. */
   def winnowNearDupOn(s: SparkSession, docs: DataFrame,
       minShared: Int = 2, minOverlapFrac: Double = 0.25): DataFrame = {
-    val fps = docs
+    val fps = fanOut(docs)
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.winnow(s,
-          lower(trim(col("text"))), 8, 4)).as("fp"))
-      .distinct()
-    // per-doc fingerprint-set size, for the overlap-fraction filter
-    val counts = fps.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nfp"))
+        array_distinct(graft.functions.GraftFunctions.winnow(s,
+          lower(trim(col("text"))), 8, 4)).as("fpa"))
+      .select(col("doc_id"), size(col("fpa")).as("nfp"),
+        explode(col("fpa")).as("fp"))
+      .localCheckpoint(true)
     val keep = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= 64)
       .select(col("fp"))
     val bucketed = fps.join(keep, Seq("fp"))
-    bucketed.select(col("fp"), col("doc_id").as("a_id"))
-      .join(bucketed.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+    bucketed.select(col("fp"), col("doc_id").as("a_id"), col("nfp").as("na"))
+      .join(bucketed.select(col("fp"), col("doc_id").as("b_id"),
+        col("nfp").as("nb")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(counts.select(col("doc_id").as("a_id"), col("nfp").as("na")),
-        Seq("a_id"))
-      .join(counts.select(col("doc_id").as("b_id"), col("nfp").as("nb")),
-        Seq("b_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
       .filter(col("n_shared") >= minShared &&
         col("n_shared") >=
           lit(minOverlapFrac) * least(col("na"), col("nb")))

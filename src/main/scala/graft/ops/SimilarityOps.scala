@@ -130,7 +130,7 @@ object SimilarityOps {
   def thresholdLshOn(emb: DataFrame, threshold: Double,
       bitsPerBand: Int = 8, nBands: Int = 64, seed: Long = 42L): DataFrame = {
     val s = emb.sparkSession
-    val e = emb.select(col("vec_id"), col("embedding"),
+    val e = fanOut(emb).select(col("vec_id"), col("embedding"),
       Vectors.normCol(col("embedding")).as("nrm"))
     val bands = e.select(col("vec_id"),
       posexplode(graft.functions.GraftFunctions.srpBands(s, col("embedding"),
@@ -140,16 +140,24 @@ object SimilarityOps {
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
+    // Verify BEFORE dedup: the raw candidate stream is the big frame
+    // (every band a pair collides in emits a row — ~L×background mass),
+    // but verification is map-side (embedding lookup broadcasts, cosine
+    // is codegen'd), so filtering first means the distinct() shuffle
+    // only carries the threshold survivors — orders of magnitude
+    // smaller than the candidate stream at low thresholds. Same output:
+    // cosine is deterministic per (a,b), so dedup before or after
+    // scoring yields identical rows.
     cand
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-        col("nrm").as("an")), Seq("a_id"))
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-        col("nrm").as("bn")), Seq("b_id"))
+      .join(broadcast(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("an"))), Seq("a_id"))
+      .join(broadcast(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))), Seq("b_id"))
       .withColumn("cosine",
         Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 

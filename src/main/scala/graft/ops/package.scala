@@ -17,6 +17,20 @@ package object ops {
   val D18_2: DecimalType = DecimalType(18, 2)
   val D3_2: DecimalType = DecimalType(3, 2)
 
+  /** Fan a frame out to at least the cluster's parallelism ahead of a
+    * CPU-heavy projection (signature/rolling-hash/LSH banding). A
+    * small local scan is often a single parquet row group = ONE task,
+    * which serializes the expensive per-row expression onto one core;
+    * scan-splitting configs can't help because the row group is the
+    * parallelism floor. At scale the scan's natural partitioning
+    * already exceeds core count and this is a no-op — no shuffle is
+    * added on the 100-TB path. Results are partitioning-independent
+    * (all downstream consumers aggregate or join deterministically). */
+  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact sum of a 2-decimal double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(D18_2)).cast("double")
 
