@@ -493,9 +493,56 @@ object DedupOps {
       .orderBy(col("source"), col("stage"))
   }
 
+  /** Bloom-prefiltered incremental dedup: the membership check of
+    * [[incremental]] restructured so the NEW-batch side — the side
+    * that is corpus-sized in a steady-state pipeline — mostly never
+    * shuffles. A Bloom filter over the published snapshot's
+    * fingerprints (driver-built sketch, broadcast once; ~1.2 GB per
+    * 10⁹ snapshot docs at 1% fpp, the same driver-side-sketch shape
+    * as CountMin) splits the batch map-side: "definitely new" rows
+    * (no false negatives exist) bypass the anti-join entirely, and
+    * only suspected dups — true dups plus the fpp·|batch| false
+    * positives — pay the fingerprint shuffle for the exact check.
+    * The result is therefore EXACTLY the plain anti-join (false
+    * positives are weeded out by it), which is what makes this
+    * oracle-able; the `graft_bloom_prefilter` observed metric
+    * publishes how many rows needed the exact check. Membership is a
+    * broadcast-closure UDF (a few xxhash probes on a shared bit
+    * array; Spark's native might_contain expression is not
+    * constructible from the public API). Beyond a few billion
+    * snapshot docs the sketch outgrows broadcast — shard it or fall
+    * back to the plain anti-join. */
+  def bloomIncremental(s: SparkSession, d: String): DataFrame =
+    bloomIncrementalOn(Tables.documents(s, d))
+
+  /** Core of [[bloomIncremental]], parameterized for tests. */
+  def bloomIncrementalOn(docs: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val s = docs.sparkSession
+    val fp = TextOps.normalizedFp(col("text"))
+    val snapshot = docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp"))
+    val bf = snapshot.stat.bloomFilter("fp",
+      math.max(snapshot.count(), 1L), fpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((x: String) => x != null && bfB.value.mightContainString(x))
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("might", mightContain(col("fp")))
+      .observe("graft_bloom_prefilter",
+        sum(when(col("might"), 1L).otherwise(0L)).as("exact_checked"),
+        count(lit(1)).as("batch_rows"))
+    val definitelyNew = batch.filter(!col("might"))
+      .select(col("doc_id"), col("fp"))
+    val confirmedNew = batch.filter(col("might"))
+      .select(col("doc_id"), col("fp"))
+      .join(snapshot, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    definitelyNew.unionByName(confirmedNew).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
+    "dedup_bloom_incremental" -> bloomIncremental,
     "dedup_first_wins" -> firstWins,
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // no oracle: SRP internals
@@ -559,6 +606,14 @@ object DedupOps {
          |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
          |    AS cluster_size
          |FROM comp c ORDER BY doc_id""".stripMargin,
+    "dedup_bloom_incremental" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents
+        |WHERE doc_id % 10 >= 8
+        |  AND md5(lower(trim(text))) NOT IN (
+        |    SELECT md5(lower(trim(text)))
+        |    FROM documents WHERE doc_id % 10 < 8)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH existing AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fp

@@ -9,6 +9,37 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("graft_dot == composed zip_with/aggregate dot (float + double + SQL)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    // reference: the old composed form over explicit double casts
+    def composed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
+        (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val diff = df.select(
+        graft.functions.Vectors.dot(col("a"), col("b")).as("native"),
+        composed(col("a"), col("b")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff === 0, "native dot must be bit-identical to the composed form")
+    // double arrays take the dotDD specialization — same equality
+    val diffD = df.select(col("a").cast("array<double>").as("ad"),
+        col("b").cast("array<double>").as("bd"))
+      .select(graft.functions.Vectors.dot(col("ad"), col("bd")).as("native"),
+        composed(col("ad"), col("bd")).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diffD === 0)
+    // SQL registration path + null array → null
+    GraftFunctions.register(spark)
+    df.limit(1).createOrReplaceTempView("dot_t")
+    val viaSql = spark.sql(
+      "SELECT graft_dot(a, b) AS d, " +
+        "graft_dot(CAST(NULL AS ARRAY<FLOAT>), b) AS n FROM dot_t").head()
+    assert(!viaSql.isNullAt(0) && viaSql.isNullAt(1))
+  }
+
   test("native geohash expression == UDF reference implementation") {
     val grid = for {
       i <- 0 to 10; j <- 0 to 10

@@ -350,6 +350,35 @@ class OpsSpec extends AnyFunSuite {
       "dropped_published" -> 1L, "dropped_in_batch" -> 1L, "new" -> 2L))
   }
 
+  test("bloom incremental dedup == plain anti-join (fixture + planted dups)") {
+    import spark.implicits._
+    // differential on the real fixture: the bloom path must be
+    // EXACTLY the unfiltered anti-join (false positives weeded out,
+    // false negatives impossible)
+    val docs = Tables.documents(spark, sf)
+    val fp = ops.TextOps.normalizedFp(col("text"))
+    val plain = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), fp.as("fp"))
+      .join(docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp")),
+        Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bloom = ops.DedupOps.bloomIncrementalOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bloom === plain)
+    assert(bloom.nonEmpty, "fixture batch must contain new docs")
+    // constructed corpus: published dup dropped, new docs survive,
+    // in-batch dups both survive (membership, not first-wins)
+    val tiny = Seq(
+      (1L, "s", "alpha"), (2L, "s", "beta"),
+      (8L, "s", "alpha"), (9L, "s", "gamma"),
+      (18L, "s", "delta"), (28L, "s", "delta"))
+      .toDF("doc_id", "source", "text")
+    val got = ops.DedupOps.bloomIncrementalOn(tiny)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(9L, 18L, 28L))
+  }
+
   test("corpus mix: rates hit the target mixture invariants") {
     val rows = ops.TextOps.corpusMix(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
