@@ -17,7 +17,7 @@ object Merge {
   def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val kept = existing.join(
       updates.select(col(key)).distinct(), Seq(key), "left_anti")
-    updates.unionByName(kept.select(updates.columns.map(col): _*))
+    updates.unionByName(kept.select(updates.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Delete-matched: existing rows whose key appears in `tombstones`

@@ -57,7 +57,7 @@ object Normalize {
     val projected = schema.fields.flatMap { f =>
       present.get(f.name).map(src => coerce(col(src), f.dataType).as(f.name))
     }
-    df.select(projected ++ passthrough.map(col): _*)
+    df.select((projected ++ passthrough.map(col)).toIndexedSeq: _*)
   }
 
   /** The widening half: add the schema columns the input lacks as
@@ -70,7 +70,7 @@ object Normalize {
       if (present.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
-    df.select(full ++ passthrough.filter(present.contains).map(col): _*)
+    df.select((full ++ passthrough.filter(present.contains).map(col)).toIndexedSeq: _*)
   }
 
   /** F5: strip the FIRST occurrence of " (EST.)" — exact JS

@@ -238,6 +238,26 @@ object Relational {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  /** Skew-salted join surfaced as a graded query: the same
+    * orders ⋈ customer market-segment rollup as a plain join, but
+    * executed through `etl.Skew.saltedJoin` — the hot-key tool when
+    * one join key dominates so heavily that AQE's skew splitting
+    * can't help (AQE splits partitions, not a single key's hash
+    * bucket). The salt is internal (the derived (key, salt) join key
+    * never escapes the operator), so the oracle is the PLAIN SQL
+    * join — grading that the rewrite is semantics-preserving, the
+    * property that makes salting safe to deploy at 100 TB. */
+  def saltedJoinParity(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.etl.Skew.saltedJoin(o, c, "o_custkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** P8/P9: deterministic pagination — rows [100, 120) of the
     * o_orderkey total order, the batch analog of the reference's
     * --start/--resume.
@@ -381,6 +401,7 @@ object Relational {
     "join_full_outer" -> fullOuter,
     "join_supplier_stats" -> supplierStats,
     "join_shuffle_parity" -> shuffleJoinParity,
+    "join_salted_parity" -> saltedJoinParity,
     "filter_range_slice" -> rangeSlice,
     "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
@@ -400,6 +421,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted_parity" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "join_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer
         |           WHERE c_mktsegment = 'BUILDING'),

@@ -89,7 +89,7 @@ object StreamingLoad {
       // intra-file line order within their partition, so keeping each
       // partition's first block-0 row per file yields exactly one
       // header per file in a single job.
-      val headerRows = spark.read.text(files: _*)
+      val headerRows = spark.read.text(files.toIndexedSeq: _*)
         .select(col("value"),
           col("_metadata.file_path").as("f"),
           col("_metadata.file_block_start").as("bs"))
@@ -134,7 +134,7 @@ object StreamingLoad {
         .filter(col("value") =!= col("__hdr"))
         .withColumn("__p", from_csv(col("value"), schema,
           Map("sep" -> "\t", "mode" -> "FAILFAST", "nullValue" -> "")))
-        .select(col("__file") +: schema.fieldNames.map(f => col(s"__p.$f")): _*)
+        .select((col("__file") +: schema.fieldNames.map(f => col(s"__p.$f"))).toIndexedSeq: _*)
       val withMeta = Ingest.withFileMetaFrom(parsed, col("__file")).drop("__file")
 
       val deduped = LoadPipeline.dedupeFirstWins(LoadPipeline.derive(withMeta))
