@@ -175,13 +175,21 @@ object SimilarityOps {
     * The assignment stage becomes a narrow map over the scan: no
     * Exchange at all before the first downstream aggregation. */
   private def centroidScores(cent: DataFrame, vec: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val rows = cent.orderBy(col("centroid_id")).collect()
-    val lits = rows.map { r =>
-      struct(lit(r.get(0)).as("cid"),
-        typedLit(r.getSeq[Float](1).toSeq.map(_.toDouble)).as("ce"))
+      : org.apache.spark.sql.Column =
+    centroidScoresLocal(
+      cent.orderBy(col("centroid_id")).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble))
+      }, vec)
+
+  /** Driver-side centroid list variant of [[centroidScores]] (used by
+    * the k-means trainer, whose centroids are computed doubles rather
+    * than a stored float column). */
+  private def centroidScoresLocal(cents: Seq[(Long, Seq[Double])],
+      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lits = cents.sortBy(_._1).map { case (cid, ce) =>
+      struct(lit(cid).as("cid"), typedLit(ce).as("ce"))
     }
-    val scored = transform(array(lits.toSeq: _*), c =>
+    val scored = transform(array(lits: _*), c =>
       struct(Vectors.cosine6(vec, c.getField("ce")).as("cos"),
         c.getField("cid").as("cid")))
     array_sort(scored, (l, r) =>
@@ -193,7 +201,10 @@ object SimilarityOps {
   }
 
   /** The fixed 16-centroid set (vec_id < 16 — deterministic stand-ins
-    * for k-means output) as (centroid_id, ce). */
+    * for k-means output) as (centroid_id, ce). The real trainer is
+    * [[kmeansFit]]; the IVF queries keep the fixed set so their
+    * oracles stay one SQL statement, and the trainer's own trajectory
+    * is graded by `sim_kmeans_sizes` + the exact differential test. */
   private def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
@@ -341,7 +352,90 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic distributed k-means (Lloyd) — the trainer that
+    * produces IVF's centroid set ([[centroids]]'s fixed 16 are
+    * deterministic stand-ins for exactly this output). The 100 TB
+    * shape, stage by stage:
+    *
+    *  - ASSIGN is the map-side argmax of [[centroidScoresLocal]]:
+    *    zero shuffle, centroids ride along as a literal array (k is
+    *    the IVF fanout — driver-sized by construction).
+    *  - UPDATE shuffles only (k × dim) partial sums per partition:
+    *    vectors are pre-quantized to fixed-point longs
+    *    (round(x·10⁶)), so per-(cluster, dim) sums are EXACT
+    *    integers — no float-summation order dependence anywhere in
+    *    the trajectory. Each new centroid coordinate is one IEEE
+    *    division of exact integers, so every iteration's centroids
+    *    AND cluster sizes are identical across engines,
+    *    partitionings and retries — the same fixed-point discipline
+    *    the money aggregates use (ops/package.scala). Long sums
+    *    overflow only past ~9·10¹² members per cluster at 10⁶ scale.
+    *  - Fixed iteration count (no convergence action): the standard
+    *    choice for layout jobs, where a few Lloyd rounds capture
+    *    most of the distortion drop and a fixpoint isn't required.
+    *
+    * Returns the per-iteration (iter, centroid_id, n_assigned)
+    * trajectory and the final centroids. Empty clusters keep their
+    * previous centroid. Differential-tested against a single-node
+    * reference implementation of the same arithmetic. */
+  def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 3,
+      quantScale: Long = 1000000L)
+      : (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])]) = {
+    val qe = fanOut(emb).select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * quantScale).cast("long")).as("qv"))
+      .localCheckpoint(true) // read once per iteration
+    // deterministic seeding: the k lowest vec_ids
+    var cents: Seq[(Long, Seq[Double])] =
+      qe.orderBy(col("vec_id")).limit(k).collect().toSeq.map { r =>
+        (r.getLong(0),
+          r.getSeq[Long](2).toSeq.map(_.toDouble / quantScale))
+      }.sortBy(_._1)
+    val trajectory = Seq.newBuilder[(Int, Long, Long)]
+    for (it <- 1 to iters) {
+      val assigned = qe.withColumn("cid",
+        element_at(centroidScoresLocal(cents, col("embedding")), 1)
+          .getField("cid"))
+      // exact integer partial sums: k×dim rows per partition combine
+      // map-side, k×dim total rows reach the driver
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val n = rows.head.getLong(3)
+            trajectory += ((it, cid, n))
+            val coords = rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / (n.toDouble * quantScale))
+            (cid, coords.toSeq)
+          case None => // empty cluster: keep previous centroid
+            trajectory += ((it, cid, 0L))
+            (cid, old)
+        }
+      }
+    }
+    (trajectory.result(), cents)
+  }
+
+  /** The k-means trajectory as a graded query: (iter, centroid_id,
+    * n_assigned) per Lloyd round. Rows-only for the driver (iterative
+    * k-means is not one SQL statement), but the VALUES are fully
+    * deterministic thanks to the fixed-point update — the ScalaTest
+    * differential check replays the identical arithmetic single-node
+    * and must match exactly. */
+  def kmeansSizes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansFit(Tables.embeddings(s, d))._1
+      .toDF("iter", "centroid_id", "n_assigned")
+      .orderBy(col("iter"), col("centroid_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_sizes" -> kmeansSizes, // no oracle: iterative trainer
     "sim_quantized_top1" -> quantizedTopK,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,

@@ -350,6 +350,73 @@ class OpsSpec extends AnyFunSuite {
       "dropped_published" -> 1L, "dropped_in_batch" -> 1L, "new" -> 2L))
   }
 
+  test("k-means trajectory matches the single-node reference arithmetic exactly") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val k = 16; val iters = 3; val scale = 1000000L
+    val (traj, finalCents) =
+      ops.SimilarityOps.kmeansFit(Tables.embeddings(spark, sf), k, iters, scale)
+    // single-node reference: same quantization (Spark round = HALF_UP),
+    // same left-to-right double dot, same round-6 + (cos desc, cid asc)
+    // argmax, same exact-integer update
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def halfUp(x: Double, s: Int) =
+      JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => JBD.valueOf(x.toDouble * scale)
+        .setScale(0, RoundingMode.HALF_UP).longValue())
+    def dotFD(a: Array[Float], b: Seq[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s0 += a(i).toDouble * b(i); i += 1 }
+      s0
+    }
+    def dotFF(a: Array[Float]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i).toDouble * a(i).toDouble; i += 1 }
+      s0
+    }
+    def dotDD(b: Seq[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < b.length) { s0 += b(i) * b(i); i += 1 }
+      s0
+    }
+    def cos6(v: Array[Float], c: Seq[Double]): Double =
+      halfUp(dotFD(v, c) / (math.sqrt(dotFF(v)) * math.sqrt(dotDD(c))), 6)
+    var cents: Seq[(Long, Seq[Double])] = vecs.take(k)
+      .map { case (id, v) => (id, quant(v).toSeq.map(_.toDouble / scale)) }.toSeq
+    val refTraj = Seq.newBuilder[(Int, Long, Long)]
+    for (it <- 1 to iters) {
+      val assign = vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, c) => (cos6(v, c), cid) }
+          .minBy { case (c, cid) => (-c, cid) }._2
+        (id, v, best)
+      }
+      cents = cents.map { case (cid, old) =>
+        val members = assign.filter(_._3 == cid)
+        refTraj += ((it, cid, members.length.toLong))
+        if (members.isEmpty) (cid, old)
+        else {
+          val dim = members.head._2.length
+          val sums = Array.fill(dim)(0L)
+          members.foreach { case (_, v, _) =>
+            val q = quant(v); var i = 0
+            while (i < dim) { sums(i) += q(i); i += 1 } }
+          (cid, sums.toSeq.map(
+            _.toDouble / (members.length.toDouble * scale)))
+        }
+      }
+    }
+    assert(traj === refTraj.result(), "trajectory must match exactly")
+    assert(finalCents.map(_._1) === cents.map(_._1))
+    finalCents.zip(cents).foreach { case ((_, got), (_, want)) =>
+      assert(got === want, "final centroids must match bit-exactly") }
+    // sanity: every iteration assigns all vectors
+    traj.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum === vecs.length) }
+  }
+
   test("bloom incremental dedup == plain anti-join (fixture + planted dups)") {
     import spark.implicits._
     // differential on the real fixture: the bloom path must be
