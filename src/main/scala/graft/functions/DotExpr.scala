@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object DotCodegen {
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -40,7 +40,7 @@ object DotCodegen {
   }
 
   def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -51,7 +51,7 @@ object DotCodegen {
   }
 
   def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +61,16 @@ object DotCodegen {
     s
   }
 
-  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+  def dotDF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
 }
 
 /** `graft_dot(a, b)` → double: allocation-free dot product of two
@@ -95,10 +104,17 @@ case class DotProduct(left: Expression, right: Expression)
     case (DoubleType, FloatType)  => "dotDF"
   }
 
+  // mismatched lengths yield NULL — parity with the composed
+  // zip_with/aggregate form, where the shorter side null-pads and the
+  // null propagates through the fold ("dot of mismatched vectors is
+  // undefined", not a silent truncation)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    method match {
+    if (x.numElements() != y.numElements()) null
+    else method match {
       case "dotFF" => DotCodegen.dotFF(x, y)
       case "dotDD" => DotCodegen.dotDD(x, y)
       case "dotFD" => DotCodegen.dotFD(x, y)
@@ -107,8 +123,12 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.DotCodegen.$method($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.DotCodegen.$method($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -38,6 +38,11 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT graft_dot(a, b) AS d, " +
         "graft_dot(CAST(NULL AS ARRAY<FLOAT>), b) AS n FROM dot_t").head()
     assert(!viaSql.isNullAt(0) && viaSql.isNullAt(1))
+    // mismatched lengths → NULL, matching the composed form (null-pad
+    // through zip_with propagates through the fold)
+    val mm = spark.sql(
+      "SELECT graft_dot(a, slice(b, 1, 32)) AS m FROM dot_t").head()
+    assert(mm.isNullAt(0), "mismatched dims must yield null, not truncate")
   }
 
   test("native geohash expression == UDF reference implementation") {
