@@ -75,10 +75,11 @@ object EtlParity {
         Normalize.stripEstMarker(col("city_raw")).as("city"))
       .orderBy(col("c_custkey"))
 
-  /** F6: geohash-8 over synthesized coordinates (rows-only; known
-    * vectors are unit-tested — DuckDB has no geohash builtin). Uses
-    * the native codegen'd expression; equivalence with the UDF
-    * reference implementation is unit-tested. */
+  /** F6: geohash-8 over synthesized coordinates. Uses the native
+    * codegen'd expression; equivalence with the UDF reference
+    * implementation is unit-tested, and the DuckDB oracle recomputes
+    * the hash in pure SQL via [[geohashSql]]'s fixed-point bit
+    * interleave (DuckDB has no geohash builtin). */
   def geohashDerive(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .withColumn("lat", (col("c_custkey") % 1800).cast("double") / 10.0 - 90.0)
@@ -126,11 +127,52 @@ object EtlParity {
     "etl_date_coercion" -> dateCoercion,
     "etl_filename_grammar" -> filenameGrammar,
     "etl_est_marker_strip" -> estMarkerStrip,
-    "etl_geohash" -> geohashDerive, // no oracle: geohash not in DuckDB
+    "etl_geohash" -> geohashDerive, // oracled via generated bit-interleave SQL
     "etl_pii_scrub" -> piiScrub,
   )
 
+  /** Geohash-8 in pure SQL, generated term-by-term. The bisection
+    * bit sequence of a coordinate IS its fixed-point quantization:
+    * bit k (MSB-first) of floor((lat+90)/180 · 2²⁰) equals the k-th
+    * lat bisection decision, so geohash = base32 of the lon/lat bit
+    * interleave — all integer arithmetic after two quantizations.
+    *
+    * Double-rounding safety (why the two engines can't disagree):
+    * both compute the SAME lat/lon doubles from integer keys (same
+    * IEEE expression), and the quantization x = (v+90)/180·2²⁰
+    * carries ≤ ~1e-9 of accumulated rounding error, while for this
+    * fixture family (coordinates on a 0.1° grid) the exact x is
+    * either ≥ 3.8e-7 away from every integer or EXACTLY integral
+    * (0.1°-grid values that are dyadic land on cell boundaries, where
+    * floor and the bisection's `>= mid` branch agree and the double
+    * arithmetic is exact). So floor() is never ambiguous. */
+  private def geohashSql: String = {
+    val interleave = (0 until 20).map { i =>
+      s"((((ilon >> $i) & 1) << ${2 * i + 1}) + (((ilat >> $i) & 1) << ${2 * i}))"
+    }.mkString(" + ")
+    val chars = (0 until 8).map { j =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(((bits >> ${35 - 5 * j}) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH g AS (
+       |  SELECT c_custkey,
+       |    CAST(c_custkey % 1800 AS DOUBLE) / 10 - 90.0 AS lat,
+       |    CAST(c_custkey * 7 % 3600 AS DOUBLE) / 10 - 180.0 AS lon
+       |  FROM customer),
+       |q AS (
+       |  SELECT c_custkey, lat, lon,
+       |    LEAST(CAST(floor((lat + 90.0) / 180.0 * 1048576) AS BIGINT),
+       |      1048575) AS ilat,
+       |    LEAST(CAST(floor((lon + 180.0) / 360.0 * 1048576) AS BIGINT),
+       |      1048575) AS ilon
+       |  FROM g),
+       |b AS (SELECT c_custkey, lat, lon, $interleave AS bits FROM q)
+       |SELECT c_custkey, lat, lon, $chars AS geohash
+       |FROM b ORDER BY c_custkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "etl_geohash" -> geohashSql,
     "etl_null_normalize" ->
       """SELECT p_type, COUNT(*) AS n,
         |  COUNT(CASE WHEN p_size < 10 THEN NULL ELSE p_brand END) AS n_nonnull,
