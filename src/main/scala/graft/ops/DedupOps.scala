@@ -265,9 +265,18 @@ object DedupOps {
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
+      // two propagation hops per round: labels are monotone, so
+      // composing hops before the checkpoint+convergence probe is
+      // semantics-free — it halves the number of jobs the iterative
+      // stage pays (each round is one lazy two-hop plan, one
+      // checkpoint, one sum) while rounds-to-converge ~ diameter/2
+      val hop1 = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = msgs.union(labels)
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val next = edges.join(hop1, edges("src") === hop1("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(hop1)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
