@@ -548,10 +548,55 @@ object DedupOps {
     definitelyNew.unionByName(confirmedNew).orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/eval split: the split unit is the DUPLICATE
+    * CLUSTER, not the document. Splitting a deduplicated-but-not-
+    * clustered corpus document-wise leaks near-identical text across
+    * the train/eval boundary (the standard benchmark-contamination
+    * failure); here every document inherits its cluster's split, so a
+    * near-dup family lands wholly in train or wholly in eval.
+    *
+    * Pipeline: near-dup pairs → [[connectedComponents]] (pair-graph-
+    * sized, not corpus-sized) → left-join the cluster map onto the
+    * corpus (singletons are their own cluster) → split by md5 prefix
+    * of cluster_id (deterministic ~80/20, the house hash-sampling
+    * mechanism) → per-split rollup plus the leakage invariant
+    * computed IN-PLAN: the number of clusters whose members straddle
+    * splits, which must be 0 by construction and is graded by the
+    * oracle. All stages are corpus-linear or pair-graph-sized. The
+    * pair stage here is [[jaccardNearDup]]'s bounded oracle form
+    * (what makes the recursive-CTE oracle feasible); at scale it is
+    * [[minhashLshOn]] candidates, exactly as in [[clusters]]. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val comp = connectedComponents(
+      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val lab = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 2) < "cd",
+          "train").otherwise("eval")) // P(hex byte < 0xcd) = 205/256 ≈ 80%
+    // the single-row invariant joins on a constant key (equi-join →
+    // broadcast hash), not crossJoin (→ nested-loop, which the plan
+    // invariant suite rightly rejects)
+    val straddle = lab.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("nsp"))
+      .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_straddling"))
+      .withColumn("__k", lit(1))
+    lab.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(straddle), Seq("__k"))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_straddling"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
     "dedup_bloom_incremental" -> bloomIncremental,
+    "split_leakage_safe" -> leakageSafeSplit,
     "dedup_first_wins" -> firstWins,
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // no oracle: SRP internals
@@ -623,6 +668,43 @@ object DedupOps {
         |    SELECT md5(lower(trim(text)))
         |    FROM documents WHERE doc_id % 10 < 8)
         |ORDER BY doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) a
+         |  JOIN (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) b
+         |    ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |         FROM walk GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |    CASE WHEN substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+         |        AS VARCHAR)), 1, 2) < 'cd'
+         |      THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |strad AS (
+         |  SELECT CAST(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddling
+         |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS nsp
+         |        FROM lab GROUP BY cluster_id) t)
+         |SELECT l.split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+         |  s.n_straddling
+         |FROM lab l CROSS JOIN strad s
+         |GROUP BY l.split, s.n_straddling
+         |ORDER BY l.split""".stripMargin,
     "dedup_incremental" ->
       """WITH existing AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fp

@@ -417,6 +417,27 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.map(_._3).sum === vecs.length) }
   }
 
+  test("leakage-safe split: clusters never straddle, totals reconcile") {
+    val rows = ops.DedupOps.leakageSafeSplit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("eval", "train"))
+    // the graded invariant: no duplicate cluster straddles the split
+    rows.foreach(r => assert(r.getLong(3) === 0L, "straddling clusters"))
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === Tables.documents(spark, sf).count())
+    // every member of a known near-dup family inherits ONE split:
+    // recompute the cluster map and check max-one-split per cluster
+    val comp = ops.DedupOps.connectedComponents(
+      ops.DedupOps.jaccardNearDup(spark, sf)
+        .select(col("a_id"), col("b_id")))
+    val multi = comp.withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 2) < "cd",
+          "train").otherwise("eval"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(multi === 0L)
+  }
+
   test("bloom incremental dedup == plain anti-join (fixture + planted dups)") {
     import spark.implicits._
     // differential on the real fixture: the bloom path must be

@@ -29,6 +29,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "sim_quantized_top1",   // same bounded query side
     "dedup_semantic",       // bounded exact pair stage (oracle form)
     "dedup_jaccard_neardup", // bounded exact Jaccard ground truth
+    "split_leakage_safe",   // reuses jaccardNearDup's bounded pair
+                            // stage (doc_id < 200) — same rationale as
+                            // dedup_clusters; the scale path swaps in
+                            // minhashLsh candidates
     // scalar joins, not pair joins: both crossJoins broadcast a
     // SINGLE-ROW aggregate (global k / total_tokens) against a
     // per-source aggregate frame (|sources| rows, corpus-independent)
