@@ -23,11 +23,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and to the DuckDB oracle.
   *
   * Null handling: a null ARRAY yields null (BinaryExpression's
-  * null-safe contract); null ELEMENTS are not supported (embedding
-  * columns are dense by construction — enforced by the type check
-  * accepting only float/double element types, and by the fixtures).
+  * null-safe contract); a null ELEMENT or a length mismatch also
+  * yields null — matching the composed form, where a null element
+  * poisons the fold. The element-null guard is one pass over the
+  * null bitmap per array, paid before the fused loop.
   */
 object DotCodegen {
+  /** Any null element? One pass over the null bitmap — the guard that
+    * keeps the fused loop's results identical to the composed
+    * zip_with/aggregate form, where a null element nulls the fold. */
+  def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -104,27 +118,37 @@ case class DotProduct(left: Expression, right: Expression)
     case (DoubleType, FloatType)  => "dotDF"
   }
 
-  // mismatched lengths yield NULL — parity with the composed
-  // zip_with/aggregate form, where the shorter side null-pads and the
-  // null propagates through the fold ("dot of mismatched vectors is
-  // undefined", not a silent truncation)
+  // mismatched lengths and null ELEMENTS yield NULL — parity with the
+  // composed zip_with/aggregate form, where the shorter side null-pads
+  // (or the null element poisons the product) and the null propagates
+  // through the fold. Not silent truncation, not read-null-as-zero.
   override def nullable: Boolean = true
+
+  // dispatch bound once at first evaluation, not per row
+  private lazy val fn: (ArrayData, ArrayData) => Double =
+    method match {
+      case "dotFF" => DotCodegen.dotFF
+      case "dotDD" => DotCodegen.dotDD
+      case "dotFD" => DotCodegen.dotFD
+      case "dotDF" => DotCodegen.dotDF
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
-    else method match {
-      case "dotFF" => DotCodegen.dotFF(x, y)
-      case "dotDD" => DotCodegen.dotDD(x, y)
-      case "dotFD" => DotCodegen.dotFD(x, y)
-      case "dotDF" => DotCodegen.dotDF(x, y)
-    }
+    if (x.numElements() != y.numElements() ||
+      DotCodegen.anyNull(x) || DotCodegen.anyNull(y)) null
+    else fn(x, y)
   }
 
+  // NOTE: no line may BEGIN with "||" — the codegen formatter treats
+  // leading pipes as margin characters and strips them, silently
+  // corrupting the emitted Java
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() != $b.numElements()) {
+      if ($a.numElements() != $b.numElements() ||
+          graft.functions.DotCodegen.anyNull($a) ||
+          graft.functions.DotCodegen.anyNull($b)) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.DotCodegen.$method($a, $b);

@@ -23,9 +23,13 @@ object Vectors {
   def toDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column = {
-    // lazy idempotent registration on the active session: Vectors is
-    // a session-free Column API, but call_function resolves names
-    // against the session that analyzes the plan
+    // lazy idempotent registration on the active session — the one
+    // constraint this API inherits from call_function name resolution:
+    // a session must exist when the Column is BUILT, and in a
+    // multi-session driver the session that analyzes the plan must
+    // also have the functions registered (GraftExtensions covers
+    // deployments via spark.sql.extensions; register() is idempotent
+    // and safe to call again on any other session)
     GraftFunctions.register(SparkSession.active)
     call_function("graft_dot", a, b)
   }

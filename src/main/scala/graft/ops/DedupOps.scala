@@ -294,7 +294,8 @@ object DedupOps {
     if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(graph diameter exceeds maxIter — raise it)")
+          s"(= ${2 * maxIter} propagation hops; graph diameter exceeds " +
+          "that — raise maxIter)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -524,11 +525,19 @@ object DedupOps {
   def bloomIncremental(s: SparkSession, d: String): DataFrame =
     bloomIncrementalOn(Tables.documents(s, d))
 
-  /** Core of [[bloomIncremental]], parameterized for tests. */
+  /** Core of [[bloomIncremental]], parameterized for tests.
+    *
+    * Both sides are materialized once (localCheckpoint of the narrow
+    * fingerprint frames — text never persists): the snapshot subtree
+    * feeds three consumers (count for sizing, the Bloom aggregation,
+    * the exact anti-join) and the flagged batch feeds the two union
+    * branches; without the checkpoint each consumer re-scans and
+    * re-hashes its corpus-sized input. */
   def bloomIncrementalOn(docs: DataFrame, fpp: Double = 0.01): DataFrame = {
     val s = docs.sparkSession
     val fp = TextOps.normalizedFp(col("text"))
     val snapshot = docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp"))
+      .localCheckpoint(true)
     val bf = snapshot.stat.bloomFilter("fp",
       math.max(snapshot.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
@@ -536,6 +545,7 @@ object DedupOps {
     val batch = docs.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), fp.as("fp"))
       .withColumn("might", mightContain(col("fp")))
+      .localCheckpoint(true)
       .observe("graft_bloom_prefilter",
         sum(when(col("might"), 1L).otherwise(0L)).as("exact_checked"),
         count(lit(1)).as("batch_rows"))
@@ -661,13 +671,20 @@ object DedupOps {
          |    AS cluster_size
          |FROM comp c ORDER BY doc_id""".stripMargin,
     "dedup_bloom_incremental" ->
-      """SELECT doc_id, md5(lower(trim(text))) AS fp
-        |FROM documents
-        |WHERE doc_id % 10 >= 8
-        |  AND md5(lower(trim(text))) NOT IN (
-        |    SELECT md5(lower(trim(text)))
-        |    FROM documents WHERE doc_id % 10 < 8)
-        |ORDER BY doc_id""".stripMargin,
+      // LEFT JOIN + IS NULL, not NOT IN: a NULL fingerprint anywhere
+      // in the snapshot would make NOT IN return zero rows, while
+      // Spark's left_anti keeps non-matching rows (same reason the
+      // dedup_incremental oracle uses LEFT JOIN)
+      """WITH existing AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT b.doc_id, b.fp
+        |FROM batch b LEFT JOIN existing e ON e.fp = b.fp
+        |WHERE e.fp IS NULL
+        |ORDER BY b.doc_id""".stripMargin,
     "split_leakage_safe" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id

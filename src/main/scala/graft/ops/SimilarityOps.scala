@@ -142,17 +142,20 @@ object SimilarityOps {
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
     // Verify BEFORE dedup: the raw candidate stream is the big frame
     // (every band a pair collides in emits a row — ~L×background mass),
-    // but verification is map-side (embedding lookup broadcasts, cosine
-    // is codegen'd), so filtering first means the distinct() shuffle
-    // only carries the threshold survivors — orders of magnitude
-    // smaller than the candidate stream at low thresholds. Same output:
-    // cosine is deterministic per (a,b), so dedup before or after
-    // scoring yields identical rows.
+    // and verification is one codegen'd cosine per row, so filtering
+    // first means the distinct() shuffle only carries the threshold
+    // survivors — orders of magnitude smaller than the candidate
+    // stream at low thresholds. Same output: cosine is deterministic
+    // per (a,b), so dedup before or after scoring yields identical
+    // rows. The embedding lookups carry NO broadcast hint: the lookup
+    // side is the corpus itself, which only the planner/AQE size check
+    // may broadcast (it will at demo scale; at 100 TB these are
+    // shuffle joins of the linear candidate stream — correct).
     cand
-      .join(broadcast(e.select(col("vec_id").as("a_id"),
-        col("embedding").as("ae"), col("nrm").as("an"))), Seq("a_id"))
-      .join(broadcast(e.select(col("vec_id").as("b_id"),
-        col("embedding").as("be"), col("nrm").as("bn"))), Seq("b_id"))
+      .join(e.select(col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("an")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn")), Seq("b_id"))
       .withColumn("cosine",
         Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
       .filter(col("cosine") >= threshold)

@@ -25,7 +25,13 @@ package object ops {
     * parallelism floor. At scale the scan's natural partitioning
     * already exceeds core count and this is a no-op — no shuffle is
     * added on the 100-TB path. Results are partitioning-independent
-    * (all downstream consumers aggregate or join deterministically). */
+    * (all downstream consumers aggregate or join deterministically).
+    *
+    * Call with SCAN-ROOTED frames only: reading `df.rdd` plans the
+    * frame a second time (cheap for a scan), and a frame with an
+    * upstream Exchange could eagerly run shuffle stages under AQE at
+    * plan-construction time. Every current caller passes a projected
+    * table scan. */
   def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -43,6 +43,12 @@ class FunctionsSpec extends AnyFunSuite {
     val mm = spark.sql(
       "SELECT graft_dot(a, slice(b, 1, 32)) AS m FROM dot_t").head()
     assert(mm.isNullAt(0), "mismatched dims must yield null, not truncate")
+    // null ELEMENT → NULL (the composed form's null poisons the fold;
+    // the fused loop must not read it as 0)
+    val ne = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS m").head()
+    assert(ne.isNullAt(0), "null element must yield null, not 0")
   }
 
   test("native geohash expression == UDF reference implementation") {
