@@ -209,6 +209,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low (2/16 clusters probed)")
   }
 
+  test("IVF with trained centroids achieves high recall vs exact top-k") {
+    // trainer → index composition: kmeansFit centroids must be at
+    // least as good a partitioning for 2-probe search as the fixed
+    // vec_id<16 stand-ins (same bar as the ivfProbe test)
+    val exact = ops.SimilarityOps.cosineTopK(spark, sf)
+      .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = ops.SimilarityOps.ivfTrained(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-IVF recall $recall too low")
+  }
+
   test("IVF+quantized search keeps high recall vs exact float top-k") {
     // both approximations stacked (cluster pruning + int8 scores):
     // the top-3 under quantized-pruned search should still mostly be
