@@ -100,6 +100,20 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nBands),
       org.apache.spark.sql.functions.lit(seed))
   }
+
+  /** Bloom membership probe via the native [[BloomContains]]
+    * expression. Column-API only (the seventh custom expression, but
+    * deliberately NOT in [[all]]): its filter argument is a runtime
+    * `Broadcast` handle with no SQL-literal spelling — the same
+    * reason Spark's own `BloomFilterMightContain` is
+    * optimizer-internal rather than a registered SQL function. Built
+    * directly over the expression (no `call_function`), so it is pure
+    * and needs no session at construction. */
+  def bloomContains(filter: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter], key: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BloomContains(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(key), filter))
 }
 
 /** `SparkSessionExtensions` injector for spark.sql.extensions. */

@@ -516,12 +516,13 @@ object DedupOps {
     * The result is therefore EXACTLY the plain anti-join (false
     * positives are weeded out by it), which is what makes this
     * oracle-able; the `graft_bloom_prefilter` observed metric
-    * publishes how many rows needed the exact check. Membership is a
-    * broadcast-closure UDF (a few xxhash probes on a shared bit
-    * array; Spark's native might_contain expression is not
-    * constructible from the public API). Beyond a few billion
-    * snapshot docs the sketch outgrows broadcast — shard it or fall
-    * back to the plain anti-join. */
+    * publishes how many rows needed the exact check. Membership is
+    * the codegen'd [[graft.functions.BloomContains]] expression
+    * probing the broadcast filter — no UDF in the corpus hot path
+    * (asserted by PlanInvariantsSpec). Beyond a few billion snapshot
+    * docs a single sketch outgrows one broadcast — that fallback is
+    * [[bloomIncrementalShardedOn]], which hash-splits the fingerprint
+    * space into N filters probed one at a time. */
   def bloomIncremental(s: SparkSession, d: String): DataFrame =
     bloomIncrementalOn(Tables.documents(s, d))
 
@@ -538,13 +539,20 @@ object DedupOps {
     val fp = TextOps.normalizedFp(col("text"))
     val snapshot = docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp"))
       .localCheckpoint(true)
-    val bf = snapshot.stat.bloomFilter("fp",
-      math.max(snapshot.count(), 1L), fpp)
+    // sketch over the NON-NULL fingerprints only: stat.bloomFilter
+    // NPEs on a null (ADVICE r3), and a null fp can never match the
+    // exact anti-join anyway, so dropping it is semantics-free
+    val nonNull = snapshot.filter(col("fp").isNotNull)
+    val bf = nonNull.stat.bloomFilter("fp",
+      math.max(nonNull.count(), 1L), fpp)
     val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((x: String) => x != null && bfB.value.mightContainString(x))
+    // codegen'd broadcast probe; coalesce supplies the operator's null
+    // policy (a null fp is definitely absent — no filter contains null)
     val batch = docs.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), fp.as("fp"))
-      .withColumn("might", mightContain(col("fp")))
+      .withColumn("might", coalesce(
+        graft.functions.GraftFunctions.bloomContains(bfB, col("fp")),
+        lit(false)))
       .localCheckpoint(true)
       .observe("graft_bloom_prefilter",
         sum(when(col("might"), 1L).otherwise(0L)).as("exact_checked"),
@@ -552,6 +560,74 @@ object DedupOps {
     val definitelyNew = batch.filter(!col("might"))
       .select(col("doc_id"), col("fp"))
     val confirmedNew = batch.filter(col("might"))
+      .select(col("doc_id"), col("fp"))
+      .join(snapshot, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    definitelyNew.unionByName(confirmedNew).orderBy(col("doc_id"))
+  }
+
+  /** Sharded-sketch fallback for [[bloomIncrementalOn]] — the
+    * documented rail past a few billion snapshot docs, where one
+    * Bloom filter outgrows a single broadcast (~1.2 GB per 10⁹ docs
+    * at 1% fpp; the broadcast ceiling is 8 GB and executor memory is
+    * shared). The fingerprint space is hash-split into `shards`
+    * filters by the fingerprint's leading hex byte (the fp is an md5,
+    * so the first byte is uniform — no second hash needed, and the
+    * routing is the same cheap expression on both build and probe
+    * sides). All filters are built in ONE pass over the snapshot
+    * (per-partition filter arrays, tree-merged); probing then runs
+    * one shard at a time — broadcast shard i, flag shard-i batch
+    * rows, EAGERLY materialize (localCheckpoint), destroy the
+    * broadcast — so peak filter memory per executor is size/shards,
+    * not size. Result is provably identical to [[bloomIncrementalOn]]
+    * and to the plain anti-join (unit-tested): sharding changes which
+    * filter answers a probe, never the answer's guarantees. */
+  def bloomIncrementalShardedOn(docs: DataFrame, fpp: Double = 0.01,
+      shards: Int = 4): DataFrame = {
+    require(shards > 0 && shards <= 256, "shard count must route on one hex byte")
+    val s = docs.sparkSession
+    val fp = TextOps.normalizedFp(col("text"))
+    val shardOf = pmod(conv(substring(col("fp"), 1, 2), 16, 10).cast("int"),
+      lit(shards))
+    val snapshot = docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp"))
+      .localCheckpoint(true)
+    val nonNull = snapshot.filter(col("fp").isNotNull)
+    val perShard = math.max(nonNull.count() / shards, 1L)
+    // one distributed pass: every partition fills a local array of
+    // `shards` filters, merged pairwise up the tree — the build cost
+    // is one snapshot scan regardless of shard count
+    import org.apache.spark.util.sketch.BloomFilter
+    val zero = Array.fill(shards)(BloomFilter.create(perShard, fpp))
+    val filters = nonNull.select(col("fp"))
+      .as(org.apache.spark.sql.Encoders.STRING).rdd
+      .treeAggregate(zero)(
+        (fs, f) => {
+          fs(Integer.parseInt(f.substring(0, 2), 16) % shards).putString(f)
+          fs
+        },
+        (a, b) => { a.lazyZip(b).foreach((x, y) => x.mergeInPlace(y)); a })
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("shard", shardOf)
+      .localCheckpoint(true)
+    // sequential shard probes: only one shard's filter is live at a
+    // time (the eager checkpoint materializes the probe before the
+    // broadcast is destroyed); null-fp rows skip probing entirely
+    val probed = (0 until shards).map { i =>
+      val bcI = s.sparkContext.broadcast(filters(i))
+      val flagged = batch.filter(col("shard") === i)
+        .withColumn("might",
+          graft.functions.GraftFunctions.bloomContains(bcI, col("fp")))
+        .select(col("doc_id"), col("fp"), col("might"))
+        .localCheckpoint(true)
+      bcI.destroy()
+      flagged
+    }.reduce(_ unionByName _)
+      .unionByName(batch.filter(col("fp").isNull)
+        .select(col("doc_id"), col("fp"), lit(false).as("might")))
+    val definitelyNew = probed.filter(!col("might"))
+      .select(col("doc_id"), col("fp"))
+    val confirmedNew = probed.filter(col("might"))
       .select(col("doc_id"), col("fp"))
       .join(snapshot, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))

@@ -481,6 +481,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq(9L, 18L, 28L))
   }
 
+  test("sharded bloom incremental == single-sketch == plain anti-join") {
+    // the broadcast-ceiling fallback: hash-splitting the fingerprint
+    // space changes which filter answers a probe, never the answer
+    val docs = Tables.documents(spark, sf)
+    val single = ops.DedupOps.bloomIncrementalOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sharded = ops.DedupOps.bloomIncrementalShardedOn(docs, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sharded === single)
+    // degenerate shard counts still agree (1 = unsharded routing)
+    val one = ops.DedupOps.bloomIncrementalShardedOn(docs, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(one === single)
+  }
+
+  test("bloom incremental: null text survives the sketch build (ADVICE r3)") {
+    import spark.implicits._
+    // a null snapshot text used to NPE stat.bloomFilter; a null BATCH
+    // fp must be kept as definitely-new (no filter contains null)
+    val tiny = Seq(
+      (1L, "s", "alpha"), (2L, "s", null.asInstanceOf[String]),
+      (8L, "s", "alpha"), (9L, "s", null.asInstanceOf[String]),
+      (18L, "s", "fresh"))
+      .toDF("doc_id", "source", "text")
+    val single = ops.DedupOps.bloomIncrementalOn(tiny)
+      .collect().map(_.getLong(0)).toSeq
+    assert(single === Seq(9L, 18L))
+    val sharded = ops.DedupOps.bloomIncrementalShardedOn(tiny, shards = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sharded === Seq(9L, 18L))
+  }
+
   test("corpus mix: rates hit the target mixture invariants") {
     val rows = ops.TextOps.corpusMix(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
