@@ -116,13 +116,18 @@ object SimilarityOps {
     (b, math.min(maxBands, math.max(1, l)))
   }
 
-  /** [[thresholdLshOn]] with [[srpAutoParams]]-tuned (bits, bands):
-    * one metadata-cheap `count()` sizes the corpus, then the banding
-    * adapts. Deterministic (the count is data-determined), so
-    * rows-only grading is stable across runs. */
+  /** [[thresholdLshOn]] with [[srpAutoParams]]-tuned (bits, bands).
+    * `knownN` is the manifest-style corpus cardinality
+    * ([[graft.Tables.cardinality]] — parquet footer metadata, zero
+    * jobs); callers that don't have one fall back to a `count()`
+    * scan. Deterministic either way (both are the same
+    * data-determined number), so rows-only grading is stable across
+    * runs and across the two sizing paths. */
   def thresholdLshAuto(emb: DataFrame, threshold: Double,
-      targetRecall: Double = 0.93, seed: Long = 42L): DataFrame = {
-    val (bits, bands) = srpAutoParams(emb.count(), threshold, targetRecall)
+      targetRecall: Double = 0.93, seed: Long = 42L,
+      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(emb.count())
+    val (bits, bands) = srpAutoParams(n, threshold, targetRecall)
     thresholdLshOn(emb, threshold, bits, bands, seed)
   }
 
