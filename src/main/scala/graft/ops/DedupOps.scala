@@ -261,7 +261,20 @@ object DedupOps {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
-    var curSum = labelSum(labels)
+    // A null sum is ambiguous: empty label frame (empty pair graph —
+    // legitimately converged) OR decimal overflow (non-ANSI sum
+    // returns null past 38 digits), which must FAIL, not silently
+    // exit the loop with half-propagated labels. Disambiguate with an
+    // emptiness probe paid only on the null path (i.e. ~never).
+    def checkedSum(df: DataFrame): java.math.BigDecimal = {
+      val s = labelSum(df)
+      if (s == null && !df.isEmpty)
+        throw new ArithmeticException(
+          "connectedComponents convergence witness overflowed " +
+            "decimal(38,0) — label sum exceeds 38 digits")
+      s
+    }
+    var curSum = checkedSum(labels)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -279,8 +292,8 @@ object DedupOps {
         .union(hop1)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      // null sum = empty label frame (empty pair graph): converged
+      val nextSum = checkedSum(next)
+      // both sums null = empty label frame (empty pair graph): converged
       changed = nextSum != null && curSum != null &&
         nextSum.compareTo(curSum) < 0
       curSum = nextSum
