@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Vector math over `array<float>` embedding columns, built on the
   * native [[DotProduct]] expression (`graft_dot`) — a single fused,
@@ -22,17 +23,16 @@ object Vectors {
 
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column = {
-    // lazy idempotent registration on the active session — the one
-    // constraint this API inherits from call_function name resolution:
-    // a session must exist when the Column is BUILT, and in a
-    // multi-session driver the session that analyzes the plan must
-    // also have the functions registered (GraftExtensions covers
-    // deployments via spark.sql.extensions; register() is idempotent
-    // and safe to call again on any other session)
-    GraftFunctions.register(SparkSession.active)
-    call_function("graft_dot", a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    // the Column is built directly over the expression — no
+    // call_function name resolution, so dot() is pure: no session
+    // needs to exist when the Column is BUILT, and a multi-session
+    // driver cannot pick up the wrong thread-local active session
+    // (the old SparkSession.active registration hack). SQL users
+    // still reach the same expression as `graft_dot` via
+    // GraftFunctions.register / GraftExtensions.
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -19,17 +19,20 @@ class FunctionsSpec extends AnyFunSuite {
     def composed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       aggregate(zip_with(x.cast("array<double>"), y.cast("array<double>"),
         (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    // null-safe inequality: plain =!= evaluates to null when exactly
+    // one side is NULL and the row silently passes the filter,
+    // weakening the parity claim (ADVICE r3)
     val diff = df.select(
         graft.functions.Vectors.dot(col("a"), col("b")).as("native"),
         composed(col("a"), col("b")).as("ref"))
-      .filter(col("native") =!= col("ref")).count()
+      .filter(!(col("native") <=> col("ref"))).count()
     assert(diff === 0, "native dot must be bit-identical to the composed form")
     // double arrays take the dotDD specialization — same equality
     val diffD = df.select(col("a").cast("array<double>").as("ad"),
         col("b").cast("array<double>").as("bd"))
       .select(graft.functions.Vectors.dot(col("ad"), col("bd")).as("native"),
         composed(col("ad"), col("bd")).as("ref"))
-      .filter(col("native") =!= col("ref")).count()
+      .filter(!(col("native") <=> col("ref"))).count()
     assert(diffD === 0)
     // SQL registration path + null array → null
     GraftFunctions.register(spark)
