@@ -18,11 +18,20 @@ object Skew {
     * big rows get a deterministic salt in [0, buckets); small rows are
     * replicated once per salt; the join key becomes (key, salt), so a
     * hot key spreads over `buckets` reducers. Result equals the plain
-    * inner join. */
+    * inner join.
+    *
+    * The salt is a content hash of the WHOLE row (xxhash64 over every
+    * column), not `monotonically_increasing_id()`: a speculative or
+    * retried map task re-reading the same rows re-derives the same
+    * salts, so reducer-side inputs are identical across attempts
+    * (hashing the key alone would not work — a hot key's rows would
+    * all land in one bucket, defeating the salt). Identical rows share a
+    * bucket, which is the correct residual skew: they are one logical
+    * group under any content-deterministic routing. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -21,6 +21,35 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("salt assignment is deterministic across re-reads and repartitioning") {
+    // a retried/speculative map task re-reading the same rows must
+    // re-derive the same salt, so the salt may depend only on row
+    // CONTENT — never on partition layout or scan order. Re-derive
+    // the salt under a different partitioning and an independent
+    // re-read: every order's salt must match.
+    val buckets = 8
+    def salts(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__salt",
+        pmod(xxhash64(df.columns.filterNot(_ == "__salt").map(col).toSeq: _*),
+          lit(buckets)).cast("int"))
+      .select(col("o_orderkey"), col("__salt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = salts(Tables.orders(spark, sf))
+    val reread = salts(Tables.orders(spark, sf).repartition(13))
+    assert(base === reread)
+    // and the salt actually spreads rows: a single hot key's rows
+    // must occupy more than one bucket (the monotonic-id property we
+    // keep, now retry-stable)
+    val o = Tables.orders(spark, sf)
+    val hot = o.groupBy(col("o_custkey")).count()
+      .orderBy(col("count").desc).head().getLong(0)
+    val hotBuckets = o.filter(col("o_custkey") === hot)
+      .withColumn("__salt",
+        pmod(xxhash64(o.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
+      .select(col("__salt")).distinct().count()
+    assert(hotBuckets > 1, s"hot key stayed in $hotBuckets bucket(s)")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Skew.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 4)
     Skew.writeBucketed(
