@@ -22,10 +22,23 @@ object Bench {
     val warmSf = "/root/testdata/sf0.001"
     try SparkEntry.queries("stream_stateful_totals")(spark, warmSf).count()
     catch { case _: Throwable => }
+    // Per-query MEDIAN of up to 3 runs (VERDICT r3 #3): single-shot
+    // timings on a co-tenant box carry a ±30% noise band, which made
+    // sub-2 s "regressions" indistinguishable from noise. Queries
+    // whose first run exceeds 5 s run once — they sit far above the
+    // noise floor and repeating them would triple total bench time.
+    val repeatCutoffSec = 5.0
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      val runs =
+        if (first <= repeatCutoffSec) Seq(first, once(), once()).sorted
+        else Seq(first)
+      name -> runs(runs.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
