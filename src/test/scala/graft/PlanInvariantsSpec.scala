@@ -125,6 +125,132 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!phys.contains("CartesianProduct"), "sane physical join")
   }
 
+  test("streaming ingest batch plans honor the scale invariants") {
+    // VERDICT r3 #6: the stream_* query frames plan as memory-sink
+    // LocalTableScans (nothing to audit), but the foreachBatch ingest
+    // path executes real batch plans every trigger — capture every
+    // plan ingestBatch runs (header pass, collision probe, cross-batch
+    // dedup, publish) via a QueryExecutionListener and hold them to
+    // the same bars as the registered queries.
+    import org.apache.spark.sql.functions._
+    val header = Seq("LALVOTERID", "Voters_FirstName", "Voters_Gender",
+      "Voters_CalculatedRegDate", "Residence_Addresses_Latitude",
+      "Residence_Addresses_Longitude", "City")
+    val schema = org.apache.spark.sql.types.StructType(header.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val dir = java.nio.file.Files.createTempDirectory("plan-ingest")
+    def writeFile(name: String, rows: Seq[String]): String = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.writeString(f,
+        (header.mkString("\t") +: rows).mkString("", "\n", "\n"))
+      f.toString
+    }
+    val f1 = writeFile("01--AK--VM2Uniform--2024-01-01.tab", Seq(
+      "LALAK1\tANNA\tF\t01/15/2010\t61.2\t-149.9\tANCHORAGE",
+      "LALAK2\tBOB\tM\t02/20/2011\t57.6\t10.4\tJUNEAU"))
+    val f2 = writeFile("02--AK--VM2Uniform--2024-02-01.tab", Seq(
+      "LALAK1\tANNA-DUP\tF\t01/15/2010\t61.2\t-149.9\tANCHORAGE",
+      "LALAK3\tCARA\tF\t03/30/2012\t\t\tNOME"))
+    val out = dir.resolve("published").toString
+    val plans = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.execution.QueryExecution]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized { plans += qe }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    def batchOf(f: String) =
+      spark.read.textFile(f).toDF("value").withColumn("__file", lit(f))
+    spark.listenerManager.register(listener)
+    try {
+      // batch 1 publishes fresh; batch 2 exercises the cross-batch
+      // anti-join against the published sink — the full plan family
+      graft.streaming.StreamingLoad.ingestBatch(batchOf(f1), schema, out)
+      graft.streaming.StreamingLoad.ingestBatch(batchOf(f2), schema, out)
+      Thread.sleep(1000) // QueryExecutionListener delivery is async
+    } finally spark.listenerManager.unregister(listener)
+    val captured = plans.synchronized { plans.toList }
+    assert(captured.nonEmpty, "listener captured no ingest plans")
+    captured.foreach { qe =>
+      val phys = qe.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop/cartesian join in ingest plan:\n$phys")
+      val globalWindows = qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"partition-less window in:\n$phys")
+      // the only broadcast hint in the path is the driver-built
+      // per-file header frame (a LocalRelation) — never a scan of
+      // batch/sink data
+      qe.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          val leaves = h.child.collectLeaves()
+          assert(leaves.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+            s"broadcast hint over non-driver-sized data:\n${h.child}")
+      }
+    }
+    // and the data itself round-tripped correctly (3 rows, dup dropped)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("table cardinality is footer metadata: correct and job-free") {
+    // VERDICT r3 #5: LSH band auto-tuning must not re-scan the corpus
+    // to learn its size. Tables.cardinality answers from parquet
+    // footers on the driver — not just "one fewer job": ZERO jobs.
+    val expected = Tables.embeddings(spark, sf).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Tables.cardinality(spark, sf, "embeddings")
+      val again = Tables.cardinality(spark, sf, "embeddings") // cached
+      Thread.sleep(500) // listener bus is async; drain before asserting
+      assert(n === expected)
+      assert(again === n)
+      assert(jobs.get === 0,
+        s"cardinality lookup launched ${jobs.get} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bloom prefilter probe is the native expression, not a Scala UDF") {
+    // VERDICT r3 #2: the one corpus-hot-path UDF is gone — the batch
+    // probe must plan as the codegen'd graft_bloom_contains expression
+    // (the final dedup_bloom_incremental frame reads from a checkpoint,
+    // so the probe stage is asserted on its own plan here)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val fp = ops.TextOps.normalizedFp(col("text"))
+    val snap = docs.filter(col("doc_id") % 10 < 8).select(fp.as("fp"))
+      .filter(col("fp").isNotNull)
+    val bf = snap.stat.bloomFilter("fp", 1000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probe = docs.select(col("doc_id"), fp.as("fp"))
+      .withColumn("might", coalesce(
+        graft.functions.GraftFunctions.bloomContains(bc, col("fp")),
+        lit(false)))
+    val phys = probe.queryExecution.executedPlan.toString
+    assert(phys.contains("graft_bloom_contains"), phys.take(600))
+    assert(!phys.contains("UDF"), s"UDF leaked into the probe plan:\n$phys")
+    // and the expression's answers match the filter's own API on
+    // every fingerprint (exercises the generated code end to end)
+    val rows = probe.filter(col("fp").isNotNull)
+      .select(col("fp"), col("might")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === bf.mightContainString(r.getString(0)))
+    }
+  }
+
   test("ivf assignment plan has no Exchange before the first aggregate") {
     // map-side argmax (VERDICT r2 #2): the assignment stage must be a
     // narrow projection over the scan; the only exchange in
