@@ -10,6 +10,11 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // deploy the custom expressions the way a real cluster would
+      // (--conf spark.sql.extensions=...): the whole test run then
+      // exercises the reflective injection path, and ExtensionsSpec
+      // asserts per-session resolution with no register() calls
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
