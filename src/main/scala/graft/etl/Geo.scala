@@ -59,9 +59,26 @@ object Geo {
   private val geohashUdf =
     udf((lat: String, lon: String, p: Int) => encodeStrings(lat, lon, p))
 
-  /** Column form over the TEXT lat/lon columns, precision 8. */
+  /** Column form over the TEXT lat/lon columns, precision 8 — the UDF
+    * reference twin, kept for differential testing against
+    * [[geohash8Native]] (which the load path uses). */
   def geohash8(lat: Column, lon: Column): Column =
     geohashUdf(lat, lon, lit(8))
+
+  /** Codegen'd form of [[geohash8]] over the TEXT lat/lon columns:
+    * `try_cast` to double (junk/empty → NULL — the same null-on-junk
+    * contract as [[encodeStrings]]'s parse-and-catch: both paths
+    * bottom out in `Double.parseDouble` on the trimmed string, and
+    * the special literals try_cast additionally accepts, ±"inf"/NaN,
+    * encode to NULL anyway via the range guard) feeding the native
+    * `GeohashEncode` expression. Keeps the voter load's derive stage
+    * — batch AND streaming — inside WholeStageCodegen instead of
+    * fencing every row through a Scala closure; bit-identical output
+    * is asserted by the differential test in GeohashSpec. */
+  def geohash8Native(lat: Column, lon: Column): Column =
+    graft.functions.GraftFunctions.geohash(
+      lat.try_cast(org.apache.spark.sql.types.DoubleType),
+      lon.try_cast(org.apache.spark.sql.types.DoubleType), 8)
 
   /** Geohash cell cover of a lat/lon box: the distinct precision-p
     * prefixes of every cell intersecting the box. Filtering a geohash

@@ -65,7 +65,7 @@ object LoadPipeline {
     Normalize.project(raw, passthrough = meta)
       .withColumn("City", Normalize.stripEstMarker(col("City")))
       .withColumn("Residence_Addresses_GeoHash",
-        Geo.geohash8(col("Residence_Addresses_Latitude"),
+        Geo.geohash8Native(col("Residence_Addresses_Latitude"),
           col("Residence_Addresses_Longitude")))
 
   /** A3: the reference keeps the first-inserted row per LALVOTERID;

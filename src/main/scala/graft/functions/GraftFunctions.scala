@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** Registration + Column-API surface for the custom Catalyst
@@ -66,40 +65,37 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
+  // The Column wrappers below construct their expressions DIRECTLY
+  // (ColumnBridge) rather than via call_function on a registered name:
+  // they are pure — no session needs to exist at Column-construction
+  // time, no thread-local active-session coupling, no per-call
+  // register() side effect (the same fix ADVICE r3 demanded for
+  // Vectors.dot). register()/GraftExtensions remain the path for SQL
+  // users; both resolve to the identical expressions.
+  private def br(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def wrap(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
   /** geohash via the codegen'd native expression (cf. Geo.geohash8,
     * the UDF reference implementation). Inputs: double lat/lon. */
-  def geohash(spark: SparkSession, lat: Column, lon: Column, precision: Int): Column = {
-    register(spark)
-    call_function("graft_geohash", lat, lon,
-      org.apache.spark.sql.functions.lit(precision))
-  }
+  def geohash(lat: Column, lon: Column, precision: Int): Column =
+    wrap(GeohashEncode(Cast(br(lat), DoubleType), Cast(br(lon), DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Literal(precision)))
 
-  def simhash(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    call_function("graft_simhash", tokens)
-  }
+  def simhash(tokens: Column): Column =
+    wrap(SimHash(Cast(br(tokens), ArrayType(StringType))))
 
-  def minhash(spark: SparkSession, tokens: Column, k: Int): Column = {
-    register(spark)
-    call_function("graft_minhash", tokens,
-      org.apache.spark.sql.functions.lit(k))
-  }
+  def minhash(tokens: Column, k: Int): Column =
+    wrap(MinHashSignature(Cast(br(tokens), ArrayType(StringType)), k))
 
-  def winnow(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
-    register(spark)
-    call_function("graft_winnow", text,
-      org.apache.spark.sql.functions.lit(k),
-      org.apache.spark.sql.functions.lit(w))
-  }
+  def winnow(text: Column, k: Int, w: Int): Column =
+    wrap(Winnow(Cast(br(text), StringType), k, w))
 
-  def srpBands(spark: SparkSession, vec: Column, bitsPerBand: Int,
-      nBands: Int, seed: Long): Column = {
-    register(spark)
-    call_function("graft_srp_bands", vec,
-      org.apache.spark.sql.functions.lit(bitsPerBand),
-      org.apache.spark.sql.functions.lit(nBands),
-      org.apache.spark.sql.functions.lit(seed))
-  }
+  def srpBands(vec: Column, bitsPerBand: Int, nBands: Int,
+      seed: Long): Column =
+    wrap(SrpBands(Cast(br(vec), ArrayType(DoubleType)), bitsPerBand,
+      nBands, seed))
 
   /** Bloom membership probe via the native [[BloomContains]]
     * expression. Column-API only (the seventh custom expression, but

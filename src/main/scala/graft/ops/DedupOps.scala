@@ -134,7 +134,7 @@ object DedupOps {
     // array_min form still traversed the array k times (3.3 s); this
     // is a single narrow projection.
     val sigs = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.minhash(s, col("sh"), numHashes).as("sig"))
+      graft.functions.GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
     // band bucket = hash of the band's 4 minhashes; one output row per
     // (doc, band) via posexplode of the band-bucket array
     val bucketCols = (0 until numHashes / rowsPerBand).map { b =>
@@ -200,7 +200,7 @@ object DedupOps {
     // all-pairs bucket — use the full mask explicitly
     val mask = if (width == 64) -1L else (1L << width) - 1
     val t = fanOut(docs).select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash(s, split(col("text"), " ")).as("sh"))
+      graft.functions.GraftFunctions.simhash(split(col("text"), " ")).as("sh"))
     val blockCols = (0 until nBlocks).map(i =>
       shiftrightunsigned(col("sh"), i * width).bitwiseAND(lit(mask)))
     val wBucket = Window.partitionBy(col("blk"), col("key"))
@@ -400,7 +400,7 @@ object DedupOps {
       minShared: Int = 2, minOverlapFrac: Double = 0.25): DataFrame = {
     val fps = fanOut(docs)
       .select(col("doc_id"),
-        array_distinct(graft.functions.GraftFunctions.winnow(s,
+        array_distinct(graft.functions.GraftFunctions.winnow(
           lower(trim(col("text"))), 8, 4)).as("fpa"))
       .select(col("doc_id"), size(col("fpa")).as("nfp"),
         explode(col("fpa")).as("fp"))

@@ -85,7 +85,7 @@ object EtlParity {
       .withColumn("lat", (col("c_custkey") % 1800).cast("double") / 10.0 - 90.0)
       .withColumn("lon", (col("c_custkey") * 7 % 3600).cast("double") / 10.0 - 180.0)
       .select(col("c_custkey"), col("lat"), col("lon"),
-        graft.functions.GraftFunctions.geohash(s, col("lat"), col("lon"), 8)
+        graft.functions.GraftFunctions.geohash(col("lat"), col("lon"), 8)
           .as("geohash"))
       .orderBy(col("c_custkey"))
 

@@ -138,7 +138,7 @@ object SimilarityOps {
     val e = fanOut(emb).select(col("vec_id"), col("embedding"),
       Vectors.normCol(col("embedding")).as("nrm"))
     val bands = e.select(col("vec_id"),
-      posexplode(graft.functions.GraftFunctions.srpBands(s, col("embedding"),
+      posexplode(graft.functions.GraftFunctions.srpBands(col("embedding"),
         bitsPerBand, nBands, seed)).as(Seq("band", "bucket")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&

@@ -60,7 +60,7 @@ class FunctionsSpec extends AnyFunSuite {
     } yield (-88.0 + i * 17.3, -178.0 + j * 33.7)
     val df = grid.toDF("lat", "lon")
       .withColumn("native",
-        GraftFunctions.geohash(spark, $"lat", $"lon", 8))
+        GraftFunctions.geohash($"lat", $"lon", 8))
       .withColumn("udf", Geo.geohash8(format_number($"lat", 6), format_number($"lon", 6)))
     // compare via the pure function to avoid string-format noise
     val rows = df.select($"lat", $"lon", $"native").collect()
@@ -73,7 +73,7 @@ class FunctionsSpec extends AnyFunSuite {
     val df = Seq((Some(95.0), Some(10.0)), (None, Some(10.0)),
       (Some(45.0), None), (Some(45.0), Some(400.0)))
       .toDF("lat", "lon")
-      .select(GraftFunctions.geohash(spark, $"lat", $"lon", 8).as("g"))
+      .select(GraftFunctions.geohash($"lat", $"lon", 8).as("g"))
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
@@ -109,7 +109,7 @@ class FunctionsSpec extends AnyFunSuite {
       .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(planted.nonEmpty)
     val hashes = Tables.documents(spark, sf).filter($"doc_id" < 200)
-      .select($"doc_id", GraftFunctions.simhash(spark, split($"text", " ")).as("sh"))
+      .select($"doc_id", GraftFunctions.simhash(split($"text", " ")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     planted.foreach { case (a, b) =>
       val ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))

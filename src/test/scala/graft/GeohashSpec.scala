@@ -66,6 +66,36 @@ class GeohashSpec extends AnyFunSuite {
     }
   }
 
+  test("geohash8Native == geohash8 UDF on strings, junk, nulls, specials") {
+    // the load path now derives through the codegen'd form; the UDF
+    // stays as the reference twin — they must agree row-for-row on
+    // the string-input contract (parse, trim, junk→null, range guard)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fixtures: Seq[(Option[String], Option[String])] = Seq(
+      (Some("57.64911"), Some("10.40744")),
+      (Some(" 37.8324 "), Some("  112.5584")), // whitespace-padded
+      (Some("-33.8688"), Some("151.2093")),
+      (Some("1e1"), Some("-1.5e2")),           // scientific notation
+      (Some(""), Some("10.4")),                // empty → null
+      (Some("abc"), Some("10.4")),             // junk → null
+      (Some("95.0"), Some("10.4")),            // lat out of range
+      (Some("45.0"), Some("181.0")),           // lon out of range
+      (Some("NaN"), Some("10.4")),             // special literal
+      (Some("Infinity"), Some("10.4")),
+      (None, Some("10.4")), (Some("45.0"), None), (None, None))
+    val df = fixtures.toDF("lat", "lon")
+      .select(Geo.geohash8Native($"lat", $"lon").as("native"),
+        Geo.geohash8($"lat", $"lon").as("ref"))
+    val disagree = df.filter(!($"native" <=> $"ref")).count()
+    assert(disagree === 0, df.collect().mkString("\n"))
+    // and the happy-path values are the known vectors
+    val vals = df.select($"native").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(vals(0) === "u4pruydq" && vals(1) === "ww8p1r4t")
+    assert(vals.drop(4).forall(_ == null))
+  }
+
   test("property: precision p is a prefix of precision p+1") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

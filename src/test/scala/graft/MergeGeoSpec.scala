@@ -57,7 +57,7 @@ class MergeGeoSpec extends AnyFunSuite {
     } yield (i * 40 + j, 30.0 + i * 0.5, -110.0 + j * 0.5)
     val df = pts.toDF("id", "lat", "lon")
       .withColumn("gh",
-        graft.functions.GraftFunctions.geohash(spark, $"lat", $"lon", 8))
+        graft.functions.GraftFunctions.geohash($"lat", $"lon", 8))
     val (loLat, hiLat, loLon, hiLon) = (35.2, 41.7, -104.3, -96.8)
     val exact = df.filter($"lat" >= loLat && $"lat" <= hiLat &&
       $"lon" >= loLon && $"lon" <= hiLon)

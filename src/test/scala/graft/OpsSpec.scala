@@ -84,7 +84,7 @@ class OpsSpec extends AnyFunSuite {
       .select(col("a_id"), col("b_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val sk = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash(spark, split(col("text"), " ")).as("sh"))
+      graft.functions.GraftFunctions.simhash(split(col("text"), " ")).as("sh"))
     val brute = sk.select(col("doc_id").as("a_id"), col("sh").as("sa"))
       .join(broadcast(sk.select(col("doc_id").as("b_id"), col("sh").as("sb"))),
         col("a_id") < col("b_id"))
