@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
@@ -64,16 +63,21 @@ case class CountMinAgg(child: Expression,
 }
 
 object CountMinAgg {
-  /** Column API: aggregate a string column into a serialized sketch. */
-  def sketch(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_countmin",
-      es => CountMinAgg(es.head).toAggregateExpression(), "built-in")
-    call_function("graft_countmin", c)
-  }
+  /** Column API: aggregate a string column into a serialized sketch.
+    * Pure — built directly over the aggregate expression; SQL users
+    * reach the same aggregate as `graft_countmin` via
+    * GraftFunctions.register / GraftExtensions. */
+  def sketch(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CountMinAgg(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c))
+        .toAggregateExpression())
+
+  /** Deserialize a sketch produced by [[sketch]] (broadcast it and
+    * probe with [[CountMinEstimate]] for distributed lookups). */
+  def readSketch(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
 
   /** Driver-side estimate from a serialized sketch. */
   def estimate(bytes: Array[Byte], item: String): Long =
-    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      .estimateCount(item)
+    readSketch(bytes).estimateCount(item)
 }

@@ -56,6 +56,13 @@ object GraftFunctions {
     ("graft_dot",
       (es: Seq[Expression]) => DotProduct(es(0), es(1)),
       "graft_dot(a, b) - allocation-free dot product of two float/double vectors"),
+    // the one AGGREGATE in the set: builds a serialized Count-Min
+    // sketch; probe it with CountMinAgg.estimate (driver) or the
+    // broadcast CountMinEstimate expression (distributed)
+    ("graft_countmin",
+      (es: Seq[Expression]) => CountMinAgg(Cast(es.head, StringType))
+        .toAggregateExpression(),
+      "graft_countmin(key) - serialized Count-Min Sketch of a string column"),
   )
 
   /** Idempotently register all custom functions on a live session. */
@@ -107,9 +114,15 @@ object GraftFunctions {
     * and needs no session at construction. */
   def bloomContains(filter: org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter], key: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      BloomContains(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(key), filter))
+    wrap(BloomContains(br(key), filter))
+
+  /** Count-Min frequency estimate via the native [[CountMinEstimate]]
+    * expression over a broadcast sketch — the distributed probe twin
+    * of the `graft_countmin` aggregate. Column-API only, same
+    * broadcast-handle rationale as [[bloomContains]]. */
+  def countMinEstimate(sketch: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.CountMinSketch], key: Column): Column =
+    wrap(CountMinEstimate(br(key), sketch))
 }
 
 /** `SparkSessionExtensions` injector for spark.sql.extensions. */

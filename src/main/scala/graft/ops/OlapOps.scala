@@ -118,14 +118,20 @@ object OlapOps {
     // so events is scanned once, and only KB-sized aggregates cross
     // the driver.
     val row = ev.agg(
-      graft.functions.CountMinAgg.sketch(s, col("event_type")).as("sk"),
+      graft.functions.CountMinAgg.sketch(col("event_type")).as("sk"),
       count(lit(1)).as("n")).head()
     val bytes = row.getAs[Array[Byte]](0)
     val total = row.getLong(1)
-    val est = udf((t: String) => graft.functions.CountMinAgg.estimate(bytes, t))
+    // broadcast the deserialized sketch once and probe via the native
+    // expression — the old closure UDF re-deserialized the sketch on
+    // every row, which dominates when the probe side is |distinct
+    // keys| at heavy-hitter scale
+    val cmB = s.sparkContext.broadcast(
+      graft.functions.CountMinAgg.readSketch(bytes))
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_n"))
-      .withColumn("est_n", est(col("event_type")))
+      .withColumn("est_n",
+        graft.functions.GraftFunctions.countMinEstimate(cmB, col("event_type")))
       .select(col("event_type"), col("exact_n"),
         (col("est_n") >= col("exact_n") &&
           col("est_n") <= col("exact_n") + lit(total) * 0.01 + 10)

@@ -41,5 +41,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val desc = s2.sql("DESCRIBE FUNCTION graft_geohash")
       .collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("graft_geohash"), desc)
+    // the injected AGGREGATE resolves and round-trips through the
+    // driver-side estimator
+    import s2.implicits._
+    Seq("a", "a", "b").toDF("k").createOrReplaceTempView("cm_t")
+    val sk = s2.sql("SELECT graft_countmin(k) AS sk FROM cm_t")
+      .head().getAs[Array[Byte]](0)
+    assert(graft.functions.CountMinAgg.estimate(sk, "a") === 2L)
+    assert(graft.functions.CountMinAgg.estimate(sk, "b") === 1L)
   }
 }

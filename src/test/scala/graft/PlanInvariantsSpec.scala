@@ -125,6 +125,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!phys.contains("CartesianProduct"), "sane physical join")
   }
 
+  test("no Scala UDF in any registered query's physical plan") {
+    // round 4 closed the last two query-path closure UDFs (bloom
+    // probe, count-min estimate) and moved the load path's geohash to
+    // the native expression — every registered query now plans
+    // entirely inside codegen-capable expressions. Lock it in.
+    val offenders = physicalPlans.collect {
+      case (n, p) if p.contains("UDF") => n
+    }
+    assert(offenders.isEmpty,
+      s"Scala UDF leaked into: ${offenders.mkString(", ")}")
+  }
+
   test("streaming ingest batch plans honor the scale invariants") {
     // VERDICT r3 #6: the stream_* query frames plan as memory-sink
     // LocalTableScans (nothing to audit), but the foreachBatch ingest
