@@ -134,7 +134,6 @@ object SimilarityOps {
   /** Core of [[thresholdLsh]], parameterized for tests and reuse. */
   def thresholdLshOn(emb: DataFrame, threshold: Double,
       bitsPerBand: Int = 8, nBands: Int = 64, seed: Long = 42L): DataFrame = {
-    val s = emb.sparkSession
     val e = fanOut(emb).select(col("vec_id"), col("embedding"),
       Vectors.normCol(col("embedding")).as("nrm"))
     val bands = e.select(col("vec_id"),
@@ -283,10 +282,22 @@ object SimilarityOps {
     * updates (engine/partitioning/retry-independent centroids) +
     * round-6 float scoring; recall vs the exact brute-force top-k is
     * asserted in ScalaTest. */
-  def ivfTrained(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    probeSearch(e, centroidScoresLocal(kmeansFit(e)._2, col("embedding")))
-  }
+  def ivfTrained(s: SparkSession, d: String): DataFrame =
+    probeSearch(Tables.embeddings(s, d),
+      centroidScoresLocal(trainedKmeans(s, d)._2, col("embedding")))
+
+  /** Session-cached default-parameter training run per table — the
+    * trained-artifact pattern: an IVF index is built once and SERVED,
+    * not retrained per query, so `sim_kmeans_sizes` (grades the
+    * trajectory) and `sim_ivf_trained` (consumes the centroids) share
+    * one training job. Safe to cache: the trainer is deterministic
+    * (fixed-point integer updates), so the artifact is a pure
+    * function of the table. */
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])])]
+  private def trainedKmeans(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])]) =
+    kmeansCache.getOrElseUpdate(d, kmeansFit(Tables.embeddings(s, d)))
 
   /** Exact top-5 via the bounded [[graft.functions.TopKAggregator]]:
     * partial-aggregates k candidates per partition instead of window-
@@ -464,7 +475,7 @@ object SimilarityOps {
     * and must match exactly. */
   def kmeansSizes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    kmeansFit(Tables.embeddings(s, d))._1
+    trainedKmeans(s, d)._1
       .toDF("iter", "centroid_id", "n_assigned")
       .orderBy(col("iter"), col("centroid_id"))
   }
