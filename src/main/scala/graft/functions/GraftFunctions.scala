@@ -105,13 +105,11 @@ object GraftFunctions {
       nBands, seed))
 
   /** Bloom membership probe via the native [[BloomContains]]
-    * expression. Column-API only (the seventh custom expression, but
-    * deliberately NOT in [[all]]): its filter argument is a runtime
-    * `Broadcast` handle with no SQL-literal spelling — the same
-    * reason Spark's own `BloomFilterMightContain` is
-    * optimizer-internal rather than a registered SQL function. Built
-    * directly over the expression (no `call_function`), so it is pure
-    * and needs no session at construction. */
+    * expression. Column-API only (deliberately NOT in [[all]]): its
+    * filter argument is a runtime `Broadcast` handle with no
+    * SQL-literal spelling — the same reason Spark's own
+    * `BloomFilterMightContain` is optimizer-internal rather than a
+    * registered SQL function. */
   def bloomContains(filter: org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter], key: Column): Column =
     wrap(BloomContains(br(key), filter))

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions wires all six functions into a fresh session") {
+  test("spark.sql.extensions wires every registered function into a fresh session") {
     val shared = TestSpark.spark
     assert(shared.sparkContext.getConf.get("spark.sql.extensions")
       === "graft.functions.GraftExtensions")
