@@ -398,7 +398,108 @@ object TextOps {
       .orderBy(col("stage"))
   }
 
+  /** Integer-exact bigram-LM surprisal scoring — the LM quality
+    * filter every pre-training recipe runs (CCNet/Gopher style):
+    * score each document by the average add-one-smoothed conditional
+    * surprisal of its token bigrams under the corpus's OWN bigram
+    * model. The repo's exactness discipline (`text_oov_rate` calls
+    * itself "the integer-exact perplexity-filter stand-in") extends
+    * into the model itself: per-bigram surprisal is computed in
+    * INTEGER precision as
+    *   floor(log2((C(w1)+V) div (C(w1,w2)+1))) = length(bin(q)) − 1
+    * — the bit length of the integer quotient — so the per-doc sums
+    * are exact and engine-independent (no `ln` whose last ulp may
+    * differ between libm implementations). The only float is one
+    * final sum/count division, rounded to 6 dp (the house pattern).
+    *
+    * Scale shape: bigram extraction is a narrow zip_with over each
+    * token array; the model is two hash aggregates (bigram counts,
+    * first-token counts); scoring re-joins the doc-bigram stream to
+    * both count tables on their keys — hash joins whose build side is
+    * one row per key, so hot bigrams ("the the") cannot explode rows.
+    * V (vocab size) is a single-row aggregate joined back on a
+    * constant key broadcast (the corpus_mix pattern). Everything is
+    * corpus-linear; no pairwise anything. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOn(Tables.documents(s, d))
+
+  /** Core of [[lmScore]], parameterized for tests and reuse. */
+  def lmScoreOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        array_remove(tokens(col("text")), "").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"),
+            concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val w1Counts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+      .withColumn("__k", lit(1))
+    bg.join(bgCounts, Seq("bg"))
+      .join(w1Counts, Seq("w1"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(vocab), Seq("__k"))
+      .withColumn("sp",
+        (length(bin(expr("(c1 + v) DIV (c2 + 1)"))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("sp")).as("sum_surprisal"))
+      .withColumn("avg_surprisal",
+        round(col("sum_surprisal").cast("double") /
+          col("n_bigrams").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic corpus shuffle: the reproducible global
+    * training-order permutation every run applies before sharding —
+    * position i of document d is the rank of md5(seed ":" doc_id)
+    * (deterministic across engines, cluster sizes and retries; a new
+    * seed is a new permutation).
+    *
+    * The global rank is computed WITHOUT a global single-task window:
+    * the key's first hex byte buckets rows into 256 keyspace ranges
+    * (a data-independent, monotone prefix of the sort key — hex chars
+    * sort lexicographically in numeric order), ranks are parallel
+    * windows within buckets, and the 256 bucket counts — bounded by
+    * construction, like the IVF centroid set — are collected once and
+    * turned into additive offsets. Bit-identical to
+    * `row_number() OVER (ORDER BY key, doc_id)`, which is the oracle.
+    */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    corpusShuffleOn(Tables.documents(s, d), seed = 42L)
+
+  /** Core of [[corpusShuffle]], parameterized for tests and reuse. */
+  def corpusShuffleOn(docs: DataFrame, seed: Long): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("skey",
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))))
+      .withColumn("__b", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+    // 256-row bucket histogram → exclusive running offsets, driver-side
+    val counts = keyed.groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until 256).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b, 0L)
+    }.take(256) // exclusive prefix: offset(b) = rows in buckets < b
+    val offsetCol = element_at(
+      typedLit(offsets), col("__b") + 1) // element_at is 1-based
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("position",
+        (row_number().over(wLocal).cast("long") + offsetCol))
+      .select(col("doc_id"), col("source"), col("position"))
+      .orderBy(col("position"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore,
+    "corpus_shuffle" -> corpusShuffle,
     "text_token_bpe" -> tokenCounts,
     "text_stats" -> textStats,
     "text_token_histogram" -> tokenHistogram,
@@ -414,6 +515,36 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      // same integer-exact surprisal: bit length of the smoothed
+      // integer quotient; // is DuckDB's integer floor division
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+        |bgi AS (SELECT doc_id, source, t,
+        |    unnest(range(1, len(t))) AS i FROM t2),
+        |bg AS (SELECT doc_id, source, t[i] AS w1,
+        |    t[i] || ' ' || t[i+1] AS bg FROM bgi),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM t2)),
+        |sc AS (SELECT b.doc_id, b.source,
+        |    length(bin((c1.c1 + v.v) // (c2.c2 + 1))) - 1 AS sp
+        |  FROM bg b JOIN c2 ON b.bg = c2.bg
+        |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v)
+        |SELECT doc_id, source, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(sp) AS BIGINT) AS sum_surprisal,
+        |  round(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+        |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
     "text_token_bpe" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,

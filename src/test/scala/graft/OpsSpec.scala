@@ -513,6 +513,48 @@ class OpsSpec extends AnyFunSuite {
     assert(sharded === Seq(9L, 18L))
   }
 
+  test("corpus shuffle: exact permutation, matches the global-window rank") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val got = ops.TextOps.corpusShuffleOn(docs, seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    // a permutation: positions are exactly 1..n, each once
+    assert(got.map(_._2).sorted.toSeq === (1L to n).toSeq)
+    // bit-identical to the naive single-task global window
+    val naive = docs.select(col("doc_id"))
+      .withColumn("skey", md5(concat(lit("42:"), col("doc_id").cast("string"))))
+      .withColumn("position", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, p) => assert(naive(id) === p, s"doc $id") }
+    // a different seed is a different permutation
+    val reseeded = ops.TextOps.corpusShuffleOn(docs, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (id, p) => reseeded(id) != p })
+  }
+
+  test("LM surprisal separates repetitive text from rare-vocabulary text") {
+    import spark.implicits._
+    // the LM filter's purpose: text made of corpus-frequent bigrams
+    // scores LOW surprisal; text of unique-vocabulary bigrams scores
+    // HIGH. Build a corpus where docs 0-9 share one repeated phrase
+    // and docs 10-14 each use disjoint vocabulary.
+    val common = (0L until 10L).map(i =>
+      (i, "s", "the cat sat on the mat " * 5))
+    val rare = (10L until 15L).map(i =>
+      (i, "s", (0 until 30).map(j => s"tok${i}x$j").mkString(" ")))
+    val docs = (common ++ rare).toDF("doc_id", "source", "text")
+    val scores = ops.TextOps.lmScoreOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val avgCommon = (0L until 10L).map(scores).sum / 10.0
+    val avgRare = (10L until 15L).map(scores).sum / 5.0
+    assert(avgCommon < avgRare,
+      s"repetitive $avgCommon should score below rare-vocab $avgRare")
+    // surprisal of a repeated in-corpus bigram is small and positive
+    assert(avgCommon > 0.0 && avgCommon < avgRare / 2)
+  }
+
   test("corpus mix: rates hit the target mixture invariants") {
     val rows = ops.TextOps.corpusMix(spark, sf).collect()
     assert(rows.length === 20, "one row per source")

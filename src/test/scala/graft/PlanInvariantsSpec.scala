@@ -36,7 +36,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // scalar joins, not pair joins: both crossJoins broadcast a
     // SINGLE-ROW aggregate (global k / total_tokens) against a
     // per-source aggregate frame (|sources| rows, corpus-independent)
-    "corpus_mix"
+    "corpus_mix",
+    // same scalar-join shape: the vocab-size V is a SINGLE-ROW
+    // broadcast against the doc-bigram stream — a 1-row build side is
+    // a map-side constant, not a pair join
+    "text_lm_score"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
