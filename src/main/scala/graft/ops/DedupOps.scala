@@ -326,6 +326,39 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection: WHICH duplicate to keep.
+    * Min-id ([[clusters]], [[exactDedup]]) is the arbitrary-but-
+    * deterministic default; a production cleanup keeps the
+    * BEST-QUALITY member of each near-dup family — dropping a clean
+    * original in favor of a truncated or boilerplate-padded copy
+    * loses training signal. Composition: the near-dup cluster map ×
+    * the `text_quality_score` blend → per-cluster argmax (score desc,
+    * doc_id tie-break). Per-cluster output stays cluster-sized; the
+    * argmax is a window partitioned by cluster_id — parallel across
+    * clusters, and a cluster is by construction small. The score
+    * arithmetic is the shared int-derived-double `qualityBlend`
+    * expression tree, so the oracle reproduces it exactly. */
+  def canonicalByQuality(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.qualityBlend(
+        size(TextOps.tokens(col("text"))).cast("double"),
+        regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
+        .as("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    comp.join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        round(max(when(col("rn") === 1, col("score"))), 6).as("keep_score"))
+      .select(col("cluster_id"), col("keep_id"), col("cluster_size"),
+        col("keep_score"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Benchmark-contamination check: what fraction of the training
     * corpus shares a character 15-gram with a held-out probe set
     * (eval/benchmark documents)? The standard pre-training hygiene
@@ -702,6 +735,7 @@ object DedupOps {
     "dedup_first_wins" -> firstWins,
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // no oracle: SRP internals
+    "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
@@ -737,6 +771,40 @@ object DedupOps {
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          |    >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // same cluster CTE as dedup_clusters, then the quality argmax:
+    // keep the best-scoring member (score desc, doc_id tie-break)
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) a
+         |  JOIN (SELECT doc_id, ${shinglesSql.format("text", "text")} AS sh
+         |        FROM documents WHERE doc_id < 200) b
+         |    ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+         |         FROM walk GROUP BY id),
+         |scored AS (SELECT c.cluster_id, d.doc_id,
+         |    least(CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.6
+         |  + least(CAST(len(regexp_extract_all(d.text, '\\b(the)\\b')) AS DOUBLE) / 10.0, 1.0) * 0.4
+         |    AS score
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |r AS (SELECT cluster_id, doc_id, score, row_number() OVER (
+         |  PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT cluster_id,
+         |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |  round(MAX(CASE WHEN rn = 1 THEN score END), 6) AS keep_score
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // same near-dup pair graph, clustered by a recursive CTE: walk
     // labels along (symmetric) edges, min reachable id = cluster id
     "dedup_clusters" ->

@@ -513,6 +513,35 @@ class OpsSpec extends AnyFunSuite {
     assert(sharded === Seq(9L, 18L))
   }
 
+  test("canonical-by-quality keeps the best-scoring duplicate, not min-id") {
+    val rows = ops.DedupOps.canonicalByQuality(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture should contain near-dup clusters")
+    // every kept member really is in its own cluster, clusters match
+    // the min-id clustering's membership exactly
+    val clusters = ops.DedupOps.clusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster
+    rows.foreach { r =>
+      assert(clusters(r.getLong(1)) === r.getLong(0),
+        s"keep_id ${r.getLong(1)} not in cluster ${r.getLong(0)}")
+    }
+    // and the keep rule is QUALITY, not min-id: the kept member must
+    // carry the maximal quality score of its cluster (strictly
+    // different from min-id whenever scores differ)
+    val scores = Tables.documents(spark, sf)
+      .select(col("doc_id"), ops.TextOps.qualityBlend(
+        size(ops.TextOps.tokens(col("text"))).cast("double"),
+        regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.toSeq.groupBy(_._2)
+    rows.foreach { r =>
+      val members = byCluster(r.getLong(0)).map(_._1)
+      val best = members.map(scores).max
+      assert(math.abs(scores(r.getLong(1)) - best) < 1e-12,
+        s"cluster ${r.getLong(0)} kept a non-maximal-quality member")
+    }
+  }
+
   test("corpus shuffle: exact permutation, matches the global-window rank") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
