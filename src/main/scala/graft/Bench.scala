@@ -24,13 +24,14 @@ object Bench {
     catch { case _: Throwable => }
     // Noise-robust per-query timing (VERDICT r3 #3): single-shot
     // timings on a co-tenant box carry a ±30% noise band, which made
-    // sub-2 s "regressions" indistinguishable from noise. Cheap
-    // queries (first run ≤ 5 s) report the MEDIAN of 3 runs; expensive
-    // ones report the MIN of 2 — co-tenant/JIT noise is purely
-    // additive, so min is the robust estimator there, and a single
-    // extra run bounds the wall-time cost where repeats are priciest
-    // (a single-shot scheme for them left first-run outliers, the
-    // rows that dominate the total, permanently unre-measured).
+    // sub-2 s "regressions" indistinguishable from noise. Every query
+    // runs at least twice; cheap queries (min of the first two runs
+    // ≤ 5 s) run a third time and report the MEDIAN, expensive ones
+    // report the MIN of 2 — co-tenant/JIT noise is purely additive,
+    // so min is the robust estimator there, and one extra run bounds
+    // wall time where repeats are priciest. Classifying on the min of
+    // TWO runs (not the first alone) keeps boundary queries from
+    // flipping estimators round-over-round on one noisy sample.
     val repeatCutoffSec = 5.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
@@ -38,12 +39,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val first = once()
+      val r1 = once()
+      val r2 = once()
       val stat =
-        if (first <= repeatCutoffSec) {
-          val runs = Seq(first, once(), once()).sorted
+        if (math.min(r1, r2) <= repeatCutoffSec) {
+          val runs = Seq(r1, r2, once()).sorted
           runs(1)
-        } else math.min(first, once())
+        } else math.min(r1, r2)
       name -> stat
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

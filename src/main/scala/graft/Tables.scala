@@ -56,17 +56,30 @@ object Tables {
     * corpus to learn. At 100 TB the same number comes from the table
     * manifest/catalog statistics; parquet footers are the file-level
     * equivalent here and agree with `count()` exactly
-    * (parquet block metadata is authoritative). */
+    * (parquet block metadata is authoritative).
+    *
+    * The cache is session-lifetime and keyed by path — correct for
+    * immutable scale-factor directories (this harness's contract); a
+    * deployment overwriting tables in place under a live session
+    * would serve stale counts and should invalidate on publish, like
+    * any catalog statistic. Directory tables are listed RECURSIVELY,
+    * so partitioned layouts (`.../name.parquet/state=AK/part-*.parquet`)
+    * count fully rather than silently missing nested files. */
   def cardinality(s: SparkSession, sfDir: String, name: String): Long =
     cardinalityCache.getOrElseUpdate(s"$sfDir/$name.parquet", {
       val conf = s.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet"))
-        else Array(root)
+      val files: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(root).isDirectory) {
+          val it = fs.listFiles(root, true) // recursive
+          val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+          }
+          buf.result()
+        } else Seq(root)
       files.map { p =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))

@@ -20,18 +20,24 @@ object Skew {
     * hot key spreads over `buckets` reducers. Result equals the plain
     * inner join.
     *
-    * The salt is a content hash of the WHOLE row (xxhash64 over every
-    * column), not `monotonically_increasing_id()`: a speculative or
-    * retried map task re-reading the same rows re-derives the same
-    * salts, so reducer-side inputs are identical across attempts
-    * (hashing the key alone would not work — a hot key's rows would
-    * all land in one bucket, defeating the salt). Identical rows share a
-    * bucket, which is the correct residual skew: they are one logical
-    * group under any content-deterministic routing. */
+    * The salt is a content hash (xxhash64 over `saltCols`, defaulting
+    * to every column), not `monotonically_increasing_id()`: a
+    * speculative or retried map task re-reading the same rows
+    * re-derives the same salts, so reducer-side inputs are identical
+    * across attempts (hashing the join key alone would not work — a
+    * hot key's rows would all land in one bucket, defeating the
+    * salt). Two caveats of content routing, both by design:
+    * BIT-IDENTICAL rows share a bucket — they are one logical group
+    * under any content-deterministic scheme, so a hot key consisting
+    * of mass-identical copies stays a straggler (exact-dedup it
+    * first; that is the pipeline's own first step). And on wide rows
+    * hashing every column costs a pass over the row — pass the few
+    * high-entropy columns as `saltCols` instead. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val hashed = (if (saltCols.nonEmpty) saltCols else big.columns.toSeq).map(col)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(hashed: _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

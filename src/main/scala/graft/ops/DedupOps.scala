@@ -312,13 +312,21 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The (doc_id, cluster_id) map of the exact-Jaccard near-dup
+    * graph — the ONE pair-source → components composition shared by
+    * [[clusters]], [[canonicalByQuality]] and [[leakageSafeSplit]]
+    * (so swapping the pair source for `minhashLshOn` at scale is one
+    * edit, not three). */
+  private def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+
   /** Duplicate clustering end-to-end: the exact-Jaccard near-dup
     * pairs (the SQL-expressible graph) → connected components →
     * (doc_id, cluster_id, cluster_size). In the full-scale pipeline
     * the SAME operator consumes `minhashLsh` output instead. */
   def clusters(s: SparkSession, d: String): DataFrame = {
-    val comp = connectedComponents(
-      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val comp = nearDupComponents(s, d)
     val sizes = comp.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("cluster_id"))
@@ -339,13 +347,9 @@ object DedupOps {
     * arithmetic is the shared int-derived-double `qualityBlend`
     * expression tree, so the oracle reproduces it exactly. */
   def canonicalByQuality(s: SparkSession, d: String): DataFrame = {
-    val comp = connectedComponents(
-      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val comp = nearDupComponents(s, d)
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.qualityBlend(
-        size(TextOps.tokens(col("text"))).cast("double"),
-        regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
-        .as("score"))
+      .select(col("doc_id"), TextOps.docQuality(col("text")).as("score"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
     comp.join(scored, Seq("doc_id"))
@@ -623,12 +627,12 @@ object DedupOps {
     * filters by the fingerprint's leading hex byte (the fp is an md5,
     * so the first byte is uniform — no second hash needed, and the
     * routing is the same cheap expression on both build and probe
-    * sides). All filters are built in ONE pass over the snapshot
-    * (per-partition filter arrays, tree-merged); probing then runs
+    * sides). The build shuffles fingerprints by shard so each build
+    * task fills exactly one size/shards filter; probing then runs
     * one shard at a time — broadcast shard i, flag shard-i batch
     * rows, EAGERLY materialize (localCheckpoint), destroy the
-    * broadcast — so peak filter memory per executor is size/shards,
-    * not size. Result is provably identical to [[bloomIncrementalOn]]
+    * broadcast — so peak filter memory per executor is size/shards
+    * in BOTH phases. Result is provably identical to [[bloomIncrementalOn]]
     * and to the plain anti-join (unit-tested): sharding changes which
     * filter answers a probe, never the answer's guarantees. */
   def bloomIncrementalShardedOn(docs: DataFrame, fpp: Double = 0.01,
@@ -642,19 +646,26 @@ object DedupOps {
       .localCheckpoint(true)
     val nonNull = snapshot.filter(col("fp").isNotNull)
     val perShard = math.max(nonNull.count() / shards, 1L)
-    // one distributed pass: every partition fills a local array of
-    // `shards` filters, merged pairwise up the tree — the build cost
-    // is one snapshot scan regardless of shard count
+    // build = one fingerprint shuffle routed BY SHARD, then each
+    // build task fills exactly ONE size/N filter — so executor-side
+    // build memory is size/N, matching the probe phase's rail. (The
+    // earlier tree-merge formulation carried an N-filter array as the
+    // aggregation zero: its serialized zero and per-task live state
+    // were the FULL sketch size — the very regime sharding exists to
+    // escape.) HashPartitioner on the shard int is identity routing:
+    // partition index == shard. Only the driver ever holds all N
+    // filters at once (it must, to broadcast them one at a time).
     import org.apache.spark.util.sketch.BloomFilter
-    val zero = Array.fill(shards)(BloomFilter.create(perShard, fpp))
-    val filters = nonNull.select(col("fp"))
+    val filters: Array[BloomFilter] = nonNull.select(col("fp"))
       .as(org.apache.spark.sql.Encoders.STRING).rdd
-      .treeAggregate(zero)(
-        (fs, f) => {
-          fs(Integer.parseInt(f.substring(0, 2), 16) % shards).putString(f)
-          fs
-        },
-        (a, b) => { a.lazyZip(b).foreach((x, y) => x.mergeInPlace(y)); a })
+      .map(f => (Integer.parseInt(f.substring(0, 2), 16) % shards, f))
+      .partitionBy(new org.apache.spark.HashPartitioner(shards))
+      .mapPartitionsWithIndex { (shard, it) =>
+        val bf = BloomFilter.create(perShard, fpp)
+        it.foreach { case (_, f) => bf.putString(f) }
+        Iterator((shard, bf))
+      }
+      .collect().sortBy(_._1).map(_._2)
     val batch = docs.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), fp.as("fp"))
       .withColumn("shard", shardOf)
@@ -703,8 +714,7 @@ object DedupOps {
     * [[minhashLshOn]] candidates, exactly as in [[clusters]]. */
   def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    val comp = connectedComponents(
-      jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    val comp = nearDupComponents(s, d)
     val lab = docs.join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",

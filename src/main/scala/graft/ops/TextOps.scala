@@ -33,6 +33,15 @@ object TextOps {
     least(nTokens / 100.0, lit(1.0)) * 0.6 +
       least(nThe / 10.0, lit(1.0)) * 0.4
 
+  /** The full document-quality score from the raw text column — ONE
+    * definition of the signal inputs (token count, stopword count)
+    * shared by `text_quality_score` and
+    * `DedupOps.canonicalByQuality`, so the quality signal cannot
+    * drift between the scorer and the canonical-selection rule. */
+  def docQuality(text: Column): Column =
+    qualityBlend(size(tokens(text)).cast("double"),
+      regexp_count(text, lit("\\bthe\\b")).cast("double"))
+
   /** Stopword marker lists for the language-ID heuristic. Scores are
     * substring-hit counts per language; ties resolve in declaration
     * order. A real system would use char-trigram profiles; the shape
@@ -135,9 +144,7 @@ object TextOps {
     * oracle side, so results compare exactly. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
-      .withColumn("n_the", regexp_count(col("text"), lit("\\bthe\\b")).cast("double"))
-      .withColumn("score", qualityBlend(col("n_tokens"), col("n_the")))
+      .withColumn("score", docQuality(col("text")))
       .withColumn("bucket", floor(col("score") * 10).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))

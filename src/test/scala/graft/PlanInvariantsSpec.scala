@@ -187,10 +187,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // anti-join against the published sink — the full plan family
       graft.streaming.StreamingLoad.ingestBatch(batchOf(f1), schema, out)
       graft.streaming.StreamingLoad.ingestBatch(batchOf(f2), schema, out)
-      Thread.sleep(1000) // QueryExecutionListener delivery is async
+      // QueryExecutionListener delivery is async: poll to a deadline
+      // instead of a fixed sleep (flaky on a loaded box) — ingest runs
+      // several actions per batch, so expect a healthy number of plans
+      val deadline = System.currentTimeMillis() + 15000
+      while (plans.synchronized(plans.size) < 4 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
     } finally spark.listenerManager.unregister(listener)
     val captured = plans.synchronized { plans.toList }
-    assert(captured.nonEmpty, "listener captured no ingest plans")
+    assert(captured.size >= 4,
+      s"listener captured only ${captured.size} ingest plans")
     captured.foreach { qe =>
       val phys = qe.executedPlan.toString
       assert(!phys.contains("CartesianProduct") &&
