@@ -347,6 +347,25 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Full-corpus duplicate clustering from the MinHash-LSH candidate
+    * stream — the TEXT twin of the composition closure
+    * `dedup_semantic_lsh` provides for embeddings: [[clusters]]
+    * narrates "at scale the SAME operator consumes `minhashLsh`
+    * output instead"; this query IS that pipeline, end to end, over
+    * the full corpus (no bounded id slice). Rows-only for the driver
+    * (MinHash internals are hash-seeded), but deterministic, and the
+    * ScalaTest recall check asserts every exactly-clustered pair of
+    * the bounded oracle form is co-clustered here too. */
+  def clustersLsh(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      minhashLsh(s, d).select(col("a_id"), col("b_id")))
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-aware canonical selection: WHICH duplicate to keep.
     * Min-id ([[clusters]], [[exactDedup]]) is the arbitrary-but-
     * deterministic default; a production cleanup keeps the
@@ -764,6 +783,7 @@ object DedupOps {
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
     "dedup_winnow" -> winnowNearDup, // no oracle: rolling-hash internals
     "dedup_clusters" -> clusters,
+    "dedup_clusters_lsh" -> clustersLsh, // no oracle: hash-seeded LSH
     "text_contamination" -> contamination,
   )
 

@@ -513,6 +513,30 @@ class OpsSpec extends AnyFunSuite {
     assert(sharded === Seq(9L, 18L))
   }
 
+  test("LSH-fed clustering recalls the exact clusters (text composition)") {
+    // the text twin of the dedup_semantic_lsh recall check: every
+    // co-clustered pair of the bounded exact-Jaccard clustering must
+    // be co-clustered by the full-corpus minhashLsh -> components
+    // pipeline too (the LSH graph may add full-corpus edges the
+    // bounded slice cannot see, so subset — not equality — is the
+    // correct relation)
+    def coPairs(df: org.apache.spark.sql.DataFrame) = {
+      val byCluster = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values
+      byCluster.flatMap { m =>
+        val ids = m.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    }
+    val exact = coPairs(ops.DedupOps.clusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")))
+    val lsh = coPairs(ops.DedupOps.clustersLsh(spark, sf)
+      .select(col("doc_id"), col("cluster_id")))
+    assert(exact.nonEmpty, "fixture should contain non-singleton clusters")
+    assert(exact.subsetOf(lsh), s"missed=${exact -- lsh}")
+  }
+
   test("canonical-by-quality keeps the best-scoring duplicate, not min-id") {
     val rows = ops.DedupOps.canonicalByQuality(spark, sf).collect()
     assert(rows.nonEmpty, "fixture should contain near-dup clusters")
