@@ -608,6 +608,26 @@ class OpsSpec extends AnyFunSuite {
     assert(avgCommon > 0.0 && avgCommon < avgRare / 2)
   }
 
+  test("LM surprisal property: duplicating a doc lowers its own surprisal") {
+    import spark.implicits._
+    // more copies of a doc's bigrams → higher model counts → lower
+    // conditional surprisal for that doc (the mechanism by which the
+    // filter favors corpus-typical text)
+    val base = (0L until 8L).map(i =>
+      (i, "s", (0 until 20).map(j => s"w${i}x$j").mkString(" ")))
+    val dup = (100L until 104L).map(i => (i, "s", base.head._3))
+    val before = ops.TextOps.lmScoreOn(base.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val after = ops.TextOps.lmScoreOn((base ++ dup)
+        .toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(after(0L) < before(0L),
+      s"duplicated doc surprisal ${after(0L)} !< ${before(0L)}")
+    // an unduplicated doc's own-bigram counts are unchanged; only V
+    // grew, so its surprisal may rise slightly but never fall
+    assert(after(5L) >= before(5L))
+  }
+
   test("corpus mix: rates hit the target mixture invariants") {
     val rows = ops.TextOps.corpusMix(spark, sf).collect()
     assert(rows.length === 20, "one row per source")
