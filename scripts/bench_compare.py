@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench JSON lines (e.g. BENCH_r3.json vs BENCH_r4.json).
+
+Usage: bench_compare.py OLD.json NEW.json [ratio_threshold=1.5] [abs_floor_sec=0.3]
+
+Prints per-query deltas that exceed BOTH the ratio threshold and the
+absolute floor (sub-floor timings are inside the co-tenant noise band
+even under the median/min statistics — see BASELINE.md), plus totals
+and the query sets added/removed. Exit code 1 if any regression
+crosses both bars, so the script can gate a round's self-check.
+"""
+import json
+import re
+import sys
+
+NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+
+
+def load(path):
+    """Accept either a raw graft.Bench JSON line (possibly behind an
+    sbt `[info] ` prefix) or the driver's BENCH_r{N}.json wrapper,
+    whose `tail` holds a TRUNCATED copy of that line — per-query pairs
+    are then recovered by regex, so comparisons work on the subset of
+    queries that survived truncation."""
+    txt = open(path).read().strip()
+    try:
+        d = json.loads(txt)
+        if isinstance(d, dict) and "tail" in d and "queries" not in d:
+            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
+            qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
+            return qs, sum(qs.values())  # partial total: visible tail only
+    except json.JSONDecodeError:
+        pass
+    line = txt.splitlines()[-1]
+    if line.startswith("[info] "):
+        line = line[len("[info] "):]
+    d = json.loads(line)
+    return d["queries"], d["value"]
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
+    old, old_total = load(old_path)
+    new, new_total = load(new_path)
+
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    shared = sorted(set(old) & set(new))
+
+    regressions, improvements = [], []
+    for q in shared:
+        a, b = old[q], new[q]
+        if a <= 0 or b <= 0:
+            continue
+        if b > a * ratio and (b - a) > floor:
+            regressions.append((q, a, b))
+        elif a > b * ratio and (a - b) > floor:
+            improvements.append((q, a, b))
+
+    shared_old = sum(old[q] for q in shared)
+    shared_new = sum(new[q] for q in shared)
+    print(f"totals: {old_total:.1f}s/{len(old)}q -> "
+          f"{new_total:.1f}s/{len(new)}q "
+          f"(shared {len(shared)}q: {shared_old:.1f}s -> {shared_new:.1f}s)")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"REMOVED ({len(removed)}): {', '.join(removed)}")
+    for q, a, b in sorted(improvements, key=lambda t: t[1] - t[2]):
+        print(f"  faster  {q:32s} {a:6.2f} -> {b:6.2f}")
+    for q, a, b in sorted(regressions, key=lambda t: t[1] - t[2]):
+        print(f"  SLOWER  {q:32s} {a:6.2f} -> {b:6.2f}")
+    if not regressions:
+        print("no regressions past the ratio+floor bars")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
