@@ -21,38 +21,47 @@ def load(path):
     sbt `[info] ` prefix) or the driver's BENCH_r{N}.json wrapper,
     whose `tail` holds a TRUNCATED copy of that line — per-query pairs
     are then recovered by regex, so comparisons work on the subset of
-    queries that survived truncation."""
+    queries that survived truncation. bench_out.json (written by
+    graft.Bench itself since r5) parses as the complete first branch."""
     txt = open(path).read().strip()
     try:
         d = json.loads(txt)
         if isinstance(d, dict) and "tail" in d and "queries" not in d:
             pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
             qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
-            return qs, sum(qs.values())  # partial total: visible tail only
+            return qs, sum(qs.values()), {}  # partial total: visible tail only
+        if isinstance(d, dict) and "queries" in d:
+            return d["queries"], d["value"], d.get("estimators", {})
     except json.JSONDecodeError:
         pass
     line = txt.splitlines()[-1]
     if line.startswith("[info] "):
         line = line[len("[info] "):]
     d = json.loads(line)
-    return d["queries"], d["value"]
+    return d["queries"], d["value"], d.get("estimators", {})
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
-    old, old_total = load(old_path)
-    new, new_total = load(new_path)
+    old, old_total, old_est = load(old_path)
+    new, new_total, new_est = load(new_path)
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     shared = sorted(set(old) & set(new))
 
-    regressions, improvements = [], []
+    regressions, improvements, flips = [], [], []
     for q in shared:
         a, b = old[q], new[q]
         if a <= 0 or b <= 0:
+            continue
+        # An estimator flip (median3 <-> min2) shifts the statistic
+        # itself — min reads systematically lower than median — so a
+        # cross-estimator delta is not comparable; flag, don't grade.
+        if old_est.get(q) and new_est.get(q) and old_est[q] != new_est[q]:
+            flips.append((q, a, b))
             continue
         if b > a * ratio and (b - a) > floor:
             regressions.append((q, a, b))
@@ -72,6 +81,8 @@ def main():
         print(f"  faster  {q:32s} {a:6.2f} -> {b:6.2f}")
     for q, a, b in sorted(regressions, key=lambda t: t[1] - t[2]):
         print(f"  SLOWER  {q:32s} {a:6.2f} -> {b:6.2f}")
+    for q, a, b in flips:
+        print(f"  (estimator flip, not graded) {q:32s} {a:6.2f} -> {b:6.2f}")
     if not regressions:
         print("no regressions past the ratio+floor bars")
     sys.exit(1 if regressions else 0)

@@ -41,17 +41,34 @@ object Bench {
       }
       val r1 = once()
       val r2 = once()
-      val stat =
+      val (stat, estimator) =
         if (math.min(r1, r2) <= repeatCutoffSec) {
           val runs = Seq(r1, r2, once()).sorted
-          runs(1)
-        } else math.min(r1, r2)
-      name -> stat
+          (runs(1), "median3")
+        } else (math.min(r1, r2), "min2")
+      name -> ((stat, estimator))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Deterministic artifact: sorted keys, one compact line. The stdout
+    // line below can be truncated by the driver's log capture (BENCH_r04
+    // carried only a tail, so round-over-round comparison silently saw
+    // 60/107 queries); the file is the complete record. The per-query
+    // estimator tag lets bench_compare.py flag median3<->min2 flips
+    // (min reads systematically lower than median) instead of reading
+    // them as real deltas.
+    val sorted = results.toSeq.sortBy(_._1)
+    val qs = sorted.map { case (k, (v, _)) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val est = sorted.map { case (k, (_, e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.map(_._1).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"estimators":$est,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(outPath,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }
