@@ -11,19 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private lazy val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  // Oracles are captured BY NAME (thunks), not by value: SimilarityOps
+  // generates its trainer-derived oracles from constants that only
+  // exist after the queries have run (Verify runs every query, then
+  // dumps oracleSql), so each module's oracle map must be re-read at
+  // dump time rather than frozen when this Seq is first forced.
+  private lazy val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], () => Map[String, String])] =
     Seq(
-      (ops.Relational.queries, ops.Relational.oracles),
-      (ops.EventOps.queries, ops.EventOps.oracles),
-      (ops.OlapOps.queries, ops.OlapOps.oracles),
-      (ops.TextOps.queries, ops.TextOps.oracles),
-      (ops.DedupOps.queries, ops.DedupOps.oracles),
-      (ops.SimilarityOps.queries, ops.SimilarityOps.oracles),
-      (ops.MultimodalOps.queries, ops.MultimodalOps.oracles),
-      (ops.EtlParity.queries, ops.EtlParity.oracles),
-      (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracles),
-      (ops.Analytics.queries, ops.Analytics.oracles),
-      (streamingQueries, streamingOracles),
+      (ops.Relational.queries, () => ops.Relational.oracles),
+      (ops.EventOps.queries, () => ops.EventOps.oracles),
+      (ops.OlapOps.queries, () => ops.OlapOps.oracles),
+      (ops.TextOps.queries, () => ops.TextOps.oracles),
+      (ops.DedupOps.queries, () => ops.DedupOps.oracles),
+      (ops.SimilarityOps.queries, () => ops.SimilarityOps.oracles),
+      (ops.MultimodalOps.queries, () => ops.MultimodalOps.oracles),
+      (ops.EtlParity.queries, () => ops.EtlParity.oracles),
+      (ops.ScalarFuncs.queries, () => ops.ScalarFuncs.oracles),
+      (ops.Analytics.queries, () => ops.Analytics.oracles),
+      (streamingQueries, () => streamingOracles),
     )
 
   /** Structured Streaming twins of the batch event queries (SURVEY.md
@@ -117,5 +122,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2).reduce(_ ++ _)
+    modules.iterator.map(_._2()).reduce(_ ++ _)
 }

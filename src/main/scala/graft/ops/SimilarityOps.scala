@@ -263,10 +263,11 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF probe (scale path, no oracle): top-3 neighbors per query
-    * searching only the query's 2 closest clusters. Demonstrates the
-    * pruned-search plan; recall vs the exact baseline is asserted in
-    * ScalaTest rather than by the SQL oracle. */
+  /** IVF probe (scale path): top-3 neighbors per query searching only
+    * the query's 2 closest clusters. Demonstrates the pruned-search
+    * plan; oracled by [[probeOracleSql]] over the fixed centroid set,
+    * with recall vs the exact baseline additionally asserted in
+    * ScalaTest. */
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     probeSearch(e, centroidScores(centroids(s, d), col("embedding")))
@@ -277,14 +278,15 @@ object SimilarityOps {
     * assignment + 2-probe search the fixed-centroid queries grade.
     * Closes the loop the `vec_id < 16` stand-ins deliberately leave
     * open (their rationale: keep the IVF oracles one SQL statement —
-    * an iterative trainer is not). Rows-only for the driver, but
-    * fully deterministic end to end: fixed-point integer k-means
-    * updates (engine/partitioning/retry-independent centroids) +
-    * round-6 float scoring; recall vs the exact brute-force top-k is
-    * asserted in ScalaTest. */
+    * an iterative trainer is not). Fully deterministic end to end —
+    * fixed-point integer k-means updates make the trained centroids
+    * engine-independent constants — which is what lets
+    * [[generatedOracles]] splice them into a VALUES-table oracle for a
+    * real cross-engine hash grade; recall vs the exact brute-force
+    * top-k is additionally asserted in ScalaTest. */
   def ivfTrained(s: SparkSession, d: String): DataFrame =
     probeSearch(Tables.embeddings(s, d),
-      centroidScoresLocal(trainedKmeans(s, d)._2, col("embedding")))
+      centroidScoresLocal(trainedKmeans(s, d).centroids, col("embedding")))
 
   /** Session-cached default-parameter training run per table — the
     * trained-artifact pattern: an IVF index is built once and SERVED,
@@ -294,10 +296,9 @@ object SimilarityOps {
     * (fixed-point integer updates), so the artifact is a pure
     * function of the table. */
   private val kmeansCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])])]
-  private def trainedKmeans(s: SparkSession, d: String)
-      : (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])]) =
-    kmeansCache.getOrElseUpdate(d, kmeansFit(Tables.embeddings(s, d)))
+    .empty[String, KmeansModel]
+  private def trainedKmeans(s: SparkSession, d: String): KmeansModel =
+    kmeansCache.getOrElseUpdate(d, kmeansFitFull(Tables.embeddings(s, d)))
 
   /** Exact top-5 via the bounded [[graft.functions.TopKAggregator]]:
     * partial-aggregates k candidates per partition instead of window-
@@ -427,6 +428,25 @@ object SimilarityOps {
   def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 3,
       quantScale: Long = 1000000L)
       : (Seq[(Int, Long, Long)], Seq[(Long, Seq[Double])]) = {
+    val m = kmeansFitFull(emb, k, iters, quantScale)
+    (m.trajectory, m.centroids)
+  }
+
+  /** Trained-model record: the per-iteration (iter, centroid_id,
+    * n_assigned) trajectory, the final centroids, and — the piece the
+    * generated oracles need — the centroid snapshot each iteration's
+    * ASSIGN step ran against (iter 1 assigns against the seeds, iter i
+    * against the end-of-iter-(i-1) centroids). Every field is a pure,
+    * engine-independent function of the input table thanks to the
+    * fixed-point update arithmetic. */
+  final case class KmeansModel(
+      trajectory: Seq[(Int, Long, Long)],
+      centroids: Seq[(Long, Seq[Double])],
+      assignSnapshots: Seq[(Int, Seq[(Long, Seq[Double])])])
+
+  /** [[kmeansFit]] plus the per-iteration assignment snapshots. */
+  def kmeansFitFull(emb: DataFrame, k: Int = 16, iters: Int = 3,
+      quantScale: Long = 1000000L): KmeansModel = {
     val qe = fanOut(emb).select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
           x => round(x.cast("double") * quantScale).cast("long")).as("qv"))
@@ -438,7 +458,9 @@ object SimilarityOps {
           r.getSeq[Long](2).toSeq.map(_.toDouble / quantScale))
       }.sortBy(_._1)
     val trajectory = Seq.newBuilder[(Int, Long, Long)]
+    val snapshots = Seq.newBuilder[(Int, Seq[(Long, Seq[Double])])]
     for (it <- 1 to iters) {
+      snapshots += ((it, cents))
       val assigned = qe.withColumn("cid",
         element_at(centroidScoresLocal(cents, col("embedding")), 1)
           .getField("cid"))
@@ -464,24 +486,25 @@ object SimilarityOps {
         }
       }
     }
-    (trajectory.result(), cents)
+    KmeansModel(trajectory.result(), cents, snapshots.result())
   }
 
   /** The k-means trajectory as a graded query: (iter, centroid_id,
-    * n_assigned) per Lloyd round. Rows-only for the driver (iterative
-    * k-means is not one SQL statement), but the VALUES are fully
-    * deterministic thanks to the fixed-point update — the ScalaTest
-    * differential check replays the identical arithmetic single-node
-    * and must match exactly. */
+    * n_assigned) per Lloyd round. Iterative k-means is not one SQL
+    * statement, but each round's ASSIGNMENT is — so the generated
+    * oracle splices every iteration's centroid snapshot (deterministic
+    * constants, fixed-point update) and has DuckDB replay the argmax
+    * counts per round; the ScalaTest differential check additionally
+    * replays the full update arithmetic single-node. */
   def kmeansSizes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainedKmeans(s, d)._1
+    trainedKmeans(s, d).trajectory
       .toDF("iter", "centroid_id", "n_assigned")
       .orderBy(col("iter"), col("centroid_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_kmeans_sizes" -> kmeansSizes, // no oracle: iterative trainer
+    "sim_kmeans_sizes" -> kmeansSizes, // generated oracle (spliced snapshots)
     "sim_quantized_top1" -> quantizedTopK,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
@@ -490,11 +513,94 @@ object SimilarityOps {
 
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
-    "sim_ivf_trained" -> ivfTrained, // no oracle: iterative trainer
+    "sim_ivf_trained" -> ivfTrained, // generated oracle (spliced centroids)
     "sim_ivf_quantized" -> ivfQuantized,
   )
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+
+  /** Shortest round-trip decimal for a double (Java `Double.toString`):
+    * DuckDB parses it back to the bit-identical IEEE value, so spliced
+    * centroid constants carry no precision loss. */
+  private def dlit(x: Double): String = x.toString
+
+  /** The pruned-search oracle shape shared by `sim_ivf_probe` and
+    * `sim_ivf_trained` (mirrors [[probeSearch]]: argmax assignment,
+    * 2-probe selection, top-3 exact round-6 scoring). `centroidCte` is
+    * the body of the `c(centroid_id, ce)` CTE — a table filter for the
+    * fixed set, a spliced VALUES relation for the trained set. */
+  private def probeOracleSql(centroidCte: String): String =
+    s"""WITH c AS ($centroidCte),
+       |assigned AS (SELECT e.vec_id, c.centroid_id, row_number() OVER (
+       |  PARTITION BY e.vec_id ORDER BY
+       |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a1 AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+       |probes AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
+       |  c.centroid_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id) AS prn
+       |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+       |p2 AS (SELECT query_id, qe, centroid_id FROM probes WHERE prn <= 2),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  ${cos.format("p.qe", "ev.embedding")} AS cosine
+       |  FROM p2 p JOIN a1 a ON a.centroid_id = p.centroid_id
+       |  JOIN embeddings ev ON ev.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Trainer-derived oracles, GENERATED once a training run has
+    * populated [[kmeansCache]] (the Verify protocol runs every query
+    * before dumping `oracleSql`, so the constants exist by dump time —
+    * the `etl_geohash` generated-SQL precedent). The splice is sound
+    * because the fixed-point integer update makes every snapshot an
+    * engine-independent constant of the input table; DuckDB then
+    * independently replays each round's ASSIGNMENT (argmax over the
+    * spliced snapshot) and the full pruned search, so the check is a
+    * real cross-engine grade, not an echo of Spark's output. Empty
+    * when zero tables are trained (nothing to splice) or several are
+    * (ambiguous — dev sessions mixing SFs stay rows-only). */
+  private def generatedOracles: Map[String, String] =
+    kmeansCache.readOnlySnapshot().toMap match {
+      case m if m.size == 1 =>
+        val model = m.head._2
+        val centVals = model.centroids
+          .map { case (cid, ce) =>
+            s"($cid, [${ce.map(dlit).mkString(", ")}])" }
+          .mkString(",\n    ")
+        val snapVals = model.assignSnapshots
+          .flatMap { case (it, cents) => cents.map { case (cid, ce) =>
+            s"($it, $cid, [${ce.map(dlit).mkString(", ")}])" } }
+          .mkString(",\n    ")
+        Map(
+          "sim_ivf_trained" -> probeOracleSql(
+            s"""SELECT * FROM (VALUES
+               |    $centVals) AS t(centroid_id, ce)""".stripMargin),
+          "sim_kmeans_sizes" ->
+            s"""WITH c AS (SELECT * FROM (VALUES
+               |    $snapVals) AS t(iter, centroid_id, ce)),
+               |scored AS (SELECT c.iter, c.centroid_id, e.vec_id,
+               |  row_number() OVER (PARTITION BY c.iter, e.vec_id ORDER BY
+               |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id)
+               |    AS rn
+               |  FROM embeddings e CROSS JOIN c),
+               |n AS (SELECT iter, centroid_id, COUNT(*) AS cnt FROM scored
+               |  WHERE rn = 1 GROUP BY iter, centroid_id)
+               |SELECT g.iter AS iter, CAST(g.centroid_id AS BIGINT)
+               |    AS centroid_id,
+               |  CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_assigned
+               |FROM (SELECT DISTINCT iter, centroid_id FROM c) g
+               |LEFT JOIN n ON n.iter = g.iter
+               |  AND n.centroid_id = g.centroid_id
+               |ORDER BY iter, centroid_id""".stripMargin)
+      case _ => Map.empty
+    }
+
+  def oracles: Map[String, String] = staticOracles ++ generatedOracles
 
   private def topkOracle: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -509,7 +615,10 @@ object SimilarityOps {
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val staticOracles: Map[String, String] = Map(
+    "sim_ivf_probe" -> probeOracleSql(
+      """SELECT vec_id AS centroid_id, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16""".stripMargin),
     "sim_quantized_top1" ->
       """WITH qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
         |  FROM embeddings),
