@@ -1,0 +1,120 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic voter-shaped TSV synthesis from the `customer` table —
+  * the bridge that lets the reference's flagship pipeline (339-col TSV
+  * → normalize → geohash → dedup → publish → reconcile, load.ts:94-254)
+  * run as a DRIVER-GRADED query: the synthesized input is a pure
+  * function of `customer`, so a DuckDB oracle can recompute the
+  * per-state load report from `customer` directly.
+  *
+  * Shape: one `NN--ST--*.tab` file per synthetic state (5 states by
+  * `c_nationkey % 5`); every customer contributes one row, and customers
+  * with `c_custkey % 7 = 0` contribute a second row with the SAME
+  * LALVOTERID (the first-wins dedup hits). Field values exercise the
+  * coercion paths (junk int for `%11`, invalid date for `%13`, " (EST.)"
+  * city marker for even keys, an extraneous column) without affecting
+  * the report's counts.
+  *
+  * Scale note: synthesis is test-fixture generation, not an engine
+  * path — at production scale the TSVs arrive from the source system.
+  * The writes are still Spark jobs (one coalesced pass per state; the
+  * only driver-side step is the file-count-sized part-file rename).
+  */
+object SynthVoters {
+
+  val states: Seq[String] = Seq("AK", "CA", "NY", "TX", "WA")
+
+  /** Deliberate manifest inflation for AK (rows), making exactly one
+    * state fail reconciliation — the alert path as a graded behavior
+    * rather than an untested branch. */
+  val inflateState = "AK"
+  val inflateBy = 5000L
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The synthesized input dir for `sfDir`'s customer table (built once
+    * per JVM per table — the fixture is deterministic, rebuilds are
+    * identical). */
+  def dir(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(d, build(s, d))
+
+  /** One voter-shaped row per (customer, dup?) pair, all-string TSV
+    * fields. `dup_seq` orders the original before its duplicate within
+    * the file so first-wins keeps the original. */
+  private def rows(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .withColumn("state",
+        element_at(typedLit(states), (col("c_nationkey") % 5 + 1).cast("int")))
+    val base = c.withColumn("dup_seq", lit(0))
+    val dups = c.filter(col("c_custkey") % 7 === 0).withColumn("dup_seq", lit(1))
+    base.unionByName(dups)
+      .select(
+        col("state"), col("dup_seq"), col("c_custkey"),
+        format_string("LAL%s%09d", col("state"), col("c_custkey"))
+          .as("LALVOTERID"),
+        when(col("dup_seq") === 1, concat(col("c_name"), lit("-DUP")))
+          .otherwise(col("c_name")).as("Voters_FirstName"),
+        when(col("c_custkey") % 2 === 0,
+          concat(col("c_mktsegment"), lit(" (EST.)")))
+          .otherwise(col("c_mktsegment")).as("City"),
+        format_string("%.4f",
+          (col("c_custkey") % 1800).cast("double") / 10.0 - 90.0)
+          .as("Residence_Addresses_Latitude"),
+        format_string("%.4f",
+          (col("c_custkey") * 7 % 3600).cast("double") / 10.0 - 180.0)
+          .as("Residence_Addresses_Longitude"),
+        when(col("c_custkey") % 11 === 0, lit("abc"))
+          .otherwise((col("c_custkey") % 5).cast("string"))
+          .as("VoterTelephones_CellConfidenceCode"),
+        when(col("c_custkey") % 13 === 0, lit("02/30/2011"))
+          .otherwise(lit("01/15/2010")).as("Voters_CalculatedRegDate"),
+        lit("dropme").as("ExtraneousColumn"))
+  }
+
+  private def build(s: SparkSession, d: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_voters_").toString
+    val all = rows(s, d).localCheckpoint(true) // one synthesis scan, 5 readers
+    val conf = s.sessionState.newHadoopConf()
+    states.zipWithIndex.foreach { case (st, i) =>
+      val stage = s"$out/_stage_$st"
+      all.filter(col("state") === st)
+        .orderBy(col("c_custkey"), col("dup_seq"))
+        .drop("state", "dup_seq", "c_custkey")
+        .coalesce(1)
+        .write.option("sep", "\t").option("header", "true")
+        .option("emptyValue", "").mode("overwrite").csv(stage)
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      val fs = stagePath.getFileSystem(conf)
+      val part = fs.listStatus(stagePath)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $stage"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(
+        f"$out/${i + 1}%02d--$st--VM2Synth--2024-01-01.tab"))
+      fs.delete(stagePath, true)
+    }
+    out
+  }
+
+  /** The flagship pipeline as a graded query: synthesize, register the
+    * manifest (true per-file line counts, except [[inflateState]]
+    * inflated by [[inflateBy]]), run [[LoadPipeline.run]], return the
+    * per-state reconciliation report. */
+  def loadReport(s: SparkSession, d: String): DataFrame = {
+    val in = dir(s, d)
+    val files = LoadPipeline.listDataFiles(s, in)
+    val lines = Quality.lineCounts(s, files)
+    var m = Manifest.empty(s)
+    files.foreach { p =>
+      val f = p.split("/").last
+      val st = f.split("--")(1)
+      val expected =
+        lines(f) + (if (st == inflateState) inflateBy else 0L)
+      m = Manifest.register(m, f, st, expected.toInt)
+    }
+    LoadPipeline.run(s, in, manifest = Some(m)).report
+  }
+}

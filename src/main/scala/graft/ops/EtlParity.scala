@@ -129,6 +129,10 @@ object EtlParity {
     "etl_est_marker_strip" -> estMarkerStrip,
     "etl_geohash" -> geohashDerive, // oracled via generated bit-interleave SQL
     "etl_pii_scrub" -> piiScrub,
+    // the reference's flagship pipeline end-to-end (TSV scan →
+    // normalize → geohash → first-wins dedup → reconcile), on
+    // deterministic customer-derived fixtures (etl/SynthVoters.scala)
+    "etl_load_report" -> (graft.etl.SynthVoters.loadReport _),
   )
 
   /** Geohash-8 in pure SQL, generated term-by-term. The bisection
@@ -173,6 +177,29 @@ object EtlParity {
 
   val oracles: Map[String, String] = Map(
     "etl_geohash" -> geohashSql,
+    // Recomputes SynthVoters' per-state report from `customer`
+    // directly: rows_in = base + %7 duplicates, rows_loaded = distinct
+    // keys (keys are state-local by construction), expected_lines =
+    // the file's true line count (+5000 for the deliberately-inflated
+    // AK manifest row), reconciled = within the default 1000 tolerance.
+    "etl_load_report" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE c_nationkey % 5 WHEN 0 THEN 'AK' WHEN 1 THEN 'CA'
+        |    WHEN 2 THEN 'NY' WHEN 3 THEN 'TX' ELSE 'WA' END AS state
+        |  FROM customer),
+        |allrows AS (SELECT state, c_custkey FROM c
+        |  UNION ALL SELECT state, c_custkey FROM c WHERE c_custkey % 7 = 0),
+        |agg AS (SELECT state, COUNT(*) AS rows_in,
+        |    COUNT(DISTINCT c_custkey) AS rows_loaded
+        |  FROM allrows GROUP BY state)
+        |SELECT state, rows_in, rows_loaded,
+        |  CAST(rows_in - rows_loaded AS BIGINT) AS dups_dropped,
+        |  CAST(rows_in + CASE WHEN state = 'AK' THEN 5000 ELSE 0 END
+        |    AS BIGINT) AS expected_lines,
+        |  rows_loaded >= rows_in
+        |    + CASE WHEN state = 'AK' THEN 5000 ELSE 0 END - 1000
+        |    AS reconciled
+        |FROM agg ORDER BY state""".stripMargin,
     "etl_null_normalize" ->
       """SELECT p_type, COUNT(*) AS n,
         |  COUNT(CASE WHEN p_size < 10 THEN NULL ELSE p_brand END) AS n_nonnull,

@@ -118,6 +118,24 @@ class EtlPipelineSpec extends AnyFunSuite {
     assert(todo === Set("f2.tab", "f3.tab"))
   }
 
+  test("etl_load_report: synthesized flagship run — first-wins keeps originals, AK alerts") {
+    val sf = "/root/testdata/sf0.001"
+    val report = etl.SynthVoters.loadReport(spark, sf).cache()
+    try {
+      // exactly the deliberately-inflated state fails reconciliation,
+      // and its alert message follows the reference contract
+      val alerts = Quality.alerts(report)
+      assert(alerts.length === 1 && alerts.head.startsWith("Error: state AK"))
+      // first-wins kept the ORIGINAL row (not the "-DUP" twin) for a
+      // known duplicated key: custkey 7 belongs to whatever state
+      // nationkey%5 mapped it to, so check via the loaded frame
+      val loaded = LoadPipeline.run(spark, etl.SynthVoters.dir(spark, sf)).loaded
+      val dupNames = loaded.filter(col("LALVOTERID").rlike("0000007$"))
+        .select(col("Voters_FirstName")).collect().map(_.getString(0))
+      assert(dupNames.nonEmpty && dupNames.forall(!_.endsWith("-DUP")))
+    } finally report.unpersist()
+  }
+
   test("idempotence: dedup(dedup(x)) == dedup(x)") {
     val again = Dedup.firstWins(loaded.withColumn("__seq", lit(0L)),
       Seq("LALVOTERID"), Seq(col("__seq"))).drop("__seq")
