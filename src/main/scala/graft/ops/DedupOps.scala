@@ -318,21 +318,22 @@ object DedupOps {
     * (so swapping the pair source for `minhashLshOn` at scale is one
     * edit, not three).
     *
-    * Session-cached per table, like the trained k-means centroids:
-    * the cluster map is an ARTIFACT with three consumers (cluster
-    * report, canonical selection, leakage-safe split), not a
-    * per-query computation — a production pipeline materializes it
-    * once per corpus snapshot. Safe to cache: label propagation is
-    * deterministic (unique min-reachable-id fixpoint), and the
-    * returned frame reads from [[connectedComponents]]'s final
-    * localCheckpoint, so consumers pay block reads, not the
-    * iterative job. Cache scope is this JVM session over immutable
-    * scale-factor dirs (the harness contract). */
-  private val componentsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    * Materialized once per corpus snapshot through the
+    * content-addressed [[graft.ArtifactStore]] (VERDICT r4 #5): the
+    * cluster map is an ARTIFACT with three consumers (cluster report,
+    * canonical selection, leakage-safe split), not a per-query
+    * computation. Consumers get a plain parquet scan —
+    * session-independent, so the ADVICE r4 hazards of the old
+    * per-JVM DataFrame cache (localCheckpoint frames bound to the
+    * building session; republished data served stale) are gone: a
+    * republish changes the input fingerprint and forces a rebuild.
+    * Safe to materialize: label propagation is deterministic (unique
+    * min-reachable-id fixpoint). */
   private def nearDupComponents(s: SparkSession, d: String): DataFrame =
-    componentsCache.getOrElseUpdate(d, connectedComponents(
-      jaccardNearDup(s, d).select(col("a_id"), col("b_id"))))
+    graft.ArtifactStore.parquet(s, "neardup_components",
+      s"$d/documents.parquet") {
+      connectedComponents(jaccardNearDup(s, d).select(col("a_id"), col("b_id")))
+    }
 
   /** Duplicate clustering end-to-end: the exact-Jaccard near-dup
     * pairs (the SQL-expressible graph) → connected components →
