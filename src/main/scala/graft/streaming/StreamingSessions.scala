@@ -105,20 +105,31 @@ object StreamingSessions {
     * batch-side; sums use the integer-cents form so the oracle matches
     * bit-for-bit. */
   def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val views = eventsStream(spark, sfDir)
+    // ONE streaming source fanned into both join sides (the watermark
+    // is stamped before the branch and follows each side's renamed
+    // column): a two-source formulation pays a second file listing +
+    // scan + offset log per micro-batch for the same bytes. Self-joins
+    // over one topic should read it once.
+    val events = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val views = events
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    val purchases = eventsStream(spark, sfDir)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("value"))
-      .withWatermark("p_ts", "1 hour")
     val joined = purchases.join(views,
       col("v_user") === col("p_user") &&
         col("v_ts") <= col("p_ts") &&
         col("p_ts") <= col("v_ts") + expr("interval 30 minutes"))
-    runToCompletion(spark, joined, "stream_attrib", mode = "append")
+    // 4 partitions: a stream-stream join allocates 4 state stores per
+    // partition; at this bounded demo scale store init/commit is the
+    // cost, not the data. noDataBatch=false: inner joins emit eagerly,
+    // the eviction-only trailing batch buys nothing here.
+    runToCompletion(spark, joined, "stream_attrib", mode = "append",
+      partitions = 4, noDataBatch = false)
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("p_user")).as("n_users"),
         (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
@@ -164,17 +175,33 @@ object StreamingSessions {
     * partition count is sized to state volume, not down.) The
     * session's setting is restored after the query starts — the value
     * is captured at query start. */
+  /** `noDataBatch = false` additionally skips the trailing NO-DATA
+    * micro-batch (it only advances the watermark to evict state —
+    * measured at a full third of the interval join's wall time at
+    * sf0.1). Safe ONLY for operators that emit eagerly (inner
+    * stream-stream joins, stateless enrichment): append-mode
+    * AGGREGATIONS emit a window's row when the watermark passes it,
+    * so they NEED that batch to flush final windows — leave it on for
+    * those. Both confs are captured at query start and restored
+    * after. */
   private[graft] def runToCompletion(spark: SparkSession, agg: DataFrame,
-      name: String, mode: String = "complete"): DataFrame = {
+      name: String, mode: String = "complete",
+      partitions: Int = 8, noDataBatch: Boolean = true): DataFrame = {
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    spark.conf.set(noDataKey, noDataBatch.toString)
     val q = try {
       agg.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set(noDataKey, prevNoData)
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
