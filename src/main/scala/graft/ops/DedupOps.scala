@@ -686,28 +686,49 @@ object DedupOps {
     // aggregation zero: its serialized zero and per-task live state
     // were the FULL sketch size — the very regime sharding exists to
     // escape.) HashPartitioner on the shard int is identity routing:
-    // partition index == shard. Only the driver ever holds all N
-    // filters at once (it must, to broadcast them one at a time).
+    // partition index == shard. Each build task WRITES its filter to
+    // shared storage and ships back only the shard index (ADVICE r4:
+    // collect()ing the filters put the full aggregate sketch — the
+    // multi-GB thing this fallback exists to avoid — on the driver
+    // heap); the probe loop then loads/broadcasts ONE filter at a
+    // time, so no process ever holds more than size/N of sketch.
     import org.apache.spark.util.sketch.BloomFilter
-    val filters: Array[BloomFilter] = nonNull.select(col("fp"))
+    val shardDir = s"${graft.ArtifactStore.root}/_bloom_shards/" +
+      java.util.UUID.randomUUID().toString
+    def shardPath(i: Int) = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$i.bloom")
+    val built = nonNull.select(col("fp"))
       .as(org.apache.spark.sql.Encoders.STRING).rdd
       .map(f => (Integer.parseInt(f.substring(0, 2), 16) % shards, f))
       .partitionBy(new org.apache.spark.HashPartitioner(shards))
       .mapPartitionsWithIndex { (shard, it) =>
         val bf = BloomFilter.create(perShard, fpp)
         it.foreach { case (_, f) => bf.putString(f) }
-        Iterator((shard, bf))
-      }
-      .collect().sortBy(_._1).map(_._2)
+        val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$shard.bloom")
+        // executor-side default conf resolves file:// here and the
+        // cluster's fs.defaultFS (core-site on the classpath) at scale
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try bf.writeTo(out) finally out.close()
+        Iterator(shard)
+      }.collect()
+    require(built.sorted.sameElements(0 until shards),
+      s"bloom shard build produced ${built.length}/$shards filters")
+    val hconf = s.sessionState.newHadoopConf()
+    def loadShard(i: Int): BloomFilter = {
+      val p = shardPath(i)
+      val in = p.getFileSystem(hconf).open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
     val batch = docs.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id"), fp.as("fp"))
       .withColumn("shard", shardOf)
       .localCheckpoint(true)
     // sequential shard probes: only one shard's filter is live at a
-    // time (the eager checkpoint materializes the probe before the
-    // broadcast is destroyed); null-fp rows skip probing entirely
+    // time — loaded from storage, broadcast, probed, destroyed (the
+    // eager checkpoint materializes the probe before the destroy);
+    // null-fp rows skip probing entirely
     val probed = (0 until shards).map { i =>
-      val bcI = s.sparkContext.broadcast(filters(i))
+      val bcI = s.sparkContext.broadcast(loadShard(i))
       val flagged = batch.filter(col("shard") === i)
         .withColumn("might",
           graft.functions.GraftFunctions.bloomContains(bcI, col("fp")))
@@ -718,6 +739,10 @@ object DedupOps {
     }.reduce(_ unionByName _)
       .unionByName(batch.filter(col("fp").isNull)
         .select(col("doc_id"), col("fp"), lit(false).as("might")))
+    // every probe is eagerly materialized above — the shard files are
+    // scratch, not an artifact; drop them
+    new org.apache.hadoop.fs.Path(shardDir).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(shardDir), true)
     val definitelyNew = probed.filter(!col("might"))
       .select(col("doc_id"), col("fp"))
     val confirmedNew = probed.filter(col("might"))

@@ -128,7 +128,11 @@ object OlapOps {
     // keys| at heavy-hitter scale
     val cmB = s.sparkContext.broadcast(
       graft.functions.CountMinAgg.readSketch(bytes))
-    ev.groupBy(col("event_type"))
+    // materialize the (|event types|-sized) probe result eagerly so
+    // the broadcast can be destroyed HERE rather than leaking one
+    // sketch per invocation for the session lifetime (ADVICE r4 —
+    // the per-shard Bloom path already follows this discipline)
+    val probed = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("est_n",
         graft.functions.GraftFunctions.countMinEstimate(cmB, col("event_type")))
@@ -136,7 +140,9 @@ object OlapOps {
         (col("est_n") >= col("exact_n") &&
           col("est_n") <= col("exact_n") + lit(total) * 0.01 + 10)
           .as("within_tol"))
-      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    cmB.destroy()
+    probed.orderBy(col("event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
