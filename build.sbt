@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// wall-clock-heavy scale probes opt in explicitly:
+//   sbt "testOnly graft.ScaleProbeSpec -- -n graft.SlowProbe"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowProbe")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

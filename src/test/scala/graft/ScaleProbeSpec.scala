@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Marks wall-clock-heavy probes excluded from the default `sbt test`
+  * run (build.sbt filters this tag); run explicitly with
+  * `sbt "testOnly graft.ScaleProbeSpec -- -n graft.SlowProbe"`. */
+object SlowProbe extends Tag("graft.SlowProbe")
+
+/** Empirical scaling probe (VERDICT r4 #7): SCALE.md argues 100×
+  * viability by plan shape; this spec measures it. Each heavy-hitter
+  * query runs at sf0.01 and sf0.1 (10× the rows) and must grow
+  * wall-time ≤ 15× — near-linear with generous noise headroom, but
+  * far below the ~100× a quadratic stage would show. A future edit
+  * that accidentally reintroduces an all-pairs stage fails this spec
+  * loudly instead of surviving as a "looks fine at toy scale" plan.
+  *
+  * Method: min of 3 runs per point (co-tenant noise is additive, min
+  * is the robust estimator), sf0.01 times floored at 0.3 s so fixed
+  * JVM/scheduler overhead — which does NOT scale with data — can't
+  * manufacture a big ratio from a tiny denominator. */
+class ScaleProbeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val targets = Seq(
+    "dedup_clusters_lsh", "dedup_semantic_lsh", "dedup_winnow")
+  private val maxRatio = 15.0
+  private val smallFloorSec = 0.3
+
+  private def time(name: String, sf: String): Double = {
+    val fn = SparkEntry.queries(name)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sf).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  test("heavy hitters scale near-linearly from sf0.01 to sf0.1", SlowProbe) {
+    // warm JIT/codegen/streams on the smallest SF first
+    targets.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    val rows = targets.map { n =>
+      val small = time(n, "/root/testdata/sf0.01")
+      val big = time(n, "/root/testdata/sf0.1")
+      val ratio = big / math.max(small, smallFloorSec)
+      val exponent = math.log(math.max(ratio, 1.0)) / math.log(10.0)
+      info(f"$n%-22s sf0.01=$small%6.2f s  sf0.1=$big%6.2f s  " +
+        f"ratio=$ratio%5.1f×  exponent≈$exponent%.2f")
+      (n, small, big, ratio)
+    }
+    rows.foreach { case (n, _, _, ratio) =>
+      assert(ratio <= maxRatio,
+        s"$n grew ${ratio}× for 10× data — a super-linear stage crept in")
+    }
+  }
+}
