@@ -57,16 +57,26 @@ def main():
         a, b = old[q], new[q]
         if a <= 0 or b <= 0:
             continue
-        # An estimator flip (median3 <-> min2) shifts the statistic
-        # itself — min reads systematically lower than median — so a
-        # cross-estimator delta is not comparable; flag, don't grade.
-        if old_est.get(q) and new_est.get(q) and old_est[q] != new_est[q]:
-            flips.append((q, a, b))
-            continue
+        # An estimator flip (median3 <-> min2) shifts the statistic —
+        # min reads systematically LOWER than median. One-sided deltas
+        # remain conclusive: a query whose new min2 figure still
+        # exceeds the old median3 bar regressed DESPITE the low-bias
+        # estimator (this is exactly the >5s-crossing regression class,
+        # which always flips); symmetrically a new median3 below the
+        # old min2 bar improved despite the high bias. Only the
+        # bias-aligned directions are unjudgeable and get flagged.
+        flipped = (old_est.get(q) and new_est.get(q)
+                   and old_est[q] != new_est[q])
         if b > a * ratio and (b - a) > floor:
-            regressions.append((q, a, b))
+            if not flipped or new_est[q] == "min2":
+                regressions.append((q, a, b))
+            else:
+                flips.append((q, a, b))
         elif a > b * ratio and (a - b) > floor:
-            improvements.append((q, a, b))
+            if not flipped or new_est[q] == "median3":
+                improvements.append((q, a, b))
+            else:
+                flips.append((q, a, b))
 
     shared_old = sum(old[q] for q in shared)
     shared_new = sum(new[q] for q in shared)

@@ -35,10 +35,14 @@ object ArtifactStore {
   def builds: Long = buildCount.get
 
   /** Fingerprint of an input table: digest over the sorted
-    * (name, length, mtime) triples of its parquet file listing —
+    * (full path, length, mtime) triples of its parquet file listing —
     * driver-side footer-level metadata, zero Spark jobs (the same
-    * listing-cost class as [[Tables.cardinality]]). At 100 TB the
-    * equivalent key is the catalog's snapshot/transaction id. */
+    * listing-cost class as [[Tables.cardinality]]). The FULL path
+    * (not the basename) is digested: partitioned layouts write
+    * identically-named part files into different partition dirs, and
+    * a basename digest would collide across a partition-dir
+    * rename/swap, serving an artifact built from the old layout. At
+    * 100 TB the equivalent key is the catalog's snapshot id. */
   def fingerprint(spark: SparkSession, inputPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -47,34 +51,57 @@ object ArtifactStore {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
       }
     } else {
       val f = fs.getFileStatus(p)
-      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(entries.result().sorted.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
-  /** Serve-or-build: if the artifact for (name, fingerprint(input))
-    * exists, return a scan over it; else run `build`, persist, scan.
-    * The build cost is paid once per corpus snapshot per store — a
-    * cold JVM with a warm store serves without retraining — and is
-    * logged explicitly so bench wall-time attribution stays honest.
-    * Concurrent builders race benignly: the build is deterministic
-    * and mode("overwrite") makes the last writer win with identical
-    * bytes-level content. */
-  def parquet(spark: SparkSession, name: String, inputPath: String)
-      (build: => DataFrame): DataFrame = {
-    val dir = s"$root/$name/${fingerprint(spark, inputPath)}"
-    val ok = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ok)) {
+  /** Serve-or-build: if the artifact for (name, version,
+    * fingerprint(input)) exists, return a scan over it; else run
+    * `build`, persist, scan. The build cost is paid once per corpus
+    * snapshot per store — a cold JVM with a warm store serves without
+    * retraining — and is logged explicitly so bench wall-time
+    * attribution stays honest.
+    *
+    * `version` is the BUILDER's version and is part of the address:
+    * the fingerprint keys the input data only, so an edit to the
+    * build logic (trainer iterations, components algorithm, schema)
+    * MUST bump the caller's version or a warm store silently serves
+    * artifacts computed by the old code.
+    *
+    * Publication is atomic: the build lands in a temp sibling and is
+    * RENAMEd into the address, so a concurrent reader in another JVM
+    * never observes a half-written or mid-overwrite directory (an
+    * in-place overwrite deletes part files under live scans). If a
+    * racing builder won the rename, its identical (deterministic)
+    * output is served and the loser's temp dir is dropped. */
+  def parquet(spark: SparkSession, name: String, inputPath: String,
+      version: Int = 1)(build: => DataFrame): DataFrame = {
+    val dir = s"$root/$name/v$version-${fingerprint(spark, inputPath)}"
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
       buildCount.incrementAndGet()
       val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(dir)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir.tmp-${java.util.UUID.randomUUID()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(dest.getParent)
+      // re-check: a racing builder may have completed while we built
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+        fs.delete(tmp, true)
+      } else {
+        // a dest without _SUCCESS is an unreadable partial from a
+        // crashed build — clear it or rename would nest tmp inside
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+      }
       System.err.println(
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }

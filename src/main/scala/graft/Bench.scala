@@ -34,9 +34,11 @@ object Bench {
     // flipping estimators round-over-round on one noisy sample.
     val repeatCutoffSec = 5.0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
       val r1 = once()
@@ -46,7 +48,10 @@ object Bench {
           val runs = Seq(r1, r2, once()).sorted
           (runs(1), "median3")
         } else (math.min(r1, r2), "min2")
-      name -> ((stat, estimator))
+      // a broken query must not masquerade as a fast one: its
+      // time-to-exception would read as a huge "improvement" in
+      // round-over-round comparison (bench_compare skips values <= 0)
+      name -> (if (failed) (-1.0, "error") else (stat, estimator))
     }
     // Deterministic artifact: sorted keys, one compact line. The stdout
     // line below can be truncated by the driver's log capture (BENCH_r04

@@ -696,6 +696,17 @@ object DedupOps {
     val shardDir = s"${graft.ArtifactStore.root}/_bloom_shards/" +
       java.util.UUID.randomUUID().toString
     def shardPath(i: Int) = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$i.bloom")
+    val hconf = s.sessionState.newHadoopConf()
+    // ship the DRIVER's resolved fs conf to the build tasks: a bare
+    // executor-side `new Configuration()` misses spark.hadoop.*-
+    // propagated settings (fs.defaultFS, credentials — the common
+    // cloud setup), so build tasks would write file:// on their own
+    // local disks while the driver reads a shared filesystem
+    val fsConfB = s.sparkContext.broadcast {
+      val it = hconf.iterator(); val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     val built = nonNull.select(col("fp"))
       .as(org.apache.spark.sql.Encoders.STRING).rdd
       .map(f => (Integer.parseInt(f.substring(0, 2), 16) % shards, f))
@@ -704,16 +715,16 @@ object DedupOps {
         val bf = BloomFilter.create(perShard, fpp)
         it.foreach { case (_, f) => bf.putString(f) }
         val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$shard.bloom")
-        // executor-side default conf resolves file:// here and the
-        // cluster's fs.defaultFS (core-site on the classpath) at scale
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        fsConfB.value.foreach { case (k, v) => c.set(k, v) }
+        val fs = p.getFileSystem(c)
         val out = fs.create(p, true)
         try bf.writeTo(out) finally out.close()
         Iterator(shard)
       }.collect()
     require(built.sorted.sameElements(0 until shards),
       s"bloom shard build produced ${built.length}/$shards filters")
-    val hconf = s.sessionState.newHadoopConf()
+    fsConfB.destroy()
     def loadShard(i: Int): BloomFilter = {
       val p = shardPath(i)
       val in = p.getFileSystem(hconf).open(p)

@@ -1,12 +1,6 @@
 package graft
 
-import org.scalatest.Tag
 import org.scalatest.funsuite.AnyFunSuite
-
-/** Marks wall-clock-heavy probes excluded from the default `sbt test`
-  * run (build.sbt filters this tag); run explicitly with
-  * `sbt "testOnly graft.ScaleProbeSpec -- -n graft.SlowProbe"`. */
-object SlowProbe extends Tag("graft.SlowProbe")
 
 /** Empirical scaling probe (VERDICT r4 #7): SCALE.md argues 100×
   * viability by plan shape; this spec measures it. Each heavy-hitter
@@ -37,7 +31,13 @@ class ScaleProbeSpec extends AnyFunSuite {
     }.min
   }
 
-  test("heavy hitters scale near-linearly from sf0.01 to sf0.1", SlowProbe) {
+  test("heavy hitters scale near-linearly from sf0.01 to sf0.1") {
+    // opt-in guard (minutes of wall clock): default `sbt test` reports
+    // this CANCELED rather than silently absent, so the gate's
+    // existence stays visible. Run with
+    //   GRAFT_SCALE_PROBE=1 sbt "testOnly graft.ScaleProbeSpec"
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"),
+      "set GRAFT_SCALE_PROBE=1 to run the scale probe")
     // warm JIT/codegen/streams on the smallest SF first
     targets.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     val rows = targets.map { n =>
