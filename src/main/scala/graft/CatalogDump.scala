@@ -2,7 +2,16 @@ package graft
 /** Prints the query catalog as markdown (used to generate QUERIES.md). */
 object CatalogDump {
   def main(args: Array[String]): Unit = {
+    // the trainer-derived oracles are GENERATED from trained constants
+    // (SimilarityOps.generatedOracles); run one training at the
+    // smallest SF so the catalog reports them the way a Verify run
+    // produces them, not as rows-only
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries("sim_kmeans_sizes")(spark, "/root/testdata/sf0.001").count()
     val oracles = SparkEntry.oracleSql.keySet
+    spark.stop()
     println("| query | oracle | module |")
     println("|---|---|---|")
     val modules = Seq(
