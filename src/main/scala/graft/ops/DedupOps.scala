@@ -36,7 +36,7 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - 14, lit(1)), lit(5)),
       i => substring(text, i, lit(15))))
 
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     "list_distinct([%s[i:i+14] for i in range(1, greatest(len(%s)-14, 1)+1, 5)])"
 
   /** Exact-Jaccard between two distinct shingle arrays, as a double

@@ -504,7 +504,153 @@ object TextOps {
       .orderBy(col("position"))
   }
 
+  /** TF-IDF: the classic retrieval / keyword-extraction score as a
+    * training-data operator — top-3 highest-scoring terms per document
+    * (with ties broken by term, so output is deterministic).
+    *
+    * The idf follows the `text_lm_score` exactness discipline: instead
+    * of `ln(N/df)` (whose last ulp differs between libm builds),
+    * idf = floor(log2(N div df)) computed as the BIT LENGTH of the
+    * integer quotient — `length(bin(n DIV df)) - 1` — so every score
+    * is an exact integer (`tf * idf_bits`) and the oracle matches
+    * bit-for-bit.
+    *
+    * Scale shape: tf is one hash aggregate on (doc, term); df is a
+    * second hash aggregate on term over tf's (already doc-distinct)
+    * output; N is a single-row aggregate joined back on a constant
+    * key broadcast (the corpus_mix pattern). Scoring joins the
+    * doc-term stream to the term-keyed df table — build side one row
+    * per term. The top-3 window partitions by doc_id, so no global
+    * sort; everything is corpus-linear. */
+  def tfidfTopk(s: SparkSession, d: String): DataFrame =
+    tfidfTopkOn(Tables.documents(s, d))
+
+  /** Core of [[tfidfTopk]], parameterized for tests and reuse. */
+  def tfidfTopkOn(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(array_remove(tokens(col("text")), "")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs")).withColumn("__k", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(n), Seq("__k"))
+      .withColumn("score",
+        col("tf") * (length(bin(expr("n_docs DIV df"))) - 1).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** RAG-style chunking: fixed 32-token windows at stride 24 (8-token
+    * overlap) — the sliding-window segmentation every retrieval corpus
+    * and long-context packing pipeline applies before embedding. The
+    * window-start sequence stops at `greatest(len-8, 1)` so a trailing
+    * window always contains at least one token beyond the previous
+    * window's coverage (no fully-redundant tail chunk), and a ≤32-token
+    * document yields exactly one chunk.
+    *
+    * The result aggregates per source (chunk counts, token totals,
+    * full-window count, mean width) and pins the CONTENT of the
+    * chunking with `min(md5(chunk))` — a one-value digest over the
+    * actual sliced token windows, so an off-by-one in either engine's
+    * slicing flips the hash compare.
+    *
+    * Scale shape: chunk windows are a narrow per-row `transform` +
+    * `explode` over each token array (no shuffle; output rows ≈
+    * tokens/24); the only exchange is the final per-source hash
+    * aggregate. countDistinct(doc_id) rides the same aggregate. */
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    textChunksOn(Tables.documents(s, d))
+
+  /** Core of [[textChunks]], parameterized for tests and reuse. */
+  def textChunksOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+        array_remove(tokens(col("text")), "").as("t"))
+      .filter(size(col("t")) >= 1)
+    val chunks = toks.select(col("doc_id"), col("source"),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("t")) - 8, lit(1)), lit(24)),
+        i => struct(
+          size(slice(col("t"), i, lit(32))).as("clen"),
+          md5(concat_ws(" ", slice(col("t"), i, lit(32)))).as("cmd5"))))
+        .as("c"))
+    chunks.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("c.clen").cast("long")).as("sum_tokens"),
+        sum(when(col("c.clen") === 32, 1L).otherwise(0L)).as("n_full"),
+        min(col("c.cmd5")).as("min_chunk_md5"))
+      .withColumn("avg_tokens",
+        round(col("sum_tokens").cast("double") /
+          col("n_chunks").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus-overlap matrix: exact shingle-set Jaccard between every
+    * pair of sources — the dataset-overlap / cross-corpus-contamination
+    * estimate run before mixing corpora into a training blend (distinct
+    * from `text_contamination`, which probes a SMALL test set via
+    * broadcast; here both sides are full corpora).
+    *
+    * Scale shape: ONE corpus pass — distinct (source, shingle), then a
+    * shingle-keyed aggregate collecting each shingle's sorted source
+    * set (bounded by the number of sources, a domain dimension like
+    * states). One explode then emits, per shingle, every i<j source
+    * pair PLUS a singleton marker per member — an in-row array
+    * transform, never a self-join — so pair-intersection counts and
+    * per-source set sizes fall out of a SINGLE aggregate. That
+    * aggregate (≤ sources² rows) is materialized with localCheckpoint
+    * (the dedup_clusters precedent), so the final Jaccard joins read a
+    * tiny cached RDD instead of re-executing the corpus subtree per
+    * branch. Source pairs sharing zero shingles are absent (their
+    * Jaccard is 0); emitting them would need a sources×sources cross
+    * join for rows that carry no signal. */
+  def corpusOverlap(s: SparkSession, d: String): DataFrame =
+    corpusOverlapOn(Tables.documents(s, d))
+
+  /** Core of [[corpusOverlap]], parameterized for tests and reuse. */
+  def corpusOverlapOn(docs: DataFrame): DataFrame = {
+    val srcSets = docs.select(col("source"),
+        explode(DedupOps.shingles(col("text"))).as("sh"))
+      .distinct()
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+    // per shingle: [(a, null) for each member] ++ [(a, b) for i<j]
+    val counts = srcSets.select(explode(flatten(transform(col("ss"),
+        (a, i) => concat(
+          array(struct(a.as("source_a"),
+            lit(null).cast("string").as("source_b"))),
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            b => struct(a.as("source_a"), b.as("source_b"))))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sizes = counts.filter(col("source_b").isNull)
+      .select(col("source_a").as("source"), col("n").as("n_sh"))
+    counts.filter(col("source_b").isNotNull)
+      .withColumnRenamed("n", "n_common")
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), Seq("source_b"))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topk" -> tfidfTopk,
+    "text_chunk" -> textChunks,
+    "corpus_overlap" -> corpusOverlap,
     "text_lm_score" -> lmScore,
     "corpus_shuffle" -> corpusShuffle,
     "text_token_bpe" -> tokenCounts,
@@ -522,6 +668,70 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_topk" ->
+      // same integer-exact idf: bit length of the integer quotient
+      // (// is DuckDB's floor division), ties broken by term
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |    t.tf * (length(bin(n.n_docs // d.df)) - 1) AS score
+        |  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_chunk" ->
+      // same 32-token windows at stride 24; chunk content pinned via
+      // md5 of the space-joined slice (DuckDB list slice is inclusive)
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |t1 AS (SELECT * FROM toks WHERE len(t) >= 1),
+        |st AS (SELECT doc_id, source, t,
+        |    unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS i
+        |  FROM t1),
+        |ch AS (SELECT doc_id, source,
+        |    least(i + 31, len(t)) - i + 1 AS clen,
+        |    md5(array_to_string(t[i:least(i + 31, len(t))], ' ')) AS cmd5
+        |  FROM st)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(clen) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CASE WHEN clen = 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full,
+        |  MIN(cmd5) AS min_chunk_md5,
+        |  round(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_overlap" ->
+      // exact per-source distinct shingle sets -> pairwise Jaccard;
+      // shingle grammar mirrors DedupOps.shingles
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source,
+        |      unnest(${DedupOps.shinglesSql.format("text", "text")}) AS sh
+        |    FROM documents)),
+        |sz AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+        |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT cm.source_a, cm.source_b,
+        |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+        |  CAST(cm.n_common AS BIGINT) AS n_common,
+        |  round(CAST(cm.n_common AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - cm.n_common), 6) AS jaccard
+        |FROM cm JOIN sz sa ON cm.source_a = sa.source
+        |JOIN sz sb ON cm.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "text_lm_score" ->
       // same integer-exact surprisal: bit length of the smoothed
       // integer quotient; // is DuckDB's integer floor division

@@ -747,6 +747,83 @@ class OpsSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "offset join must broadcast")
   }
 
+  test("tfidf: integer idf ranks rare terms above common ones") {
+    import spark.implicits._
+    // N=4. df(common)=4 → idf_bits floor(log2(4//4))=0; df(mid)=2 → 1;
+    // df(rare)=1 → 2. Scores are exact integers tf*idf_bits.
+    val docs = Seq(
+      (1L, "s", "rare rare common common"),
+      (2L, "s", "common"),
+      (3L, "s", "common mid"),
+      (4L, "s", "common mid")).toDF("doc_id", "source", "text")
+    val rows = ops.TextOps.tfidfTopkOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(5))).toMap
+    assert(rows((1L, 1L)) === ("rare", 4L), "tf=2 × idf_bits=2")
+    assert(rows((1L, 2L)) === ("common", 0L))
+    assert(rows((3L, 1L)) === ("mid", 1L))
+    // ubiquitous term scores zero everywhere but still ranks by tie-break
+    assert(rows((2L, 1L)) === ("common", 0L))
+    // per-doc rank lists are dense from 1 and capped at 3
+    val perDoc = rows.keySet.groupBy(_._1).view.mapValues(_.map(_._2))
+    perDoc.foreach { case (d, rks) =>
+      assert(rks === (1L to rks.size).toSet && rks.size <= 3, s"doc $d") }
+  }
+
+  test("chunking: window arithmetic, full coverage, content md5") {
+    import spark.implicits._
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // expected starts: 1, 25, 49, ... up to greatest(len-8, 1)
+    def expectStarts(len: Int) =
+      1 to math.max(len - 8, 1) by 24
+    val lens = Seq(1, 8, 9, 25, 32, 33, 56, 57, 60)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, s"s$n", toks(n)) }
+      .toDF("doc_id", "source", "text")
+    val rows = ops.TextOps.textChunksOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    lens.foreach { n =>
+      val starts = expectStarts(n)
+      val clens = starts.map(s => math.min(s + 31, n) - s + 1)
+      // every chunk end reaches len → full token coverage
+      assert(starts.last + 31 >= n, s"len $n uncovered tail")
+      assert(rows(s"s$n") ===
+        ((starts.size.toLong, clens.sum.toLong,
+          clens.count(_ == 32).toLong)), s"len $n")
+    }
+    // content pin: a one-chunk doc's min md5 is md5 of its joined tokens
+    val one = ops.TextOps.textChunksOn(
+        Seq((9L, "x", "a b c")).toDF("doc_id", "source", "text"))
+      .collect().head.getString(5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one === md)
+  }
+
+  test("corpus overlap: identical sources J=1, disjoint pairs absent") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "pack my box with five dozen liquor jugs for the long trip"
+    val z = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"
+    val docs = Seq(
+      (1L, "s1", a), (2L, "s1", b),
+      (3L, "s2", a), (4L, "s2", b),   // s2 == s1's shingle set
+      (5L, "s3", a),                  // s3 ⊂ s1
+      (6L, "s4", z)).toDF("doc_id", "source", "text")
+    val rows = ops.TextOps.corpusOverlapOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (n1, n2, c12, j12) = rows(("s1", "s2"))
+    assert(n1 === n2 && c12 === n1 && j12 === 1.0, "identical sets")
+    val (_, n3, c13, j13) = rows(("s1", "s3"))
+    assert(c13 === n3 && j13 < 1.0, "subset: common = |s3|, J < 1")
+    // s4 shares nothing: no pair rows mention it
+    assert(!rows.keySet.exists(p => p._1 == "s4" || p._2 == "s4"))
+    // pairs are canonical (source_a < source_b), each pair once
+    assert(rows.keySet.forall(p => p._1 < p._2))
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -40,7 +40,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // same scalar-join shape: the vocab-size V is a SINGLE-ROW
     // broadcast against the doc-bigram stream — a 1-row build side is
     // a map-side constant, not a pair join
-    "text_lm_score"
+    "text_lm_score",
+    // same scalar-join shape: corpus doc count N is a SINGLE-ROW
+    // broadcast against the doc-term stream (idf denominator)
+    "text_tfidf_topk"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
