@@ -36,6 +36,21 @@ class ArtifactStoreSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.artifacts.dir")
   }
 
+  test("pq codebooks: build once, cold-serve from the store, identical result") {
+    isolatedRoot()
+    try {
+      ops.SimilarityOps.clearPqMemoryCache()
+      val before = ArtifactStore.builds
+      val first = ops.SimilarityOps.pqTopk(spark, sf).collect().toSeq
+      assert(ArtifactStore.builds === before + 1, "first call must build")
+      ops.SimilarityOps.clearPqMemoryCache()
+      val second = ops.SimilarityOps.pqTopk(spark, sf).collect().toSeq
+      assert(ArtifactStore.builds === before + 1,
+        "second call must serve the stored codebooks, not retrain")
+      assert(first === second)
+    } finally sys.props.remove("graft.artifacts.dir")
+  }
+
   test("near-dup cluster map: one build feeds all three consumers") {
     isolatedRoot()
     try {

@@ -223,6 +223,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"trained-IVF recall $recall too low")
   }
 
+  test("PQ shortlist + exact re-rank achieves high recall vs exact top-k") {
+    // the two-stage read path: raw ADC ranking on a uniform-random
+    // corpus is near-chance (measured ~0.1 recall@3 — distance
+    // concentration is PQ's worst case), but the top-50 shortlist
+    // CONTAINS the exact top-3 at 0.77+ and exact re-ranking surfaces
+    // them; the assertion pins the composed recall
+    val exact = ops.SimilarityOps.cosineTopK(spark, sf)
+      .filter(col("rank") <= 3).select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = ops.SimilarityOps.pqTopk(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ rerank recall $recall too low")
+    // re-ranked output must carry exact cosines: for every row the
+    // exact-rank ordering puts cosine monotonically non-increasing
+    val rows = ops.SimilarityOps.pqTopk(spark, sf)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    rows.groupBy(_._1).values.foreach { qr =>
+      val cs = qr.sortBy(_._2).map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "re-ranked cosines must be non-increasing per query")
+    }
+  }
+
   test("IVF+quantized search keeps high recall vs exact float top-k") {
     // both approximations stacked (cluster pruning + int8 scores):
     // the top-3 under quantized-pruned search should still mostly be

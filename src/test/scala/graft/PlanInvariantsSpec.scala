@@ -27,6 +27,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "sim_cosine_topk",      // bounded query side (10 vectors, broadcast)
     "sim_cosine_topk_agg",  // same bounded query side
     "sim_quantized_top1",   // same bounded query side
+    "sim_pq_topk",          // same bounded query side (ADC scan)
     "dedup_semantic",       // bounded exact pair stage (oracle form)
     "dedup_jaccard_neardup", // bounded exact Jaccard ground truth
     "split_leakage_safe",   // reuses jaccardNearDup's bounded pair
