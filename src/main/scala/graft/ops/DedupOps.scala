@@ -589,6 +589,96 @@ object DedupOps {
       .orderBy(col("source"), col("stage"))
   }
 
+  /** Snapshot diff — the dataset-versioning report every managed
+    * corpus publishes per release: which documents were added, removed,
+    * changed (same id, different content fingerprint) or unchanged
+    * between the published snapshot and the current batch, counted per
+    * source. Snapshots are simulated deterministically from one table
+    * (the [[incremental]] convention): published = doc_id%10 in [0,8),
+    * current = doc_id%10 in [1,10) with every doc_id%5==1 document
+    * carrying revised text.
+    *
+    * Scale shape: two filtered scans (two real snapshots at scale),
+    * one full-outer HASH join on the id key, one aggregate. Content
+    * comparison joins 16-byte fingerprints, never text. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame =
+    corpusDiffOn(Tables.documents(s, d))
+
+  /** Core of [[corpusDiff]], parameterized for tests and reuse. */
+  def corpusDiffOn(docs: DataFrame): DataFrame = {
+    val a = docs.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("source").as("source_a"),
+        TextOps.normalizedFp(col("text")).as("fp_a"))
+    val b = docs.filter(col("doc_id") % 10 >= 1)
+      .withColumn("btext",
+        when(col("doc_id") % 5 === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("source_b"),
+        TextOps.normalizedFp(col("btext")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(coalesce(col("source_a"), col("source_b")).as("source"),
+        col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** Exact-substring duplicate spans (the ExactSubstr pipeline of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better"): flag every 50-token window (stride 25) whose exact
+    * content occurs more than once in the corpus — including
+    * self-repeats — and report, per source, how many documents carry
+    * flagged spans, the span count, and how many token POSITIONS the
+    * merged spans cover (overlapping windows are not double-counted:
+    * coverage is a distinct-position count per document).
+    *
+    * Scale shape: windows are a narrow transform+explode
+    * (≈ tokens/25 rows); duplicate detection is one hash aggregate on
+    * the 16-byte window hash, then a key join back — corpus-linear,
+    * the suffix-array's sub-quadratic stand-in (a true distributed
+    * suffix array pays a sort of every suffix; stride-windowing is
+    * the standard approximation and finds any repeated run ≥ 74
+    * tokens, probabilistically shorter ones when aligned). Position
+    * coverage explodes only FLAGGED windows — duplicate-mass-sized,
+    * not corpus-sized. */
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupOn(Tables.documents(s, d))
+
+  /** Core of [[substringDedup]], parameterized for tests and reuse. */
+  def substringDedupOn(docs: DataFrame): DataFrame = {
+    val wins = docs.select(col("doc_id"), col("source"),
+        array_remove(TextOps.tokens(col("text")), "").as("t"))
+      .filter(size(col("t")) >= 50)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 49, lit(25)),
+          i => struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("t"), i, lit(50))))
+              .as("wh")))).as("w"))
+      .select(col("doc_id"), col("source"),
+        col("w.start").as("start"), col("w.wh").as("wh"))
+    val dupHashes = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("wh"))
+    wins.join(dupHashes, Seq("wh"))
+      .select(col("doc_id"), col("source"), col("start"),
+        explode(sequence(col("start"), col("start") + 49)).as("pos"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("pos")).as("tokens_flagged"),
+        sum(when(col("pos") === col("start"), 1L).otherwise(0L))
+          .as("n_spans"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_affected"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("tokens_flagged")).as("tokens_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** Bloom-prefiltered incremental dedup: the membership check of
     * [[incremental]] restructured so the NEW-batch side — the side
     * that is corpus-sized in a steady-state pipeline — mostly never
@@ -809,6 +899,8 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
+    "corpus_diff" -> corpusDiff,
+    "text_substring_dedup" -> substringDedup,
     "dedup_bloom_incremental" -> bloomIncremental,
     "split_leakage_safe" -> leakageSafeSplit,
     "dedup_first_wins" -> firstWins,
@@ -825,6 +917,45 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_diff" ->
+      // same snapshot simulation: A = %10<8, B = %10>=1 with %5==1 revised
+      """WITH a AS (SELECT doc_id, source AS source_a,
+        |    md5(lower(trim(text))) AS fp_a
+        |  FROM documents WHERE doc_id % 10 < 8),
+        |b AS (SELECT doc_id, source AS source_b,
+        |    md5(lower(trim(CASE WHEN doc_id % 5 = 1
+        |      THEN text || ' rev2' ELSE text END))) AS fp_b
+        |  FROM documents WHERE doc_id % 10 >= 1),
+        |j AS (SELECT COALESCE(a.source_a, b.source_b) AS source,
+        |  CASE WHEN a.fp_a IS NULL THEN 'added'
+        |       WHEN b.fp_b IS NULL THEN 'removed'
+        |       WHEN a.fp_a <> b.fp_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, COUNT(*) AS n_docs
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin,
+    "text_substring_dedup" ->
+      // same 50-token stride-25 windows; coverage = distinct positions
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |t50 AS (SELECT * FROM toks WHERE len(t) >= 50),
+        |st AS (SELECT doc_id, source, t,
+        |    unnest(range(1, len(t) - 49 + 1, 25)) AS i FROM t50),
+        |wins AS (SELECT doc_id, source, i AS start,
+        |    md5(array_to_string(t[i:i+49], ' ')) AS wh FROM st),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+        |pos AS (SELECT w.doc_id, w.source, w.start,
+        |    unnest(range(w.start, w.start + 50)) AS pos
+        |  FROM wins w JOIN dup USING (wh)),
+        |perdoc AS (SELECT doc_id, source,
+        |    COUNT(DISTINCT pos) AS tokens_flagged,
+        |    SUM(CASE WHEN pos = start THEN 1 ELSE 0 END) AS n_spans
+        |  FROM pos GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_docs_affected,
+        |  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+        |  CAST(SUM(tokens_flagged) AS BIGINT) AS tokens_flagged
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(lower(trim(text)))

@@ -773,6 +773,42 @@ class OpsSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "offset join must broadcast")
   }
 
+  test("corpus diff: added/removed/changed/unchanged partition exactly") {
+    import spark.implicits._
+    // ids 0..9, one source: A = %10<8 → {0..7}, B = %10>=1 → {1..9}
+    // with %5==1 revised. Expected: 0 removed; 8,9 added; 1,6 changed;
+    // 2,3,4,5,7 unchanged.
+    val docs = (0L until 10L).map(i => (i, "s", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val got = ops.DedupOps.corpusDiffOn(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("removed" -> 1L, "added" -> 2L,
+      "changed" -> 2L, "unchanged" -> 5L))
+    // statuses partition the union of both snapshots
+    assert(got.values.sum === 10L)
+  }
+
+  test("substring dedup: cross-doc and self-repeat spans, merged coverage") {
+    import spark.implicits._
+    def run(a: Int, b: Int, tag: String) =
+      (a to b).map(i => s"$tag$i").mkString(" ")
+    val p = run(1, 50, "p"); val q = run(1, 50, "q")
+    val docs = Seq(
+      (1L, "a", p + " " + run(1, 50, "f")),  // shares window@1 with doc2
+      (2L, "a", p + " " + run(1, 50, "g")),
+      (3L, "b", q + " " + q))                // self-repeat: window@1 == window@51
+      .toDF("doc_id", "source", "text")
+    val got = ops.DedupOps.substringDedupOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // source a: both docs flagged once (the shared 50-token prefix),
+    // 50 positions covered each
+    assert(got("a") === ((2L, 2L, 100L)))
+    // source b: ONE doc, TWO flagged spans (start 1 and 51), and the
+    // merged coverage is 100 distinct positions (no double-count)
+    assert(got("b") === ((1L, 2L, 100L)))
+  }
+
   test("tfidf: integer idf ranks rare terms above common ones") {
     import spark.implicits._
     // N=4. df(common)=4 → idf_bits floor(log2(4//4))=0; df(mid)=2 → 1;
