@@ -698,7 +698,47 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-distribution drift between corpus snapshots — the
+    * monitoring check a production embedding pipeline runs per
+    * release: has any label's centroid moved? Snapshots are simulated
+    * from one table (the corpus_diff convention): A = vec_id%10<8,
+    * B = vec_id%10>=2 (membership change drives the drift). Centroids
+    * use the k-means fixed-point discipline — per-(label, dim) sums of
+    * round(x·10⁶) longs are EXACT integers, one IEEE division per
+    * coordinate — so both snapshots' centroids are engine-independent
+    * and the round-6 cosine between them hash-matches the oracle.
+    *
+    * Scale shape: each snapshot is one scan → one (label × dim) hash
+    * aggregate (64 rows per label per partition map-combined); the
+    * centroid join is label-count-sized. Nothing pairwise. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame =
+    centroidDriftOn(Tables.embeddings(s, d))
+
+  /** Core of [[centroidDrift]], parameterized for tests and reuse. */
+  def centroidDriftOn(emb: DataFrame): DataFrame = {
+    def cent(f: DataFrame): DataFrame = f
+      .select(col("label"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000L).cast("long")))
+        .as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", col("s").cast("double") /
+        (col("n").cast("double") * lit(1000000.0)))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        p => p.getField("v")).as("cv"), max(col("n")).as("n"))
+    val a = cent(emb.filter(col("vec_id") % 10 < 8))
+      .select(col("label"), col("cv").as("cv_a"), col("n").as("n_a"))
+    val b = cent(emb.filter(col("vec_id") % 10 >= 2))
+      .select(col("label"), col("cv").as("cv_b"), col("n").as("n_b"))
+    a.join(b, Seq("label"))
+      .withColumn("drift_cosine", Vectors.cosine6(col("cv_a"), col("cv_b")))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_cosine"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_drift" -> centroidDrift,
     "sim_pq_topk" -> pqTopk, // generated oracle (spliced codebooks)
     "sim_kmeans_sizes" -> kmeansSizes, // generated oracle (spliced snapshots)
     "sim_quantized_top1" -> quantizedTopK,
@@ -865,6 +905,38 @@ object SimilarityOps {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    "sim_centroid_drift" ->
+      // same fixed-point centroids: exact integer sums of round(x·1e6),
+      // one double division per coordinate, round-6 cosine
+      """WITH pa AS (SELECT label, pos,
+        |    SUM(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000)
+        |      AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM (SELECT label, embedding,
+        |      unnest(range(1, len(embedding) + 1)) AS pos
+        |    FROM embeddings WHERE vec_id % 10 < 8)
+        |  GROUP BY label, pos),
+        |ca AS (SELECT label,
+        |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |      ORDER BY pos) AS cv,
+        |    MAX(n) AS n FROM pa GROUP BY label),
+        |pb AS (SELECT label, pos,
+        |    SUM(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000)
+        |      AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM (SELECT label, embedding,
+        |      unnest(range(1, len(embedding) + 1)) AS pos
+        |    FROM embeddings WHERE vec_id % 10 >= 2)
+        |  GROUP BY label, pos),
+        |cb AS (SELECT label,
+        |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+        |      ORDER BY pos) AS cv,
+        |    MAX(n) AS n FROM pb GROUP BY label)
+        |SELECT ca.label, CAST(ca.n AS BIGINT) AS n_a,
+        |  CAST(cb.n AS BIGINT) AS n_b,
+        |  round(list_cosine_similarity(ca.cv, cb.cv), 6) AS drift_cosine
+        |FROM ca JOIN cb ON ca.label = cb.label
+        |ORDER BY ca.label""".stripMargin,
     "sim_ivf_probe" -> probeOracleSql(
       """SELECT vec_id AS centroid_id, embedding AS ce
         |  FROM embeddings WHERE vec_id < 16""".stripMargin),

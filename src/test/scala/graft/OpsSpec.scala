@@ -223,6 +223,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"trained-IVF recall $recall too low")
   }
 
+  test("centroid drift: identical membership → 1.0, shifted membership < 1") {
+    import spark.implicits._
+    val e1 = Seq.fill(64)(1.0f); val e2 = (0 until 64).map(i => (i % 7).toFloat)
+    // label 0: every member identical → both centroids equal → drift 1.0
+    // label 1: ids 10,11 (A-only, e1) pull A's centroid away from B's
+    // pure-e2 centroid
+    val rows = (0L until 10L).map(i => (i, Seq.fill(64)(0.5f), 0)) ++
+      Seq((10L, e1, 1), (11L, e1, 1)) ++
+      (12L until 20L).map(i => (i, e2, 1))
+    val got = ops.SimilarityOps.centroidDriftOn(
+        rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(0) === ((8L, 8L, 1.0)))
+    val (na1, nb1, d1) = got(1)
+    assert(na1 === 8L && nb1 === 8L && d1 < 1.0 && d1 > 0.0,
+      s"shifted label should drift below 1, got $d1")
+  }
+
   test("PQ shortlist + exact re-rank achieves high recall vs exact top-k") {
     // the two-stage read path: raw ADC ranking on a uniform-random
     // corpus is near-chance (measured ~0.1 recall@3 — distance
