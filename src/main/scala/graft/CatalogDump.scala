@@ -33,7 +33,7 @@ object CatalogDump {
       val o = if (oracles.contains(q)) "DuckDB" else "rows-only"
       println(s"| `$q` | $o | $mod |")
     }
-    println(s"\nTotal: ${SparkEntry.queries.size} queries, " +
+    println(s"Total: ${SparkEntry.queries.size} queries, " +
       s"${oracles.size} DuckDB-oracled, " +
       s"${SparkEntry.queries.size - oracles.size} rows-only.")
   }

@@ -637,21 +637,24 @@ object DedupOps {
     * coverage is a distinct-position count per document).
     *
     * Scale shape: windows are a narrow transform+explode
-    * (≈ tokens/25 rows); duplicate detection is one hash aggregate on
-    * the 16-byte window hash, then a key join back — corpus-linear,
-    * the suffix-array's sub-quadratic stand-in (a true distributed
-    * suffix array pays a sort of every suffix; stride-windowing is
-    * the standard approximation and finds any repeated run ≥ 74
-    * tokens, probabilistically shorter ones when aligned). Position
-    * coverage explodes only FLAGGED windows — duplicate-mass-sized,
-    * not corpus-sized. */
+    * (≈ tokens/25 rows); duplicate detection is ONE shuffle — a
+    * count-over-window partitioned by the 16-byte window hash — so the
+    * corpus is tokenized and hashed exactly once (the aggregate+join
+    * formulation re-executes the window stream per branch; measured,
+    * not assumed — the corpus_overlap lesson). Corpus-linear, the
+    * suffix-array's sub-quadratic stand-in (a true distributed suffix
+    * array pays a sort of every suffix; stride-windowing is the
+    * standard approximation and finds any repeated run ≥ 74 tokens,
+    * probabilistically shorter ones when aligned). Position coverage
+    * explodes only FLAGGED windows — duplicate-mass-sized, not
+    * corpus-sized. */
   def substringDedup(s: SparkSession, d: String): DataFrame =
     substringDedupOn(Tables.documents(s, d))
 
   /** Core of [[substringDedup]], parameterized for tests and reuse. */
   def substringDedupOn(docs: DataFrame): DataFrame = {
     val wins = docs.select(col("doc_id"), col("source"),
-        array_remove(TextOps.tokens(col("text")), "").as("t"))
+        TextOps.tokensNonEmpty(col("text")).as("t"))
       .filter(size(col("t")) >= 50)
       .select(col("doc_id"), col("source"),
         explode(transform(
@@ -661,11 +664,11 @@ object DedupOps {
               .as("wh")))).as("w"))
       .select(col("doc_id"), col("source"),
         col("w.start").as("start"), col("w.wh").as("wh"))
-    val dupHashes = wins.groupBy(col("wh"))
-      .agg(count(lit(1)).as("cnt"))
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wh"))
+    wins
+      .withColumn("cnt", count(lit(1)).over(wDup))
       .filter(col("cnt") > 1)
-      .select(col("wh"))
-    wins.join(dupHashes, Seq("wh"))
       .select(col("doc_id"), col("source"), col("start"),
         explode(sequence(col("start"), col("start") + 49)).as("pos"))
       .groupBy(col("doc_id"), col("source"))

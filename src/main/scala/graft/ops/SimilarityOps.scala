@@ -731,9 +731,15 @@ object SimilarityOps {
       .select(col("label"), col("cv").as("cv_a"), col("n").as("n_a"))
     val b = cent(emb.filter(col("vec_id") % 10 >= 2))
       .select(col("label"), col("cv").as("cv_b"), col("n").as("n_b"))
-    a.join(b, Seq("label"))
-      .withColumn("drift_cosine", Vectors.cosine6(col("cv_a"), col("cv_b")))
-      .select(col("label"), col("n_a"), col("n_b"), col("drift_cosine"))
+    // FULL outer: a label present in only one snapshot is the most
+    // drastic drift event of all — it must appear in the report (count
+    // 0 on the missing side, NULL drift), not silently vanish
+    a.join(b, Seq("label"), "full_outer")
+      .withColumn("drift_cosine",
+        when(col("cv_a").isNotNull && col("cv_b").isNotNull,
+          Vectors.cosine6(col("cv_a"), col("cv_b"))))
+      .select(col("label"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("drift_cosine"))
       .orderBy(col("label"))
   }
 
@@ -932,11 +938,14 @@ object SimilarityOps {
         |    list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
         |      ORDER BY pos) AS cv,
         |    MAX(n) AS n FROM pb GROUP BY label)
-        |SELECT ca.label, CAST(ca.n AS BIGINT) AS n_a,
-        |  CAST(cb.n AS BIGINT) AS n_b,
-        |  round(list_cosine_similarity(ca.cv, cb.cv), 6) AS drift_cosine
-        |FROM ca JOIN cb ON ca.label = cb.label
-        |ORDER BY ca.label""".stripMargin,
+        |SELECT COALESCE(ca.label, cb.label) AS label,
+        |  CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_b,
+        |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL
+        |    THEN round(list_cosine_similarity(ca.cv, cb.cv), 6)
+        |  END AS drift_cosine
+        |FROM ca FULL OUTER JOIN cb ON ca.label = cb.label
+        |ORDER BY label""".stripMargin,
     "sim_ivf_probe" -> probeOracleSql(
       """SELECT vec_id AS centroid_id, embedding AS ce
         |  FROM embeddings WHERE vec_id < 16""".stripMargin),

@@ -19,6 +19,14 @@ object TextOps {
   /** Whitespace tokenization; the corpus is single-space separated. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Non-empty whitespace tokens — the ONE definition shared by every
+    * token-stream operator (lm score, tf-idf, chunking, substring
+    * dedup), mirroring the oracle idiom
+    * `list_filter(string_split(text, ' '), x -> x <> '')`; a tokenizer
+    * tweak must change all consumers together or cross-query
+    * consistency breaks silently. */
+  def tokensNonEmpty(c: Column): Column = array_remove(tokens(c), "")
+
   /** Normalized-content fingerprint — THE exact-dedup key. One
     * definition shared by `text_fingerprint`, `corpus_clean`, and
     * `DedupOps.incrementalOn` so the normalization rule cannot drift
@@ -433,7 +441,7 @@ object TextOps {
   /** Core of [[lmScore]], parameterized for tests and reuse. */
   def lmScoreOn(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
-        array_remove(tokens(col("text")), "").as("t"))
+        tokensNonEmpty(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bg = toks.select(col("doc_id"), col("source"),
         explode(zip_with(
@@ -528,7 +536,7 @@ object TextOps {
   /** Core of [[tfidfTopk]], parameterized for tests and reuse. */
   def tfidfTopkOn(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"),
-        explode(array_remove(tokens(col("text")), "")).as("term"))
+        explode(tokensNonEmpty(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -571,7 +579,7 @@ object TextOps {
   /** Core of [[textChunks]], parameterized for tests and reuse. */
   def textChunksOn(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
-        array_remove(tokens(col("text")), "").as("t"))
+        tokensNonEmpty(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
     val chunks = toks.select(col("doc_id"), col("source"),
       explode(transform(

@@ -231,15 +231,19 @@ class OpsSpec extends AnyFunSuite {
     // pure-e2 centroid
     val rows = (0L until 10L).map(i => (i, Seq.fill(64)(0.5f), 0)) ++
       Seq((10L, e1, 1), (11L, e1, 1)) ++
-      (12L until 20L).map(i => (i, e2, 1))
+      (12L until 20L).map(i => (i, e2, 1)) ++
+      Seq((28L, e1, 2), (29L, e1, 2)) // %10 in {8,9}: current-snapshot only
     val got = ops.SimilarityOps.centroidDriftOn(
         rows.toDF("vec_id", "embedding", "label"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toMap
-    assert(got(0) === ((8L, 8L, 1.0)))
-    val (na1, nb1, d1) = got(1)
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0) === ((8L, 8L, Some(1.0))))
+    val (na1, nb1, Some(d1)) = got(1)
     assert(na1 === 8L && nb1 === 8L && d1 < 1.0 && d1 > 0.0,
       s"shifted label should drift below 1, got $d1")
+    // a label present in only ONE snapshot is the loudest drift event:
+    // it must appear (zero count on the missing side, NULL drift)
+    assert(got(2) === ((0L, 2L, None)))
   }
 
   test("PQ shortlist + exact re-rank achieves high recall vs exact top-k") {
