@@ -18,7 +18,10 @@ class ScaleProbeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val targets = Seq(
-    "dedup_clusters_lsh", "dedup_semantic_lsh", "dedup_winnow")
+    "dedup_clusters_lsh", "dedup_semantic_lsh", "dedup_winnow",
+    // round-5 additions: the new corpus-pass-heavy operators
+    "corpus_overlap", "text_substring_dedup", "text_tfidf_topk",
+    "sim_pq_topk")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.3
 
