@@ -722,8 +722,16 @@ object DedupOps {
     // NPEs on a null (ADVICE r3), and a null fp can never match the
     // exact anti-join anyway, so dropping it is semantics-free
     val nonNull = snapshot.filter(col("fp").isNotNull)
-    val bf = nonNull.stat.bloomFilter("fp",
-      math.max(nonNull.count(), 1L), fpp)
+    val snapCount = nonNull.count()
+    if (snapCount == 0L) {
+      // empty snapshot: nothing can be a duplicate — the whole batch
+      // is definitely-new (stat.bloomFilter NPEs on zero rows, and a
+      // sketch over nothing answers nothing anyway)
+      return docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), fp.as("fp"))
+        .orderBy(col("doc_id"))
+    }
+    val bf = nonNull.stat.bloomFilter("fp", snapCount, fpp)
     val bfB = s.sparkContext.broadcast(bf)
     // codegen'd broadcast probe; coalesce supplies the operator's null
     // policy (a null fp is definitely absent — no filter contains null)

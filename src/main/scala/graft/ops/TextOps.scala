@@ -324,8 +324,11 @@ object TextOps {
     val bySource = counted.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tokens_s"))
       .withColumn("w",
-        lit(1.0) / (substring(col("source"), 4, 2).cast("long") + 1L)
-          .cast("double"))
+        // try_cast: the fixture convention is "srcNN" but an arbitrary
+        // source name must degrade to weight 1.0, not crash the job
+        lit(1.0) / (coalesce(
+          expr("try_cast(substring(source, 4, 2) AS BIGINT)"), lit(0L))
+          + 1L).cast("double"))
     val k = bySource
       .agg(min(col("tokens_s").cast("double") / col("w")).as("k"))
     val rates = bySource.crossJoin(broadcast(k))
@@ -855,8 +858,8 @@ object TextOps {
         |  FROM documents),
         |by_s AS (
         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_s,
-        |    1.0 / CAST(CAST(substring(source, 4, 2) AS BIGINT) + 1
-        |      AS DOUBLE) AS w
+        |    1.0 / CAST(COALESCE(TRY_CAST(substring(source, 4, 2)
+        |      AS BIGINT), 0) + 1 AS DOUBLE) AS w
         |  FROM counted GROUP BY source),
         |kf AS (SELECT MIN(CAST(tokens_s AS DOUBLE) / w) AS k FROM by_s),
         |rates AS (

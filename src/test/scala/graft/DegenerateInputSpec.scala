@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input sweep: every parameterized operator core must
+  * handle an EMPTY corpus, an empty-text document, and a one-token
+  * document without throwing — returning an empty or sane frame.
+  *
+  * This failure class is real in this codebase's history: Spark's
+  * `sequence(1, stop)` THROWS on a negative span where DuckDB's
+  * `range` returns empty (the shingles() inclusive-stop fix, caught in
+  * review), and `array_sort`/window/aggregate edge cases differ
+  * between engines precisely on degenerate rows. A 100 TB pipeline
+  * always contains empty and near-empty documents; crashing the job
+  * on them is not an option.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, String, String, Long)])
+      : DataFrame =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val emptyDocs = docs(Nil)
+  private val edgeDocs = docs(Seq(
+    (1L, "", "en", "s1", 0L),          // empty text
+    (2L, "one", "en", "s1", 3L),       // single token
+    (3L, " ", "en", "s2", 1L)))        // whitespace only
+
+  private val docCores: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "incrementalOn" -> ops.DedupOps.incrementalOn,
+    "corpusDiffOn" -> ops.DedupOps.corpusDiffOn,
+    "substringDedupOn" -> ops.DedupOps.substringDedupOn,
+    "contaminationOn" -> ops.DedupOps.contaminationOn,
+    "minhashLshOn" -> ((d: DataFrame) => ops.DedupOps.minhashLshOn(d)),
+    "simhashNearDupOn" -> ((d: DataFrame) => ops.DedupOps.simhashNearDupOn(d)),
+    "winnowNearDupOn" ->
+      ((d: DataFrame) => ops.DedupOps.winnowNearDupOn(spark, d)),
+    "bloomIncrementalOn" ->
+      ((d: DataFrame) => ops.DedupOps.bloomIncrementalOn(d)),
+    "repetitionOn" -> ops.TextOps.repetitionOn,
+    "oovRateOn" -> ops.TextOps.oovRateOn,
+    "dupNgramsOn" -> ops.TextOps.dupNgramsOn,
+    "corpusMixOn" -> ops.TextOps.corpusMixOn,
+    "corpusCleanOn" -> ops.TextOps.corpusCleanOn,
+    "lmScoreOn" -> ops.TextOps.lmScoreOn,
+    "packSequencesOn" ->
+      ((d: DataFrame) => ops.TextOps.packSequencesOn(d, budget = 64)),
+    "corpusShuffleOn" ->
+      ((d: DataFrame) => ops.TextOps.corpusShuffleOn(d, seed = 1L)),
+    "tfidfTopkOn" -> ops.TextOps.tfidfTopkOn,
+    "textChunksOn" -> ops.TextOps.textChunksOn,
+    "corpusOverlapOn" -> ops.TextOps.corpusOverlapOn,
+  )
+
+  test("document cores survive an empty corpus") {
+    docCores.foreach { case (name, fn) =>
+      val n = try fn(emptyDocs).count() catch {
+        case e: Throwable => fail(s"$name threw on EMPTY input: $e")
+      }
+      assert(n >= 0, name)
+    }
+  }
+
+  test("document cores survive empty-text / one-token / whitespace docs") {
+    docCores.foreach { case (name, fn) =>
+      val n = try fn(edgeDocs).count() catch {
+        case e: Throwable => fail(s"$name threw on edge docs: $e")
+      }
+      assert(n >= 0, name)
+    }
+  }
+
+  private def emb(rows: Seq[(Long, Seq[Float], Int)]): DataFrame =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("embedding cores survive empty and single-vector inputs") {
+    val cores: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "thresholdJoinOn" ->
+        ((d: DataFrame) => ops.SimilarityOps.thresholdJoinOn(d, 0.9)),
+      "centroidDriftOn" -> ops.SimilarityOps.centroidDriftOn,
+    )
+    val single = emb(Seq((7L, Seq.fill(64)(0.25f), 0)))
+    cores.foreach { case (name, fn) =>
+      assert(fn(emb(Nil)).count() >= 0, s"$name on empty")
+      assert(fn(single).count() >= 0, s"$name on single vector")
+    }
+  }
+}
