@@ -106,6 +106,30 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** X9 with a match-staleness bound (pandas merge_asof
+    * `tolerance=`): the as-of match counts only if it is at most N
+    * days older than the event — a stale match becomes NULL, which is
+    * how timeline enrichment avoids attributing to long-dead context.
+    * Same custom operator and plan shape; the bound is one extra
+    * comparison in the merge scan, not a different join. N = 8400
+    * days because the synthetic corpus's event→order gaps span
+    * 8209–9311 days (events are years after the TPC-H order window),
+    * so this bound exercises BOTH the keep and the null branch; in
+    * production the same parameter would be hours or days. */
+  def asofJoinTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    graft.plans.AsOf.join(ev, ord,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "o_custkey", rightTime = "o_orderdate",
+        rightTieBreak = "o_orderkey",
+        toleranceMicros = Some(8400L * 86400L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey_bounded"))
+      .orderBy(col("event_id"))
+  }
+
   /** X5 typed path: `from_json` with a declared schema (the idiomatic
     * form when the JSON shape is known — parses once into a struct,
     * no per-path re-parse like get_json_object). */
@@ -179,6 +203,7 @@ object EventOps {
     "sessionize_gap30m" -> sessionize,
     "join_asof_orders" -> asofJoin,
     "join_asof_native" -> asofJoinNative,
+    "join_asof_tolerance" -> asofJoinTolerance,
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +289,15 @@ object EventOps {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |  AS asof_orderkey
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |     AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |  AS asof_orderkey_bounded
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
   )

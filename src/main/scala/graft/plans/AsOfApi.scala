@@ -12,8 +12,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   * build). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -49,10 +49,15 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] {
 /** User-facing API: `AsOf.join(events, orders, ...)`. */
 object AsOf {
 
+  /** `toleranceMicros`: pandas merge_asof(tolerance=...) semantics —
+    * a match older than `leftTime - tolerance` yields NULLs instead.
+    * Only timestamp / timestamp_ntz / long time columns are accepted
+    * with a tolerance (the bound subtracts internal micros). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -68,10 +73,20 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
+    toleranceMicros.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      Seq(attr(lPlan, leftTime), attr(rPlan, rightTime)).foreach { a =>
+        require(Seq(TimestampType, TimestampNTZType, LongType)
+          .contains(a.dataType),
+          s"tolerance needs a timestamp/long time column; " +
+            s"${a.name} is ${a.dataType}")
+      }
+    }
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
       attr(rPlan, rightKey), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak))
+      attr(rPlan, rightTieBreak), toleranceMicros)
     org.apache.spark.sql.classic.GraftDatasetBridge.ofRows(spark, node)
   }
 }

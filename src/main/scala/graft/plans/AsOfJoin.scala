@@ -31,7 +31,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightTieBreak: Attribute) extends BinaryNode {
+    rightTieBreak: Attribute,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -42,7 +43,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    rightTieBreak: Attribute) extends BinaryExecNode {
+    rightTieBreak: Attribute,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -79,10 +81,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightWidth)
       val project = UnsafeProjection.create(outAttrs, outAttrs)
 
+      // tolerance compares internal Long time values (timestamp /
+      // timestamp_ntz micros, or a raw long column) — the API layer
+      // rejects other time types when a tolerance is set
+      val tol = toleranceMicros
+
       new Iterator[InternalRow] {
         private var pendingRight: InternalRow = null // read but not consumed
         private var held: InternalRow = null         // best match so far
         private var heldKey: Any = null
+        private var heldTime: Long = 0L
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -113,6 +121,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                   // string/binary/decimal keys it can be overwritten
                   // before the compare below uses it
                   heldKey = held.get(rKeyIdx, keyType)
+                  if (tol.isDefined) {
+                    heldTime = held.get(rTimeIdx, timeType)
+                      .asInstanceOf[Number].longValue()
+                  }
                   pendingRight = null
                 } else {
                   continue = false // ahead of (lk, lt): keep for later
@@ -120,8 +132,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
             }
           }
-          val matched = held != null && lk != null &&
-            keyOrd.compare(heldKey, lk) == 0
+          // lt != null: a null-time left row matches nothing (the SQL
+          // `rightTime <= leftTime` is unknown for NULL), it must not
+          // inherit the previous row's held match
+          val matched = held != null && lk != null && lt != null &&
+            keyOrd.compare(heldKey, lk) == 0 &&
+            (tol.isEmpty ||
+              lt.asInstanceOf[Number].longValue() - heldTime <= tol.get)
           project(joined(l, if (matched) held else nullRight))
         }
       }

@@ -19,6 +19,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.toSeq === composed.toSeq)
   }
 
+  test("tolerance nulls exactly the matches older than the bound") {
+    val sf = "/root/testdata/sf0.001"
+    val tolMicros = 8400L * 86400L * 1000000L
+    val bounded = ops.EventOps.asofJoinTolerance(spark, sf)
+      .select($"event_id", $"asof_orderkey_bounded").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // reference: unbounded native join, matches beyond the bound nulled
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val ord = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+    val ref = AsOf.join(ev, ord, "user_id", "ts",
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select($"event_id",
+        when(unix_micros($"ts".cast("timestamp")) -
+          unix_micros($"o_orderdate".cast("timestamp")) <= tolMicros,
+          $"o_orderkey").as("k"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(bounded === ref)
+    // the bound must actually bite on this data AND leave matches
+    assert(bounded.values.exists(_ == -1L), "no stale match nulled")
+    assert(bounded.values.exists(_ != -1L), "all matches nulled")
+  }
+
+  test("a null left time matches nothing (no held-row inheritance)") {
+    val ev = Seq((1L, 5L, Some(1000000L)), (2L, 5L, None))
+      .toDF("event_id", "user_id", "raw")
+      .select($"event_id", $"user_id",
+        timestamp_micros(coalesce($"raw", lit(null))).as("ts"))
+    val ord = Seq((5L, 500000L, 77L))
+      .toDF("o_custkey", "raw", "o_orderkey")
+      .select($"o_custkey", timestamp_micros($"raw").as("o_orderdate"),
+        $"o_orderkey")
+    val got = AsOf.join(ev, ord, "user_id", "ts",
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select($"event_id", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got(1L) === 77L, "real timestamp matches")
+    assert(got(2L) === -1L,
+      "null-ts row must NOT inherit the previous row's match")
+  }
+
   test("plan contains the custom exec with one exchange+sort per side") {
     val df = ops.EventOps.asofJoinNative(spark, "/root/testdata/sf0.001")
     // SparkPlan.nodeName strips the "Exec" suffix
