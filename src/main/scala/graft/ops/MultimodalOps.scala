@@ -150,7 +150,7 @@ object MultimodalOps {
     "mm_chunk_dedup" -> chunkDedup,
     "mm_resize" -> resizePlan,
     "mm_decode_features" -> decodeFeatures,
-    "mm_decode_mappartitions" -> decodeMapPartitions, // no oracle: UDF path
+    "mm_decode_mappartitions" -> decodeMapPartitions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +193,17 @@ object MultimodalOps {
         |  round(scale, 6) AS scale
         |FROM sc ORDER BY media_id""".stripMargin,
     "mm_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the typed mapPartitions twin computes the SAME decode contract,
+    // so it answers to the same oracle — and a divergence between the
+    // JVM codec path and the expression path now fails the hash gate,
+    // not just the in-repo differential test
+    "mm_decode_mappartitions" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
