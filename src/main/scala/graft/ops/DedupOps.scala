@@ -921,13 +921,96 @@ object DedupOps {
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
     "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
-    "dedup_winnow" -> winnowNearDup, // no oracle: rolling-hash internals
+    "dedup_winnow" -> winnowNearDup, // oracle: full SQL replay (winnowOracleSql)
     "dedup_clusters" -> clusters,
     "dedup_clusters_lsh" -> clustersLsh, // no oracle: hash-seeded LSH
     "text_contamination" -> contamination,
   )
 
+  /** Full SQL replay of the winnow pipeline — kills the "rolling-hash
+    * internals aren't SQL" excuse. Every stage of
+    * [[graft.functions.WinnowCodegen]] is replayed in DuckDB exactly:
+    *
+    *  - k-gram hashes as the DIRECT base-257 polynomial over the
+    *    UTF-8 bytes (congruent mod 2⁶⁴ to the rolling form — modular
+    *    arithmetic is ring-homomorphic), with 257^j as literal
+    *    constants and one `% 2^64` on the HUGEINT sum. Bytes come
+    *    from hex(encode(text)) pairs via strpos on a hex alphabet.
+    *  - splitmix64 in HUGEINT limb arithmetic: xor() works on
+    *    HUGEINT, `// 2^s` is a logical shift for non-negative values,
+    *    and the two wrapping 64×64 multiplies decompose into 32-bit
+    *    limbs against the constant's halves (validated bit-exact
+    *    against the JVM on boundary values).
+    *  - the winnow window: the rightmost-tie rule affects which
+    *    POSITION is selected but never the selected VALUE, so the
+    *    fingerprint SET is exactly DISTINCT(windowed MIN) — with the
+    *    minima taken over SIGNED longs (Scala Long compare), hence
+    *    the unsigned→signed CAST before the window.
+    *  - the pair stage mirrors [[winnowNearDupOn]] verbatim
+    *    (2 ≤ docs-per-fp ≤ 64 bucket cap, n_shared ≥ 2 and
+    *    ≥ 0.25·min(|fpa|,|fpb|)).
+    *
+    * MATERIALIZED CTEs keep DuckDB from inlining the hash chain into
+    * an exponential expression tree. */
+  private def winnowOracleSql: String = {
+    val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    val M64 = "18446744073709551616"
+    def wrapMul(expr: String, c: Long): String = {
+      val cLo = java.lang.Long.remainderUnsigned(c, 4294967296L)
+      val cHi = java.lang.Long.divideUnsigned(c, 4294967296L)
+      s"((($expr) % 4294967296 * $cLo + (((($expr) % 4294967296) * $cHi + " +
+        s"(($expr) // 4294967296) * $cLo) % 4294967296) * 4294967296) % $M64)"
+    }
+    def byteAt(bi: String): String =
+      s"((strpos('0123456789ABCDEF', hx[2*($bi)-1:2*($bi)-1]) - 1) * 16 + " +
+        s"strpos('0123456789ABCDEF', hx[2*($bi):2*($bi)]) - 1)"
+    val pows = Iterator.iterate(1L)(_ * 257L).take(8).toSeq
+    val poly = (0 until 8).map(j =>
+      s"CAST(${byteAt(s"p+$j")} AS HUGEINT) * ${pows(7 - j)}")
+      .mkString(" + ")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(lower(trim(text)))) AS hx,
+       |         octet_length(encode(lower(trim(text)))) AS n
+       |  FROM documents),
+       |kg AS MATERIALIZED (
+       |  SELECT doc_id, p, (($poly) % $M64) AS h0
+       |  FROM (SELECT doc_id, hx, n, unnest(range(1, n - 8 + 2)) AS p
+       |        FROM b WHERE n >= 8)),
+       |s1 AS MATERIALIZED (SELECT doc_id, p, xor(h0, h0 // 1073741824) AS x FROM kg),
+       |s2 AS MATERIALIZED (SELECT doc_id, p, ${wrapMul("x", C1)} AS x FROM s1),
+       |s3 AS MATERIALIZED (SELECT doc_id, p, xor(x, x // 134217728) AS x FROM s2),
+       |s4 AS MATERIALIZED (SELECT doc_id, p, ${wrapMul("x", C2)} AS x FROM s3),
+       |mx AS MATERIALIZED (
+       |  SELECT doc_id, p, CAST(CASE WHEN h < 9223372036854775808
+       |    THEN h ELSE h - $M64 END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, p, xor(x, x // 2147483648) AS h FROM s4)),
+       |wmin AS (
+       |  SELECT doc_id, p,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wh,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM mx),
+       |fps AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, wh AS fp FROM wmin WHERE p >= LEAST(4, m)),
+       |sized AS (SELECT doc_id, fp,
+       |  COUNT(*) OVER (PARTITION BY doc_id) AS nfp FROM fps),
+       |keep AS (SELECT fp FROM fps GROUP BY fp
+       |  HAVING COUNT(*) BETWEEN 2 AND 64),
+       |bk AS (SELECT s.* FROM sized s JOIN keep USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id, COUNT(*) AS n_shared,
+       |         MIN(a.nfp) AS na, MIN(b2.nfp) AS nb
+       |  FROM bk a JOIN bk b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs
+       |WHERE n_shared >= 2 AND n_shared >= 0.25 * LEAST(na, nb)
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_winnow" -> winnowOracleSql,
     "corpus_diff" ->
       // same snapshot simulation: A = %10<8, B = %10>=1 with %5==1 revised
       """WITH a AS (SELECT doc_id, source AS source_a,
