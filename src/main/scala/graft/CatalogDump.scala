@@ -11,6 +11,7 @@ object CatalogDump {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries("sim_kmeans_sizes")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("sim_pq_topk")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("dedup_semantic_lsh")(spark, "/root/testdata/sf0.001").count()
     val oracles = SparkEntry.oracleSql.keySet
     spark.stop()
     println("| query | oracle | module |")

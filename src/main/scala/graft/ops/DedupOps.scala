@@ -916,7 +916,7 @@ object DedupOps {
     "split_leakage_safe" -> leakageSafeSplit,
     "dedup_first_wins" -> firstWins,
     "dedup_semantic" -> semantic,
-    "dedup_semantic_lsh" -> semanticLsh, // no oracle: SRP internals
+    "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
     "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
@@ -955,16 +955,8 @@ object DedupOps {
   private def winnowOracleSql: String = {
     val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
     val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
-    val M64 = "18446744073709551616"
-    def wrapMul(expr: String, c: Long): String = {
-      val cLo = java.lang.Long.remainderUnsigned(c, 4294967296L)
-      val cHi = java.lang.Long.divideUnsigned(c, 4294967296L)
-      s"((($expr) % 4294967296 * $cLo + (((($expr) % 4294967296) * $cHi + " +
-        s"(($expr) // 4294967296) * $cLo) % 4294967296) * 4294967296) % $M64)"
-    }
-    def byteAt(bi: String): String =
-      s"((strpos('0123456789ABCDEF', hx[2*($bi)-1:2*($bi)-1]) - 1) * 16 + " +
-        s"strpos('0123456789ABCDEF', hx[2*($bi):2*($bi)]) - 1)"
+    def wrapMul(expr: String, c: Long): String = wrapMulSql(expr, c)
+    def byteAt(bi: String): String = hexByteSql("hx", bi)
     val pows = Iterator.iterate(1L)(_ * 257L).take(8).toSeq
     val poly = (0 until 8).map(j =>
       s"CAST(${byteAt(s"p+$j")} AS HUGEINT) * ${pows(7 - j)}")
@@ -1009,8 +1001,251 @@ object DedupOps {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Shared SQL helpers for the hash-replay oracles: wrapping 64×64
+    * multiply against a CONSTANT via 32-bit limbs in HUGEINT, and hex
+    * byte extraction (both validated bit-exact against the JVM). */
+  private val M64 = "18446744073709551616"
+  private def wrapMulSql(expr: String, c: Long): String = {
+    val cLo = java.lang.Long.remainderUnsigned(c, 4294967296L)
+    val cHi = java.lang.Long.divideUnsigned(c, 4294967296L)
+    s"((($expr) % 4294967296 * $cLo + (((($expr) % 4294967296) * $cHi + " +
+      s"(($expr) // 4294967296) * $cLo) % 4294967296) * 4294967296) % $M64)"
+  }
+  private def hexByteSql(hexCol: String, bi: String): String =
+    s"((strpos('0123456789ABCDEF', $hexCol[2*($bi)-1:2*($bi)-1]) - 1) * 16 + " +
+      s"strpos('0123456789ABCDEF', $hexCol[2*($bi):2*($bi)]) - 1)"
+  private val pow2Sql =
+    "[" + (0 until 64).map(i => s"CAST(${java.lang.Long.toUnsignedString(1L << i)} AS HUGEINT)")
+      .mkString(",") + "]"
+
+  /** Full SQL replay of the SimHash near-dup pipeline: FNV-1a-64 per
+    * token as a `list_reduce` fold over the token's bytes (the
+    * wrapping prime multiply via [[wrapMulSql]]), the ±1 bit votes as
+    * a (doc × 64) aggregate, Manku 16-bit block keys from the unsigned
+    * sketch, the 256-cap per bucket (row_number by doc_id — the same
+    * deterministic cap rule), distinct candidate pairs, and
+    * `bit_count(xor)` hamming verification. Replays
+    * [[graft.functions.SimHashCodegen]] bit-exactly. */
+  private def simhashOracleSql: String = {
+    val fnvBasis = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+    val fnvPrime = java.lang.Long.parseUnsignedLong("100000001b3", 16)
+    val tokBytes = s"[ ${hexByteSql("th", "i")} " +
+      "for i in range(1, CAST(length(th)/2 AS BIGINT) + 1) ]"
+    val fnvStep = wrapMulSql("xor(a, CAST(b AS HUGEINT))", fnvPrime)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(tok)) AS th FROM toks),
+       |hashes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(
+       |      CAST(${java.lang.Long.toUnsignedString(fnvBasis)} AS HUGEINT),
+       |      $tokBytes),
+       |      (a, b) -> $fnvStep) AS h
+       |  FROM th),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN (h // ($pow2Sql)[i+1]) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS v
+       |  FROM (SELECT doc_id, h, unnest(range(0, 64)) AS i FROM hashes) t
+       |  GROUP BY doc_id, i),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN ($pow2Sql)[i+1]
+       |        ELSE CAST(0 AS HUGEINT) END) AS shu
+       |  FROM bits GROUP BY doc_id),
+       |blocks AS MATERIALIZED (
+       |  SELECT doc_id, shu, blk,
+       |    CAST((shu // ($pow2Sql)[blk*16+1]) % 65536 AS BIGINT) AS key
+       |  FROM (SELECT doc_id, shu, unnest(range(0, 4)) AS blk FROM sh) t),
+       |capped AS MATERIALIZED (
+       |  SELECT doc_id, shu, blk, key FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY blk, key
+       |      ORDER BY doc_id) AS rn
+       |    FROM blocks) WHERE rn <= $defaultMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, x.shu AS sa,
+       |    y.doc_id AS b_id, y.shu AS sb
+       |  FROM capped x JOIN capped y
+       |    ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Full SQL replay of the MinHash-LSH pipeline (shared by the
+    * `dedup_minhash_lsh` oracle and, with a recursive-CTE clustering
+    * tail, `dedup_clusters_lsh`). Replays, bit-exactly:
+    *
+    *  - FNV-1a-64 of every distinct shingle (list_reduce byte fold);
+    *  - the k=32 "permutations" as splitmix64 of base + GOLDEN·s,
+    *    with the wrapping GOLDEN·s products spliced as constants;
+    *  - SIGNED per-seed minima via the sign-flip isomorphism
+    *    (signed order = unsigned order of x XOR 2⁶³, implemented as
+    *    +2⁶³ mod 2⁶⁴ — self-inverse);
+    *  - Spark's `xxhash64(sig[4b..4b+3])` band buckets: XXH64's
+    *    hashLong chain (seed 42) UNROLLED into 7 materialized CTE
+    *    steps per value — a single list_reduce lambda expands the
+    *    fmix self-references into a 580 KB expression that DuckDB
+    *    evaluates per element (~300 s); the stepped form runs in
+    *    seconds (the CTE tables are (docs × 8 bands) rows);
+    *  - the 256-cap per (band, bucket), distinct candidate pairs, and
+    *    exact-Jaccard verification on the ROUNDED value (Spark
+    *    filters on the rounded column). */
+  private def minhashCtesSql: String = {
+    val fnvBasis = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
+    val fnvPrime = java.lang.Long.parseUnsignedLong("100000001b3", 16)
+    val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    val gold = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
+    val p1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
+    val p2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+    val p3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
+    val p4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
+    val p5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
+    val h63 = "9223372036854775808"
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    def rotl(e: String, r: Int): String = {
+      val loMod = u(1L << (64 - r)); val mul = u(1L << r)
+      s"((($e) % $loMod) * $mul + ($e) // $loMod)"
+    }
+    val adds = "[" + (1 to 32).map(s => u(gold * s)).mkString(",") + "]"
+    val tokBytes = s"[ ${hexByteSql("th", "i")} " +
+      "for i in range(1, CAST(length(th)/2 AS BIGINT) + 1) ]"
+    val fnvStep = wrapMulSql("xor(a, CAST(b AS HUGEINT))", fnvPrime)
+    val keep = "doc_id, band, v1, v2, v3, v4"
+    val xxSteps = (1 to 4).flatMap { j =>
+      val prev = if (j == 1) "x0" else s"x${j - 1}g"
+      val h0 = s"(st + ${u(p5 + 8L)}) % $M64"
+      Seq(
+        s"x${j}a AS MATERIALIZED (SELECT $keep, xor($h0, " +
+          s"${wrapMulSql(rotl(wrapMulSql(s"v$j", p2), 31), p1)}) AS st FROM $prev)",
+        s"x${j}b AS MATERIALIZED (SELECT $keep, " +
+          s"(${wrapMulSql(rotl("st", 27), p1)} + ${u(p4)}) % $M64 AS st FROM x${j}a)",
+        s"x${j}c AS MATERIALIZED (SELECT $keep, xor(st, st // ${u(1L << 33)}) AS st FROM x${j}b)",
+        s"x${j}d AS MATERIALIZED (SELECT $keep, ${wrapMulSql("st", p2)} AS st FROM x${j}c)",
+        s"x${j}e AS MATERIALIZED (SELECT $keep, xor(st, st // ${u(1L << 29)}) AS st FROM x${j}d)",
+        s"x${j}f AS MATERIALIZED (SELECT $keep, ${wrapMulSql("st", p3)} AS st FROM x${j}e)",
+        s"x${j}g AS MATERIALIZED (SELECT $keep, xor(st, st // ${u(1L << 32)}) AS st FROM x${j}f)")
+    }.mkString(",\n")
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id, ${shinglesSql.format("text", "text")} AS sha
+       |  FROM documents),
+       |shex AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(s)) AS th
+       |  FROM (SELECT doc_id, unnest(sha) AS s FROM sh)),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(${u(fnvBasis)} AS HUGEINT), $tokBytes),
+       |      (a, b) -> $fnvStep) AS base
+       |  FROM shex),
+       |seeded AS MATERIALIZED (
+       |  SELECT doc_id, s, (base + ($adds)[s]) % $M64 AS x
+       |  FROM (SELECT doc_id, base, unnest(range(1, 33)) AS s FROM base) t),
+       |mm1 AS MATERIALIZED (SELECT doc_id, s, xor(x, x // 1073741824) AS x FROM seeded),
+       |mm2 AS MATERIALIZED (SELECT doc_id, s, ${wrapMulSql("x", C1)} AS x FROM mm1),
+       |mm3 AS MATERIALIZED (SELECT doc_id, s, xor(x, x // 134217728) AS x FROM mm2),
+       |mm4 AS MATERIALIZED (SELECT doc_id, s, ${wrapMulSql("x", C2)} AS x FROM mm3),
+       |hsx AS MATERIALIZED (SELECT doc_id, s, xor(x, x // 2147483648) AS h FROM mm4),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, s, (MIN((h + $h63) % $M64) + $h63) % $M64 AS sig
+       |  FROM hsx GROUP BY doc_id, s),
+       |x0 AS MATERIALIZED (
+       |  SELECT doc_id, (s - 1) // 4 AS band,
+       |    list(sig ORDER BY s)[1] AS v1, list(sig ORDER BY s)[2] AS v2,
+       |    list(sig ORDER BY s)[3] AS v3, list(sig ORDER BY s)[4] AS v4,
+       |    CAST(42 AS HUGEINT) AS st
+       |  FROM sig GROUP BY doc_id, (s - 1) // 4),
+       |$xxSteps,
+       |capped AS MATERIALIZED (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, st AS bucket,
+       |      row_number() OVER (PARTITION BY band, st ORDER BY doc_id) AS rn
+       |    FROM x4g) WHERE rn <= $defaultMaxBucket),
+       |candm AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.doc_id < y.doc_id),
+       |verified AS MATERIALIZED (
+       |  SELECT c.a_id, c.b_id,
+       |    round(CAST(len(list_intersect(sa.sha, sb.sha)) AS DOUBLE) /
+       |      (len(sa.sha) + len(sb.sha) - len(list_intersect(sa.sha, sb.sha))),
+       |      6) AS jaccard
+       |  FROM candm c JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id)""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT a_id, b_id, jaccard FROM verified
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  /** [[minhashCtesSql]] + the `dedup_clusters` recursive-CTE
+    * clustering tail over the verified LSH pairs — the full-corpus
+    * composition, now cross-engine-replayed end to end. */
+  private def clustersLshOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+       |pairsx AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
+       |          UNION SELECT b_id, a_id FROM pairsx),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+       |         FROM walk GROUP BY id)
+       |SELECT c.doc_id, c.cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+       |    AS cluster_size
+       |FROM comp c ORDER BY doc_id""".stripMargin
+
+  /** Generated oracle for `dedup_semantic_lsh`: the [[SimilarityOps]]
+    * SRP replay at the auto-tuned (bits, bands) — recorded when the
+    * query ran; they are a pure function of the corpus cardinality,
+    * so the splice is an engine-independent constant — with the
+    * threshold-0.3 cosine verification and the `semanticOnPairs`
+    * tail: recursive-CTE connected components over the verified
+    * pairs, singletons keeping themselves, min-id labels, kept flag.
+    * Empty until a session has run the query (the Verify protocol
+    * runs every query before dumping `oracleSql`). */
+  private def semanticLshGeneratedOracle: Map[String, String] =
+    SimilarityOps.tunedSrpParams(0.3).map { case (bits, bands, seed) =>
+      "dedup_semantic_lsh" ->
+        s"""WITH RECURSIVE ${SimilarityOps.srpCtesSql(bits, bands, seed)},
+           |pairsx AS (
+           |  SELECT c.a_id, c.b_id
+           |  FROM cand c JOIN vecs a ON a.vec_id = c.a_id
+           |  JOIN vecs b ON b.vec_id = c.b_id
+           |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
+           |          UNION SELECT b_id, a_id FROM pairsx),
+           |walk(id, label) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           |comp AS (SELECT id, min(label) AS cluster_id
+           |         FROM walk GROUP BY id),
+           |assigned AS (
+           |  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+           |  FROM vecs v LEFT JOIN comp c ON c.id = v.vec_id),
+           |sizes AS (SELECT cluster_id, COUNT(*) AS n
+           |          FROM assigned GROUP BY cluster_id)
+           |SELECT a.vec_id, a.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
+           |  CAST(CASE WHEN a.vec_id = a.cluster_id THEN 1 ELSE 0 END
+           |    AS BIGINT) AS kept
+           |FROM assigned a JOIN sizes s USING (cluster_id)
+           |ORDER BY vec_id""".stripMargin
+    }.toMap
+
+  def oracles: Map[String, String] = staticOracles ++ semanticLshGeneratedOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_clusters_lsh" -> clustersLshOracleSql,
     "corpus_diff" ->
       // same snapshot simulation: A = %10<8, B = %10>=1 with %5==1 revised
       """WITH a AS (SELECT doc_id, source AS source_a,

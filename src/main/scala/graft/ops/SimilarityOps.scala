@@ -128,8 +128,99 @@ object SimilarityOps {
       knownN: Option[Long] = None): DataFrame = {
     val n = knownN.getOrElse(emb.count())
     val (bits, bands) = srpAutoParams(n, threshold, targetRecall)
+    // record the tuned params so the generated SRP oracles can splice
+    // them (they are a pure function of the corpus cardinality, so
+    // the splice is an engine-independent constant — the kmeans/pq
+    // generated-oracle protocol)
+    autoParamsCache.put(threshold, (bits, bands, seed))
     thresholdLshOn(emb, threshold, bits, bands, seed)
   }
+
+  private val autoParamsCache =
+    scala.collection.concurrent.TrieMap.empty[Double, (Int, Int, Long)]
+  private[ops] def tunedSrpParams(threshold: Double): Option[(Int, Int, Long)] =
+    autoParamsCache.get(threshold)
+
+  /** SQL replay of [[graft.functions.SrpCodegen]] — CTE body from the
+    * `embeddings` table to `cand` (distinct candidate id pairs), for
+    * the given band geometry. Both splitmix derivations (per-bit
+    * plane seed, per-(bit, dim) Rademacher sign) run as stepped
+    * MATERIALIZED HUGEINT CTEs; the float accumulator folds each
+    * vector's ±dims SEQUENTIALLY via an ordered list_reduce, matching
+    * the Scala loop's IEEE addition order exactly (acc - v ==
+    * acc + (-1.0·v) bit-for-bit). */
+  private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long): String = {
+    val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    val gold = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
+    val p2c = java.lang.Long.parseUnsignedLong("c2b2ae3d27d4eb4f", 16)
+    val M64 = "18446744073709551616"
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    def wm(e: String, c: Long): String = {
+      val lo = java.lang.Long.remainderUnsigned(c, 4294967296L)
+      val hi = java.lang.Long.divideUnsigned(c, 4294967296L)
+      s"((($e) % 4294967296 * $lo + (((($e) % 4294967296) * $hi + " +
+        s"(($e) // 4294967296) * $lo) % 4294967296) * 4294967296) % $M64)"
+    }
+    val total = bits * bands
+    val seedAdds = "[" +
+      (1 to total).map(b => u(seed + gold * b)).mkString(",") + "]"
+    val powInBand = "[" + (0 until bits).map(b => u(1L << b)).mkString(",") + "]"
+    s"""bits0 AS MATERIALIZED (
+       |  SELECT bit, CAST(($seedAdds)[bit + 1] AS HUGEINT) AS x
+       |  FROM (SELECT unnest(range(0, $total)) AS bit)),
+       |sb1 AS MATERIALIZED (SELECT bit, xor(x, x // 1073741824) AS x FROM bits0),
+       |sb2 AS MATERIALIZED (SELECT bit, ${wm("x", C1)} AS x FROM sb1),
+       |sb3 AS MATERIALIZED (SELECT bit, xor(x, x // 134217728) AS x FROM sb2),
+       |sb4 AS MATERIALIZED (SELECT bit, ${wm("x", C2)} AS x FROM sb3),
+       |pbase AS MATERIALIZED (SELECT bit, xor(x, x // 2147483648) AS base FROM sb4),
+       |pi0 AS MATERIALIZED (
+       |  SELECT bit, i,
+       |    (base + CAST(${wm("CAST(i + 1 AS HUGEINT)", p2c)} AS HUGEINT)) % $M64 AS x
+       |  FROM (SELECT bit, base, unnest(range(0, 64)) AS i FROM pbase)),
+       |pm1 AS MATERIALIZED (SELECT bit, i, xor(x, x // 1073741824) AS x FROM pi0),
+       |pm2 AS MATERIALIZED (SELECT bit, i, ${wm("x", C1)} AS x FROM pm1),
+       |pm3 AS MATERIALIZED (SELECT bit, i, xor(x, x // 134217728) AS x FROM pm2),
+       |pm4 AS MATERIALIZED (SELECT bit, i, ${wm("x", C2)} AS x FROM pm3),
+       |signs AS MATERIALIZED (
+       |  SELECT bit, i,
+       |    CASE WHEN xor(x, x // 2147483648) % 2 = 1
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM pm4),
+       |slists AS MATERIALIZED (
+       |  SELECT bit, list(sgn ORDER BY i) AS sl FROM signs GROUP BY bit),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |accs AS MATERIALIZED (
+       |  SELECT v.vec_id, s.bit,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [v.ve[i] * s.sl[i] for i in range(1, 65)]), (a, b) -> a + b)
+       |      AS acc
+       |  FROM vecs v CROSS JOIN slists s),
+       |bucketsx AS MATERIALIZED (
+       |  SELECT vec_id, bit // $bits AS band,
+       |    CAST(SUM(CASE WHEN acc > 0
+       |      THEN ($powInBand)[(bit % $bits) + 1] ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM accs GROUP BY vec_id, bit // $bits),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bucketsx x JOIN bucketsx y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |      AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  /** Static oracle for `sim_threshold_lsh` (fixed 8×64 geometry,
+    * seed 42, threshold 0.4): SRP candidates + exact round-6 cosine
+    * verification — a full cross-engine replay of the LSH path. */
+  private[ops] def thresholdLshOracleSql: String =
+    s"""WITH ${srpCtesSql(8, 64, 42L)}
+       |SELECT c.a_id, c.b_id,
+       |  round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+       |FROM cand c JOIN vecs a ON a.vec_id = c.a_id
+       |JOIN vecs b ON b.vec_id = c.b_id
+       |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Core of [[thresholdLsh]], parameterized for tests and reuse. */
   def thresholdLshOn(emb: DataFrame, threshold: Double,
@@ -751,7 +842,7 @@ object SimilarityOps {
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_threshold_join" -> thresholdJoin,
-    "sim_threshold_lsh" -> thresholdLsh, // no oracle: SRP internals
+    "sim_threshold_lsh" -> thresholdLsh, // oracle: full SRP SQL replay
 
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
@@ -911,6 +1002,7 @@ object SimilarityOps {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val staticOracles: Map[String, String] = Map(
+    "sim_threshold_lsh" -> thresholdLshOracleSql,
     "sim_centroid_drift" ->
       // same fixed-point centroids: exact integer sums of round(x·1e6),
       // one double division per coordinate, round-6 cosine
