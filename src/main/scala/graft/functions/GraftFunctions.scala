@@ -56,6 +56,12 @@ object GraftFunctions {
     ("graft_dot",
       (es: Seq[Expression]) => DotProduct(es(0), es(1)),
       "graft_dot(a, b) - allocation-free dot product of two float/double vectors"),
+    ("graft_idot",
+      (es: Seq[Expression]) => IntDotProduct(es(0), es(1)),
+      "graft_idot(a, b) - allocation-free integer dot product of two int/long vectors"),
+    ("graft_inorm2",
+      (es: Seq[Expression]) => IntNorm2(es.head),
+      "graft_inorm2(a) - allocation-free integer squared norm of an int/long vector"),
     // the one AGGREGATE in the set: builds a serialized Count-Min
     // sketch; probe it with CountMinAgg.estimate (driver) or the
     // broadcast CountMinEstimate expression (distributed)

@@ -34,6 +34,17 @@ object Vectors {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Integer dot product over int/long arrays — the quantized-path
+    * twin of [[dot]] (`graft_idot`), exact 64-bit arithmetic. */
+  def idot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Integer squared norm (`graft_inorm2`): one fused pass instead of
+    * transform + fold. */
+  def inorm2(a: Column): Column =
+    ColumnBridge.column(IntNorm2(ColumnBridge.expression(a)))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =

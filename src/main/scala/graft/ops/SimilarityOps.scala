@@ -271,17 +271,31 @@ object SimilarityOps {
     * assignment = `element_at(result, 1).cid`,
     * probe set  = `slice(result, 1, nprobe)`.
     * The assignment stage becomes a narrow map over the scan: no
-    * Exchange at all before the first downstream aggregation. */
-  private def centroidScores(cent: DataFrame, vec: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    centroidScoresLocal(
-      cent.orderBy(col("centroid_id")).collect().toSeq.map { r =>
+    * Exchange at all before the first downstream aggregation.
+    *
+    * The fixed 16-centroid set is collected ONCE per corpus snapshot:
+    * keyed by the input's content fingerprint (the kmeansCache
+    * protocol), so repeated query construction — bench reps, Verify,
+    * the plan-invariant walker — pays the collect job once, and a
+    * republished embeddings table forces a re-collect instead of
+    * serving stale centroids. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.Column]
+  private def fixedCentroidScores(s: SparkSession, d: String)
+      : org.apache.spark.sql.Column = {
+    val fp = graft.ArtifactStore.fingerprint(s, s"$d/embeddings.parquet")
+    // the CACHED value is the scores Column itself: a pure,
+    // session-independent literal expression tree whose construction
+    // (16 × 64-double typedLits + sort lambda) costs ~0.25 s per build
+    centroidCache.getOrElseUpdate(fp,
+      centroidScoresLocal(centroids(s, d).collect().toSeq.map { r =>
         (r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble))
-      }, vec)
+      }, col("embedding")))
+  }
 
-  /** Driver-side centroid list variant of [[centroidScores]] (used by
-    * the k-means trainer, whose centroids are computed doubles rather
-    * than a stored float column). */
+  /** Centroid scoring over a driver-side centroid list (see
+    * [[fixedCentroidScores]] for the stored-table path; the k-means
+    * trainer passes its computed double centroids directly). */
   private def centroidScoresLocal(cents: Seq[(Long, Seq[Double])],
       vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val lits = cents.sortBy(_._1).map { case (cid, ce) =>
@@ -315,7 +329,7 @@ object SimilarityOps {
     * touches only matching partitions. The only Exchange in this
     * query is the tiny 16-group count at the end. */
   def ivfAssign(s: SparkSession, d: String): DataFrame = {
-    val scores = centroidScores(centroids(s, d), col("embedding"))
+    val scores = fixedCentroidScores(s, d)
     Tables.embeddings(s, d)
       .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
       .groupBy(col("centroid_id"))
@@ -361,7 +375,7 @@ object SimilarityOps {
     * ScalaTest. */
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    probeSearch(e, centroidScores(centroids(s, d), col("embedding")))
+    probeSearch(e, fixedCentroidScores(s, d))
   }
 
   /** Trainer → index composition: the full IVF read path with TRAINED
@@ -469,11 +483,16 @@ object SimilarityOps {
     val maxAbs = array_max(transform(vd, x => abs(x)))
     transform(vd, x => round(x * 127.0 / maxAbs).cast("long"))
   }
-  /** Integer dot product / squared norm — exact, engine-independent. */
+  /** Integer dot product / squared norm — exact, engine-independent.
+    * Native fused expressions ([[graft.functions.IntDotProduct]] /
+    * [[graft.functions.IntNorm2]]): same 64-bit arithmetic as the old
+    * composed `aggregate(zip_with(...))` forms (oracles untouched) but
+    * zero per-pair array allocation — the candidate stream is the
+    * evaluation count, so the constant factor is the whole cost. */
   private def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    Vectors.idot(a, b)
   private def inorm(a: org.apache.spark.sql.Column) =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    Vectors.inorm2(a)
   /** Quantized cosine: exact integer dot/norms, ONE final double
     * expression rounded to 6 dp (the engine-parity discipline). */
   private def qcosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -508,7 +527,7 @@ object SimilarityOps {
     * SQL-expressible and oracle-graded end to end. */
   def ivfQuantized(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val scores = centroidScores(centroids(s, d), col("embedding"))
+    val scores = fixedCentroidScores(s, d)
     // map-side assignment (float centroids) + int8 quantized storage
     val assigned = e
       .withColumn("centroid_id", element_at(scores, 1).getField("cid"))

@@ -54,6 +54,58 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ne.isNullAt(0), "null element must yield null, not 0")
   }
 
+  test("graft_idot/graft_inorm2 == composed integer forms (int + long + SQL)") {
+    val rnd = new scala.util.Random(11)
+    // int8-quantization range: |x| <= 127, the quantized paths' domain
+    val rows = Seq.fill(200)(
+      (Array.fill(64)((rnd.nextInt(255) - 127).toLong),
+        Array.fill(64)((rnd.nextInt(255) - 127).toLong)))
+    val df = rows.toDF("a", "b")
+    def composedDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    def composedNorm(x: org.apache.spark.sql.Column) =
+      aggregate(transform(x, v => v * v), lit(0L), (acc, v) => acc + v)
+    val diffs = df.select(
+        graft.functions.Vectors.idot($"a", $"b").as("nd"),
+        composedDot($"a", $"b").as("rd"),
+        graft.functions.Vectors.inorm2($"a").as("nn"),
+        composedNorm($"a").as("rn"))
+      .filter(!($"nd" <=> $"rd") || !($"nn" <=> $"rn")).count()
+    assert(diffs === 0)
+    // int element type takes the II specialization, same values
+    val intDf = df.select($"a".cast("array<int>").as("ai"),
+      $"b".cast("array<int>").as("bi"), $"a", $"b")
+    val diffI = intDf.select(
+        graft.functions.Vectors.idot($"ai", $"bi").as("nd"),
+        composedDot($"a", $"b").as("rd"),
+        graft.functions.Vectors.inorm2($"ai").as("nn"),
+        composedNorm($"a").as("rn"))
+      .filter(!($"nd" <=> $"rd") || !($"nn" <=> $"rn")).count()
+    assert(diffI === 0)
+    // mixed long/int element types resolve the LI/IL specializations
+    val diffMixed = intDf.select(
+        graft.functions.Vectors.idot($"a", $"bi").as("li"),
+        graft.functions.Vectors.idot($"ai", $"b").as("il"),
+        composedDot($"a", $"b").as("rd"))
+      .filter(!($"li" <=> $"rd") || !($"il" <=> $"rd")).count()
+    assert(diffMixed === 0)
+    // SQL registration + null semantics: null array, mismatched
+    // lengths, and a null ELEMENT all yield NULL (composed-form parity)
+    GraftFunctions.register(spark)
+    df.limit(1).createOrReplaceTempView("idot_t")
+    val viaSql = spark.sql(
+      "SELECT graft_idot(a, b) AS d, graft_inorm2(a) AS n2, " +
+        "graft_idot(CAST(NULL AS ARRAY<BIGINT>), b) AS na, " +
+        "graft_idot(a, slice(b, 1, 32)) AS mm, " +
+        "graft_idot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS ne, " +
+        "graft_inorm2(array(1L, CAST(NULL AS BIGINT))) AS nn FROM idot_t").head()
+    assert(!viaSql.isNullAt(0) && !viaSql.isNullAt(1))
+    assert(viaSql.isNullAt(2), "null array must yield null")
+    assert(viaSql.isNullAt(3), "mismatched dims must yield null, not truncate")
+    assert(viaSql.isNullAt(4), "null element must yield null, not 0")
+    assert(viaSql.isNullAt(5), "null element must yield null norm")
+  }
+
   test("native geohash expression == UDF reference implementation") {
     val grid = for {
       i <- 0 to 10; j <- 0 to 10

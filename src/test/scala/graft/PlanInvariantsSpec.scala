@@ -145,6 +145,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"Scala UDF leaked into: ${offenders.mkString(", ")}")
   }
 
+  test("quantized similarity scoring is the fused graft_idot/graft_inorm2") {
+    // VERDICT r5 #1: candidate scoring on the quantized paths must be
+    // the allocation-free fused integer expressions, not the composed
+    // aggregate(zip_with(...)) forms whose per-pair array churn the
+    // float paths already eliminated with graft_dot (SCALE.md r3).
+    val byName = physicalPlans.toMap
+    for (q <- Seq("sim_ivf_quantized", "sim_quantized_top1")) {
+      val p = byName(q)
+      assert(p.contains("graft_idot"),
+        s"$q: fused integer dot product missing from the physical plan")
+      assert(p.contains("graft_inorm2"),
+        s"$q: fused integer squared norm missing from the physical plan")
+      assert(!p.contains("zip_with"),
+        s"$q: composed zip_with scoring survived in the physical plan")
+    }
+  }
+
   test("streaming ingest batch plans honor the scale invariants") {
     // VERDICT r3 #6: the stream_* query frames plan as memory-sink
     // LocalTableScans (nothing to audit), but the foreachBatch ingest
