@@ -13,7 +13,7 @@ import json
 import re
 import sys
 
-NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus", "failed"}
 
 
 def load(path):

@@ -100,7 +100,17 @@ object ArtifactStore {
         // a dest without _SUCCESS is an unreadable partial from a
         // crashed build — clear it or rename would nest tmp inside
         if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) fs.delete(tmp, true)
+        if (!fs.rename(tmp, dest)) {
+          fs.delete(tmp, true)
+          // a false rename is only benign when a racing builder won;
+          // if dest is still incomplete the publish genuinely failed —
+          // report that, not the confusing missing-path read error
+          // downstream (ADVICE r5)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+            throw new java.io.IOException(
+              s"artifact publish failed: rename $tmp -> $dest returned " +
+                "false and no completed artifact exists at the address")
+        }
       }
       System.err.println(
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -53,22 +53,31 @@ object Bench {
       // round-over-round comparison (bench_compare skips values <= 0)
       name -> (if (failed) (-1.0, "error") else (stat, estimator))
     }
-    // Deterministic artifact: sorted keys, one compact line. The stdout
-    // line below can be truncated by the driver's log capture (BENCH_r04
-    // carried only a tail, so round-over-round comparison silently saw
-    // 60/107 queries); the file is the complete record. The per-query
-    // estimator tag lets bench_compare.py flag median3<->min2 flips
-    // (min reads systematically lower than median) instead of reading
-    // them as real deltas.
+    // Deterministic artifact: sorted keys, one compact line. The
+    // driver's log capture keeps only the TAIL of stdout (BENCH_r04
+    // lost 47/107 queries; BENCH_r05's tail held nothing but the
+    // estimators map, so round-over-round comparison saw 0 shared
+    // queries). Field ORDER is therefore load-bearing: estimators
+    // (strings — invisible to bench_compare's numeric tail-recovery
+    // regex) go FIRST, the numeric queries map and the headline totals
+    // go LAST, so any suffix of the line ends with per-query numbers +
+    // the total. The file below is always the complete record. The
+    // per-query estimator tag lets bench_compare.py flag
+    // median3<->min2 flips (min reads systematically lower than
+    // median) instead of reading them as real deltas.
     val sorted = results.toSeq.sortBy(_._1)
     val qs = sorted.map { case (k, (v, _)) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
     val est = sorted.map { case (k, (_, e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
+    // a failed query's -1.0 sentinel must not understate the headline
+    // total (ADVICE r5): sum only valid statistics, surface the count
+    val valid = results.values.collect { case (v, e) if e != "error" => v }
+    val total = valid.sum
+    val failed = results.values.count(_._2 == "error")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"estimators":$est,"sf":"$sfDir"}"""
+      s"""{"estimators":$est,"queries":$qs,"metric":"total","value":$total,"failed":$failed,"unit":"sec","sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outPath,

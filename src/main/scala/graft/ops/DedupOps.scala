@@ -808,53 +808,59 @@ object DedupOps {
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    val built = nonNull.select(col("fp"))
-      .as(org.apache.spark.sql.Encoders.STRING).rdd
-      .map(f => (Integer.parseInt(f.substring(0, 2), 16) % shards, f))
-      .partitionBy(new org.apache.spark.HashPartitioner(shards))
-      .mapPartitionsWithIndex { (shard, it) =>
-        val bf = BloomFilter.create(perShard, fpp)
-        it.foreach { case (_, f) => bf.putString(f) }
-        val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$shard.bloom")
-        val c = new org.apache.hadoop.conf.Configuration(false)
-        fsConfB.value.foreach { case (k, v) => c.set(k, v) }
-        val fs = p.getFileSystem(c)
-        val out = fs.create(p, true)
-        try bf.writeTo(out) finally out.close()
-        Iterator(shard)
-      }.collect()
-    require(built.sorted.sameElements(0 until shards),
-      s"bloom shard build produced ${built.length}/$shards filters")
-    fsConfB.destroy()
-    def loadShard(i: Int): BloomFilter = {
-      val p = shardPath(i)
-      val in = p.getFileSystem(hconf).open(p)
-      try BloomFilter.readFrom(in) finally in.close()
-    }
-    val batch = docs.filter(col("doc_id") % 10 >= 8)
-      .select(col("doc_id"), fp.as("fp"))
-      .withColumn("shard", shardOf)
-      .localCheckpoint(true)
-    // sequential shard probes: only one shard's filter is live at a
-    // time — loaded from storage, broadcast, probed, destroyed (the
-    // eager checkpoint materializes the probe before the destroy);
-    // null-fp rows skip probing entirely
-    val probed = (0 until shards).map { i =>
-      val bcI = s.sparkContext.broadcast(loadShard(i))
-      val flagged = batch.filter(col("shard") === i)
-        .withColumn("might",
-          graft.functions.GraftFunctions.bloomContains(bcI, col("fp")))
-        .select(col("doc_id"), col("fp"), col("might"))
+    // shard files are scratch, not an artifact: every probe below is
+    // eagerly materialized (localCheckpoint), so the dir is deletable
+    // the moment `probed` exists — and the delete sits in a finally so
+    // a failed build or probe iteration can't leak the shards under
+    // the artifact root permanently (ADVICE r5)
+    val probed = try {
+      val built = nonNull.select(col("fp"))
+        .as(org.apache.spark.sql.Encoders.STRING).rdd
+        .map(f => (Integer.parseInt(f.substring(0, 2), 16) % shards, f))
+        .partitionBy(new org.apache.spark.HashPartitioner(shards))
+        .mapPartitionsWithIndex { (shard, it) =>
+          val bf = BloomFilter.create(perShard, fpp)
+          it.foreach { case (_, f) => bf.putString(f) }
+          val p = new org.apache.hadoop.fs.Path(s"$shardDir/shard-$shard.bloom")
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          fsConfB.value.foreach { case (k, v) => c.set(k, v) }
+          val fs = p.getFileSystem(c)
+          val out = fs.create(p, true)
+          try bf.writeTo(out) finally out.close()
+          Iterator(shard)
+        }.collect()
+      require(built.sorted.sameElements(0 until shards),
+        s"bloom shard build produced ${built.length}/$shards filters")
+      fsConfB.destroy()
+      def loadShard(i: Int): BloomFilter = {
+        val p = shardPath(i)
+        val in = p.getFileSystem(hconf).open(p)
+        try BloomFilter.readFrom(in) finally in.close()
+      }
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("shard", shardOf)
         .localCheckpoint(true)
-      bcI.destroy()
-      flagged
-    }.reduce(_ unionByName _)
-      .unionByName(batch.filter(col("fp").isNull)
-        .select(col("doc_id"), col("fp"), lit(false).as("might")))
-    // every probe is eagerly materialized above — the shard files are
-    // scratch, not an artifact; drop them
-    new org.apache.hadoop.fs.Path(shardDir).getFileSystem(hconf)
-      .delete(new org.apache.hadoop.fs.Path(shardDir), true)
+      // sequential shard probes: only one shard's filter is live at a
+      // time — loaded from storage, broadcast, probed, destroyed (the
+      // eager checkpoint materializes the probe before the destroy);
+      // null-fp rows skip probing entirely
+      (0 until shards).map { i =>
+        val bcI = s.sparkContext.broadcast(loadShard(i))
+        val flagged = batch.filter(col("shard") === i)
+          .withColumn("might",
+            graft.functions.GraftFunctions.bloomContains(bcI, col("fp")))
+          .select(col("doc_id"), col("fp"), col("might"))
+          .localCheckpoint(true)
+        bcI.destroy()
+        flagged
+      }.reduce(_ unionByName _)
+        .unionByName(batch.filter(col("fp").isNull)
+          .select(col("doc_id"), col("fp"), lit(false).as("might")))
+    } finally {
+      new org.apache.hadoop.fs.Path(shardDir).getFileSystem(hconf)
+        .delete(new org.apache.hadoop.fs.Path(shardDir), true)
+    }
     val definitelyNew = probed.filter(!col("might"))
       .select(col("doc_id"), col("fp"))
     val confirmedNew = probed.filter(col("might"))
@@ -919,11 +925,11 @@ object DedupOps {
     "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
     "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
-    "dedup_minhash_lsh" -> minhashLsh, // no oracle: hash-seeded internals
-    "dedup_simhash" -> simhashNearDup, // no oracle: sketch internals
+    "dedup_minhash_lsh" -> minhashLsh, // oracle: full SQL replay (minhashOracleSql)
+    "dedup_simhash" -> simhashNearDup, // oracle: full SQL replay (simhashOracleSql)
     "dedup_winnow" -> winnowNearDup, // oracle: full SQL replay (winnowOracleSql)
     "dedup_clusters" -> clusters,
-    "dedup_clusters_lsh" -> clustersLsh, // no oracle: hash-seeded LSH
+    "dedup_clusters_lsh" -> clustersLsh, // oracle: full SQL replay (clustersLshOracleSql)
     "text_contamination" -> contamination,
   )
 

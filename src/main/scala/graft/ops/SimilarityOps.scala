@@ -132,14 +132,29 @@ object SimilarityOps {
     // them (they are a pure function of the corpus cardinality, so
     // the splice is an engine-independent constant — the kmeans/pq
     // generated-oracle protocol)
-    autoParamsCache.put(threshold, (bits, bands, seed))
+    autoParamsCache.put((n, threshold), (bits, bands, seed))
     thresholdLshOn(emb, threshold, bits, bands, seed)
   }
 
-  private val autoParamsCache =
-    scala.collection.concurrent.TrieMap.empty[Double, (Int, Int, Long)]
-  private[ops] def tunedSrpParams(threshold: Double): Option[(Int, Int, Long)] =
-    autoParamsCache.get(threshold)
+  // keyed by (cardinality, threshold): n is the per-table discriminator
+  // AND the pure determinant of the tuned geometry, so two tables of
+  // the same n necessarily share params — ambiguity-free by
+  // construction (ADVICE r5: a threshold-only key let a second table's
+  // geometry silently overwrite the first's)
+  private val autoParamsCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Double), (Int, Int, Long)]
+
+  /** Tuned SRP geometry for oracle splicing — declines (None) when
+    * tables of more than one cardinality have been tuned at this
+    * threshold this session, matching the kmeans/pq exactly-one-entry
+    * protocol: a generated oracle must never splice wrong-table
+    * geometry. */
+  private[ops] def tunedSrpParams(threshold: Double): Option[(Int, Int, Long)] = {
+    val hits = autoParamsCache.collect {
+      case ((_, t), v) if t == threshold => v
+    }.toSeq.distinct
+    if (hits.size == 1) Some(hits.head) else None
+  }
 
   /** SQL replay of [[graft.functions.SrpCodegen]] — CTE body from the
     * `embeddings` table to `cand` (distinct candidate id pairs), for
