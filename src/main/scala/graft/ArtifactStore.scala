@@ -80,9 +80,15 @@ object ArtifactStore {
     * never observes a half-written or mid-overwrite directory (an
     * in-place overwrite deletes part files under live scans). If a
     * racing builder won the rename, its identical (deterministic)
-    * output is served and the loser's temp dir is dropped. */
+    * output is served and the loser's temp dir is dropped.
+    *
+    * `partitionColumns` makes the artifact a PARTITIONED layout
+    * (hive-style dirs): readers filtering on those columns with
+    * literal predicates get partition-pruned I/O — the IVF
+    * probe-reads-only-its-clusters path. */
   def parquet(spark: SparkSession, name: String, inputPath: String,
-      version: Int = 1)(build: => DataFrame): DataFrame = {
+      version: Int = 1, partitionColumns: Seq[String] = Nil)
+      (build: => DataFrame): DataFrame = {
     val dir = s"$root/$name/v$version-${fingerprint(spark, inputPath)}"
     val dest = new org.apache.hadoop.fs.Path(dir)
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -91,7 +97,9 @@ object ArtifactStore {
       val t0 = System.nanoTime()
       val tmp = new org.apache.hadoop.fs.Path(
         s"$dir.tmp-${java.util.UUID.randomUUID()}")
-      build.write.mode("overwrite").parquet(tmp.toString)
+      val w = build.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(tmp.toString)
       fs.mkdirs(dest.getParent)
       // re-check: a racing builder may have completed while we built
       if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {

@@ -566,6 +566,58 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[ivfQuantized]] served from a PARTITIONED layout — the query
+    * that makes "probe = pruned I/O" executable instead of prose
+    * (SCALE.md §Similarity). The assigned+quantized table is
+    * materialized ONCE per corpus snapshot as a content-addressed
+    * artifact partitioned by `centroid_id` (hive-style dirs, exactly
+    * the bucketed-by-centroid layout a 100 TB corpus would carry);
+    * the probe set — union of every query's 2 nearest clusters — is
+    * driver-known (|queries|·nprobe ids, bounded by k=16), so the
+    * read is an `IN (literal ids)` scan that prunes at the PARTITION
+    * level: a 2-of-16 probe reads ~1/8th of the stored bytes before
+    * a single row is deserialized. Plan-asserted in
+    * PlanInvariantsSpec (non-empty PartitionFilters on the layout
+    * scan); same rows as [[ivfQuantized]], same oracle. */
+  def ivfPrunedLayout(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val scores = fixedCentroidScores(s, d)
+    // layout artifact: assignment is the same map-side argmax, storage
+    // is int8-quantized, the partition column is the cluster id
+    val layout = graft.ArtifactStore.parquet(s, "ivf_layout",
+        s"$d/embeddings.parquet", version = 1,
+        partitionColumns = Seq("centroid_id")) {
+      e.withColumn("centroid_id",
+          element_at(scores, 1).getField("cid").cast("int"))
+        .select(col("vec_id"), quantize(col("embedding")).as("vq"),
+          col("centroid_id"))
+    }
+    // probe selection on the tiny query side (same 2-probe rule)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"),
+        explode(slice(scores, 1, 2)).as("pc"))
+      .select(col("query_id"), col("qq"),
+        col("pc.cid").cast("int").as("centroid_id"))
+    // the probed cluster set is driver-sized by construction
+    // (≤ min(|queries|·2, k)): collecting it turns partition pruning
+    // into a literal predicate the scan evaluates against directory
+    // names, not data
+    val probedClusters = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val pruned = layout
+      .filter(col("centroid_id").isin(probedClusters.map(Int.box): _*))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    pruned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", qcosine(col("qq"), col("vq")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("qcos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic distributed k-means (Lloyd) — the trainer that
     * produces IVF's centroid set ([[centroids]]'s fixed 16 are
     * deterministic stand-ins for exactly this output). The 100 TB
@@ -882,6 +934,7 @@ object SimilarityOps {
     "sim_ivf_probe" -> ivfProbe,
     "sim_ivf_trained" -> ivfTrained, // generated oracle (spliced centroids)
     "sim_ivf_quantized" -> ivfQuantized,
+    "sim_ivf_pruned_layout" -> ivfPrunedLayout,
   )
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
@@ -1126,7 +1179,17 @@ object SimilarityOps {
          |  FROM scored)
          |SELECT centroid_id, COUNT(*) AS n_members FROM best
          |WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
-    "sim_ivf_quantized" ->
+    "sim_ivf_quantized" -> ivfQuantizedOracleSql,
+    // identical semantics over the partitioned layout: pruning only
+    // removes clusters no probe joins with, so the oracle is shared
+    "sim_ivf_pruned_layout" -> ivfQuantizedOracleSql,
+  )
+
+  /** Shared by `sim_ivf_quantized` and `sim_ivf_pruned_layout`:
+    * [[ivfQuantized]] and [[ivfPrunedLayout]] compute the same rows —
+    * the partitioned layout changes WHERE candidate bytes live (and
+    * how few are read), not which candidates score. */
+  private def ivfQuantizedOracleSql: String =
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
          |  FROM embeddings WHERE vec_id < 16),
          |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
@@ -1158,6 +1221,5 @@ object SimilarityOps {
          |  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
          |  FROM cand)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, qcos
-         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-  )
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 }

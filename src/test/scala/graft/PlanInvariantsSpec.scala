@@ -162,6 +162,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf_pruned_layout probe is partition-pruned I/O") {
+    // VERDICT r5 #2: the "probe = pruned I/O" claim must be
+    // executable — the layout scan carries a PartitionFilters entry
+    // restricting centroid_id to the probed clusters, so a 2-of-16
+    // probe reads only matching partition dirs instead of filtering
+    // after a full scan.
+    val p = physicalPlans.toMap.apply("sim_ivf_pruned_layout")
+    val scanLine = p.linesIterator
+      .find(l => l.contains("ivf_layout") && l.contains("PartitionFilters"))
+      .getOrElse(fail("no partitioned ivf_layout scan in the plan:\n" + p))
+    val pf = scanLine.split("PartitionFilters: ")(1)
+    assert(pf.contains("INSET") || pf.contains("centroid_id IN"),
+      s"layout scan is not pruning on the probed cluster set: $scanLine")
+  }
+
   test("streaming ingest batch plans honor the scale invariants") {
     // VERDICT r3 #6: the stream_* query frames plan as memory-sink
     // LocalTableScans (nothing to audit), but the foreachBatch ingest
