@@ -89,6 +89,36 @@ object ArtifactStore {
   def parquet(spark: SparkSession, name: String, inputPath: String,
       version: Int = 1, partitionColumns: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = {
+    val dir = serveOrBuild(spark, name, inputPath, version) { tmp =>
+      val w = build.write.mode("overwrite")
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
+       else w).parquet(tmp.toString)
+      // the parquet committer wrote tmp/_SUCCESS itself
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** Serve-or-build for a NON-parquet directory artifact (e.g. a
+    * deterministic TSV fixture corpus): `build` populates the temp
+    * dir however it likes; the store adds the `_SUCCESS` marker and
+    * publishes with the same content address + atomic rename as
+    * [[parquet]]. Returns the artifact dir path. */
+  def directory(spark: SparkSession, name: String, inputPath: String,
+      version: Int = 1)(build: String => Unit): String =
+    serveOrBuild(spark, name, inputPath, version) { tmp =>
+      val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(tmp)
+      build(tmp.toString)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+
+  /** The shared serve-or-build protocol: compute the content address,
+    * serve it if complete, else run `buildInto` against a temp sibling
+    * (which must leave a `_SUCCESS` marker inside) and atomically
+    * rename it into the address. Returns the address dir. */
+  private def serveOrBuild(spark: SparkSession, name: String,
+      inputPath: String, version: Int)
+      (buildInto: org.apache.hadoop.fs.Path => Unit): String = {
     val dir = s"$root/$name/v$version-${fingerprint(spark, inputPath)}"
     val dest = new org.apache.hadoop.fs.Path(dir)
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -97,9 +127,7 @@ object ArtifactStore {
       val t0 = System.nanoTime()
       val tmp = new org.apache.hadoop.fs.Path(
         s"$dir.tmp-${java.util.UUID.randomUUID()}")
-      val w = build.write.mode("overwrite")
-      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
-       else w).parquet(tmp.toString)
+      buildInto(tmp)
       fs.mkdirs(dest.getParent)
       // re-check: a racing builder may have completed while we built
       if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
@@ -123,6 +151,6 @@ object ArtifactStore {
       System.err.println(
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    spark.read.parquet(dir)
+    dir
   }
 }
