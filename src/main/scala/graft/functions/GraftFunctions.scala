@@ -62,6 +62,9 @@ object GraftFunctions {
     ("graft_inorm2",
       (es: Seq[Expression]) => IntNorm2(es.head),
       "graft_inorm2(a) - allocation-free integer squared norm of an int/long vector"),
+    ("graft_image_meta",
+      (es: Seq[Expression]) => ImageMeta(es.head),
+      "graft_image_meta(blob) - real PNG decode (JDK ImageIO): dims, bands, sample stats"),
     // the one AGGREGATE in the set: builds a serialized Count-Min
     // sketch; probe it with CountMinAgg.estimate (driver) or the
     // broadcast CountMinEstimate expression (distributed)

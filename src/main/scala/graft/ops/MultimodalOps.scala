@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star spec): media as opaque
   * `binary` columns with typed metadata, decoded/feature-extracted in
-  * batch. The container has no image/audio codecs, so the decode step
-  * is a clearly-marked deterministic STUB (`FakeDecoder`) — the
-  * Spark-side plumbing (binary columns, typed output schema,
-  * partition-parallel batch decode via `mapPartitions`, no
-  * driver-side collection) is real and is what the tests exercise.
+  * batch. The decode path is REAL since round 6: the corpus is a
+  * content-addressed table of deterministic PNGs and the decode step
+  * parses actual image bytes through the JDK's `javax.imageio`
+  * ([[graft.functions.ImageCodec]]) — in both the native-expression
+  * and `mapPartitions` forms. The blob-plumbing queries (stats,
+  * chunk dedup) keep text-derived blobs, whose bytes a SQL oracle
+  * can also reproduce.
   *
   * Scale notes: decode is a narrow map — no shuffle; at 100 TB the
   * only knobs are input split size and executor memory for batch
@@ -18,31 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  /** Deterministic stand-in for a media decoder. A real deployment
-    * swaps `decode` for an actual codec call (??? in spirit); shape
-    * and determinism make the plumbing testable without codecs. */
-  object FakeDecoder {
-    case class Media(blob_len: Long, width: Int, height: Int, n_frames: Int)
-    def decode(blob: Array[Byte]): Media = {
-      val n = blob.length.toLong
-      Media(n, (n % 640).toInt, (n * 7 % 480).toInt, (n % 30 + 1).toInt)
-    }
-  }
-
   /** Documents re-imaged as a media table: text bytes as the blob. */
   private def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id").as("media_id"), col("source"),
         encode(col("text"), "utf-8").as("blob"))
 
-  /** Stub-decoder geometry as shared column expressions — ONE
-    * definition of the width/height formulas for `decodeFeatures`,
-    * `resizePlan`, and the tests (the Scala twin is
-    * [[FakeDecoder.decode]]; keep the arithmetic in sync). */
-  def decodedWidth(blobLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (blobLen % 640).cast("int")
-  def decodedHeight(blobLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (blobLen * 7 % 480).cast("int")
+  /** The PNG corpus: one deterministic tiny image per document id
+    * ([[graft.functions.ImageCodec.encodePng]]), materialized ONCE per
+    * corpus snapshot as a content-addressed artifact — the binary
+    * column every decode query scans. Encoding is a narrow typed map
+    * executed inside the one-time build job, not per query. */
+  private def pngTable(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactStore.parquet(s, "png_media", s"$d/documents.parquet") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.functions.ImageCodec.encodePng(id))))
+        .toDF("media_id", "blob")
+    }
+
+  /** Real decode as a Column: [[graft.functions.ImageMeta]]. */
+  private def imageMeta(blob: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ImageMeta(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
 
   /** Blob statistics per source — binary columns flowing through
     * scan → project → aggregate with exact byte lengths. */
@@ -55,31 +57,40 @@ object MultimodalOps {
         max(length(col("blob"))).as("max_bytes"))
       .orderBy(col("source"))
 
-  /** Stub decode + feature extraction, all in builtin expressions so
-    * the DuckDB oracle can replicate the arithmetic: the "decoder"
-    * derives metadata from blob length exactly like FakeDecoder. */
+  /** REAL decode + feature extraction: scan the PNG corpus, parse
+    * every blob's actual bytes through ImageIO inside the codegen'd
+    * [[graft.functions.ImageMeta]] expression, report decoded
+    * dimensions, band count, and sample stats. PNG is lossless and
+    * the pixel generator is pure integer arithmetic, so the DuckDB
+    * oracle recomputes these stats from the formula — an
+    * encode/decode divergence fails the hash gate, not just a unit
+    * test. (Stats are over ALL samples, band-order-insensitive:
+    * BufferedImage band layouts differ across write/read paths, and
+    * a per-band stat would grade the layout, not the codec.) */
   def decodeFeatures(s: SparkSession, d: String): DataFrame =
-    mediaTable(s, d)
-      .withColumn("blob_len", length(col("blob")).cast("long"))
-      .select(col("media_id"), col("blob_len"),
-        decodedWidth(col("blob_len")).as("width"),
-        decodedHeight(col("blob_len")).as("height"),
-        (col("blob_len") % 30 + 1).cast("int").as("n_frames"))
+    pngTable(s, d)
+      .withColumn("m", imageMeta(col("blob")))
+      .select(col("media_id"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.channels").as("channels"),
+        col("m.px_sum").as("px_sum"), col("m.px_min").as("px_min"),
+        col("m.px_max").as("px_max"))
       .orderBy(col("media_id"))
 
-  /** The mapPartitions decode path (the shape a real codec uses):
-    * batch iterator over binary rows → typed Media rows. Rows-only
-    * query; equivalence with `decodeFeatures` is unit-tested. */
+  /** The mapPartitions decode path (the shape a non-Catalyst codec
+    * library integrates through): batch iterator over binary rows →
+    * typed rows, same REAL ImageIO decode, same oracle — plus an
+    * in-repo differential test against the expression path. */
   def decodeMapPartitions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d)
+    pngTable(s, d)
       .select(col("media_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        val m = FakeDecoder.decode(blob)
-        (id, m.blob_len, m.width, m.height, m.n_frames)
+        val m = graft.functions.ImageCodec.decode(blob)
+        (id, m.width, m.height, m.channels, m.pxSum, m.pxMin, m.pxMax)
       })
-      .toDF("media_id", "blob_len", "width", "height", "n_frames")
+      .toDF("media_id", "width", "height", "channels",
+        "px_sum", "px_min", "px_max")
       .orderBy(col("media_id"))
   }
 
@@ -118,21 +129,18 @@ object MultimodalOps {
 
   /** Resize planning: aspect-preserving fit of each media item into a
     * 224×224 target box — the geometry a real resize kernel runs per
-    * image; the pixel op itself lives behind the stub decoder, but
-    * the scale/output-dimension arithmetic (and its zero-dimension
-    * guard) is the engine's contract with it. Reported width/height
-    * are the RAW decoded dims (identical to `mm_decode_features` for
-    * the same media_id — the clamp applies only to the scale
-    * denominator and the output box, so a degenerate 0-dim item still
-    * reads consistently across the catalog). Narrow projection, no
+    * image, computed from the REAL decoded dims (same ImageIO decode
+    * as `mm_decode_features`, so the two queries read consistently
+    * for any media_id). The zero-dimension clamp applies only to the
+    * scale denominator and the output box. Narrow projection, no
     * UDF; dims are int-derived doubles with one `least`/`floor` per
     * row so the oracle replicates bit-for-bit. */
   def resizePlan(s: SparkSession, d: String): DataFrame = {
     val target = 224.0
-    mediaTable(s, d)
-      .withColumn("blob_len", length(col("blob")).cast("long"))
-      .withColumn("width", decodedWidth(col("blob_len")).cast("long"))
-      .withColumn("height", decodedHeight(col("blob_len")).cast("long"))
+    pngTable(s, d)
+      .withColumn("m", imageMeta(col("blob")))
+      .withColumn("width", col("m.width").cast("long"))
+      .withColumn("height", col("m.height").cast("long"))
       .withColumn("scale",
         least(lit(target) / greatest(col("width"), lit(1L)).cast("double"),
           lit(target) / greatest(col("height"), lit(1L)).cast("double")))
@@ -177,8 +185,8 @@ object MultimodalOps {
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |    CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |    CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+        |    CAST(doc_id % 3 + 2 AS BIGINT) AS height
         |  FROM documents),
         |sc AS (
         |  SELECT media_id, width, height,
@@ -192,23 +200,38 @@ object MultimodalOps {
         |    1) AS out_h,
         |  round(scale, 6) AS scale
         |FROM sc ORDER BY media_id""".stripMargin,
-    "mm_decode_features" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // the typed mapPartitions twin computes the SAME decode contract,
+    "mm_decode_features" -> realDecodeOracle,
+    // the typed mapPartitions twin runs the SAME real ImageIO decode,
     // so it answers to the same oracle — and a divergence between the
-    // JVM codec path and the expression path now fails the hash gate,
-    // not just the in-repo differential test
-    "mm_decode_mappartitions" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+    // JVM codec path and the expression path fails the hash gate, not
+    // just the in-repo differential test
+    "mm_decode_mappartitions" -> realDecodeOracle,
   )
+
+  /** The codec oracle: DuckDB cannot run ImageIO, but it can replay
+    * the PNG GENERATOR's integer pixel formula
+    * ([[graft.functions.ImageCodec.sampleValue]]) — and PNG is
+    * lossless, so real decoded stats must equal the formula's. Sample
+    * index j over w·h·ch samples: band c = j % ch, pixel i = j / ch,
+    * x = i % w, y = i / w; band weights 31/17/29. */
+  private def realDecodeOracle: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+      |    CAST(doc_id % 3 + 2 AS BIGINT) AS h,
+      |    CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS BIGINT) AS ch
+      |  FROM documents),
+      |j AS (SELECT media_id, w, h, ch,
+      |    unnest(range(0, w * h * ch)) AS jj FROM m),
+      |v AS (SELECT media_id, w, h, ch,
+      |    (media_id * (CASE jj % ch WHEN 0 THEN 31 WHEN 1 THEN 17
+      |       ELSE 29 END)
+      |     + ((jj // ch) % w) * 7 + ((jj // ch) // w) * 13) % 256 AS sv
+      |  FROM j)
+      |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(ch AS INT) AS channels,
+      |  CAST(SUM(sv) AS BIGINT) AS px_sum,
+      |  CAST(MIN(sv) AS INT) AS px_min,
+      |  CAST(MAX(sv) AS INT) AS px_max
+      |FROM v GROUP BY media_id, w, h, ch
+      |ORDER BY media_id""".stripMargin
 }

@@ -312,6 +312,39 @@ class FunctionsSpec extends AnyFunSuite {
       === Array(1L, 2L, 3L))
   }
 
+  test("image codec: PNG encode/decode round-trips the pixel formula") {
+    import graft.functions.ImageCodec
+    // one grayscale (odd) and one RGB (even) id, decoded stats
+    // recomputed independently from the generator formula
+    for (id <- Seq(7L, 12L)) {
+      val m = ImageCodec.decode(ImageCodec.encodePng(id))
+      val w = (id % 5 + 2).toInt
+      val h = (id % 3 + 2).toInt
+      val ch = if (id % 2 == 1) 1 else 3
+      assert((m.width, m.height, m.channels) === ((w, h, ch)))
+      val samples = for {
+        y <- 0 until h; x <- 0 until w; c <- 0 until ch
+      } yield ImageCodec.sampleValue(id, c, x, y)
+      assert(m.pxSum === samples.map(_.toLong).sum)
+      assert(m.pxMin === samples.min)
+      assert(m.pxMax === samples.max)
+    }
+  }
+
+  test("image codec: undecodable bytes yield NULL, not an exception") {
+    import graft.functions.ImageCodec
+    assert(ImageCodec.decode("not a png".getBytes("UTF-8")) == null)
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        Array[Byte](1, 2, 3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("blob",
+          org.apache.spark.sql.types.BinaryType))))
+    graft.functions.GraftFunctions.register(spark)
+    val out = junk.selectExpr("graft_image_meta(blob) AS m").collect()
+    assert(out.head.isNullAt(0))
+  }
+
   test("streaming session counts match batch gap sessionization") {
     val sf = "/root/testdata/sf0.001"
     val stream = streaming.StreamingSessions.sessionCounts(spark, sf)
