@@ -21,7 +21,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     "dedup_clusters_lsh", "dedup_semantic_lsh", "dedup_winnow",
     // round-5 additions: the new corpus-pass-heavy operators
     "corpus_overlap", "text_substring_dedup", "text_tfidf_topk",
-    "sim_pq_topk")
+    "sim_pq_topk",
+    // round-6 (VERDICT r5 #7): the rest of the bench top-10 —
+    // including the flagship E2E pipeline, the composed quantized IVF
+    // read (plus its partition-pruned layout twin), the bounded exact
+    // oracle twin (bounded by construction, so its ratio should read
+    // ~flat), and one streaming query (micro-batch machinery
+    // dominates at these SFs; the probe proves the cost is fixed
+    // overhead, not data growth)
+    "sim_ivf_quantized", "sim_ivf_pruned_layout", "etl_load_report",
+    "dedup_semantic", "corpus_clean", "stream_sessionize")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.3
 
