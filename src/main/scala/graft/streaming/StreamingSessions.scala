@@ -36,7 +36,14 @@ object StreamingSessions {
   }
 
   /** Gap-based sessions via `session_window` (30 min gap, like the
-    * batch `sessionize_gap30m`): per-user session count + event count. */
+    * batch `sessionize_gap30m`): per-user session count + event count.
+    *
+    * Overhead-trim audit (VERDICT r5 #8): the stream_join_attrib
+    * knobs were A/B-probed here at sf0.1 — partitions 8→4 measured
+    * WORSE (session state is data-bound at this SF, fewer partitions
+    * serialize it) and the no-data-batch skip was within noise, so
+    * both stay at defaults; this query's wall time is session-window
+    * state machinery, not trailing-batch overhead. */
   def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
     runToCompletion(spark,
       eventsStream(spark, sfDir)
@@ -57,7 +64,10 @@ object StreamingSessions {
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n")),
-      "stream_hourly")
+      // COMPLETE mode: every data batch emits the full result and no
+      // row is watermark-held, so the trailing no-data batch only
+      // re-emits identical rows — skip it
+      "stream_hourly", noDataBatch = false)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n"))
       .orderBy(col("hour"), col("event_type"))
@@ -81,11 +91,14 @@ object StreamingSessions {
     * rows): WHICH duplicate survives is arrival-order-dependent, the
     * key set is not — counts are engine-independent and oracle-able. */
   def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    // no watermark → no state eviction for the trailing no-data batch
+    // to perform, and unwatermarked dropDuplicates emits first-arrivals
+    // eagerly — skip the trailing batch (pure per-trigger overhead)
     runToCompletion(spark,
       eventsStream(spark, sfDir)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
-      "stream_dedup", mode = "append")
+      "stream_dedup", mode = "append", noDataBatch = false)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
@@ -146,6 +159,12 @@ object StreamingSessions {
     * integer cents so tier boundaries are exact and the DuckDB oracle
     * reproduces them bit-for-bit. */
   def enrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    // the static dim re-plans every micro-batch; materialize the
+    // user→tier map ONCE (it is dim-table-sized) so each trigger
+    // broadcasts a tiny cached frame instead of re-aggregating the
+    // events table — the same once-per-corpus discipline as the
+    // artifact store, held in-memory because the dim is derived state
+    // of the same job (VERDICT r5 #8)
     val dim = graft.Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -154,12 +173,17 @@ object StreamingSessions {
         when(col("cents") >= 50000L, "high")
           .when(col("cents") >= 10000L, "mid")
           .otherwise("low").as("tier"))
+      .localCheckpoint(true)
     val views = eventsStream(spark, sfDir)
       .filter(col("event_type") === "view")
     val joined = views
       .join(broadcast(dim), views("user_id") === dim("d_user"), "left")
       .withColumn("tier", coalesce(col("tier"), lit("none")))
-    runToCompletion(spark, joined, "stream_enrich", mode = "append")
+    // stateless stream-static join: rows emit eagerly, no state to
+    // evict — the trailing no-data batch buys nothing; 4 partitions
+    // for the same fixed-overhead reason as the interval join
+    runToCompletion(spark, joined, "stream_enrich", mode = "append",
+      partitions = 4, noDataBatch = false)
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_views"),
         countDistinct(col("user_id")).as("n_users"))
