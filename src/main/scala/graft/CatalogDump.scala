@@ -29,13 +29,20 @@ object CatalogDump {
       "Analytics" -> ops.Analytics.queries.keySet,
     )
     val inModules = modules.flatMap(_._2).toSet
+    val generated =
+      ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys
     for (q <- SparkEntry.queries.keySet.toSeq.sorted) {
       val mod = modules.find(_._2.contains(q)).map(_._1).getOrElse("streaming")
-      val o = if (oracles.contains(q)) "DuckDB" else "rows-only"
+      val o =
+        if (generated.contains(q)) "DuckDB (generated)"
+        else if (oracles.contains(q)) "DuckDB"
+        else "rows-only"
       println(s"| `$q` | $o | $mod |")
     }
     println(s"Total: ${SparkEntry.queries.size} queries, " +
-      s"${oracles.size} DuckDB-oracled, " +
+      s"${oracles.size} DuckDB-oracled " +
+      s"(${generated.count(oracles.contains)} generated from trained " +
+      s"constants, rest hand-written), " +
       s"${SparkEntry.queries.size - oracles.size} rows-only.")
   }
 }

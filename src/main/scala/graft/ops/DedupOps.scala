@@ -1247,6 +1247,11 @@ object DedupOps {
 
   def oracles: Map[String, String] = staticOracles ++ semanticLshGeneratedOracle
 
+  /** Keys whose DuckDB SQL is GENERATED (auto-tuned SRP geometry
+    * spliced from the session's exactly-one tuning) — provenance
+    * marker for CatalogDump and the oracle-catalog audit. */
+  private[graft] val generatedOracleKeys: Set[String] = Set("dedup_semantic_lsh")
+
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
     "dedup_simhash" -> simhashOracleSql,

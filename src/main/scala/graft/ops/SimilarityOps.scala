@@ -143,6 +143,7 @@ object SimilarityOps {
   // geometry silently overwrite the first's)
   private val autoParamsCache = scala.collection.concurrent.TrieMap
     .empty[(Long, Double), (Int, Int, Long)]
+  private[graft] def clearSrpParamsCache(): Unit = autoParamsCache.clear()
 
   /** Tuned SRP geometry for oracle splicing — declines (None) when
     * tables of more than one cardinality have been tuned at this
@@ -1074,6 +1075,14 @@ object SimilarityOps {
 
   def oracles: Map[String, String] =
     staticOracles ++ generatedOracles ++ pqGeneratedOracles
+
+  /** Keys whose DuckDB SQL is GENERATED by splicing trained
+    * constants (kmeans snapshots / PQ codebooks) rather than
+    * hand-written — the provenance marker CatalogDump and the
+    * oracle-catalog audit read. Present in [[oracles]] only after a
+    * training run has populated exactly one cache entry. */
+  private[graft] val generatedOracleKeys: Set[String] =
+    Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk")
 
   private def topkOracle: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
