@@ -75,13 +75,17 @@ object Analytics {
       .limit(20)
   }
 
-  /** Multimodal frame sampling: every 5th frame index from the stub
-    * decoder's n_frames — the explode shape a video pipeline uses to
-    * turn one blob row into per-frame work items. */
+  /** Multimodal frame sampling: every 5th frame index, with the frame
+    * count derived from the REAL decoded dimensions (width·height of
+    * the PNG, via the codegen'd decode expression) — the explode shape
+    * a video pipeline uses to turn one blob row into per-frame work
+    * items. The oracle replays the deterministic pixel generator's
+    * dimension formula, so a decode divergence fails the hash gate. */
   def frameSample(s: SparkSession, d: String): DataFrame =
     MultimodalOps.decodeFeatures(s, d)
       .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+        explode(sequence(lit(0), col("width") * col("height") - 1, lit(5)))
+          .as("frame_idx"))
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
       .orderBy(col("media_id"))
@@ -136,7 +140,7 @@ object Analytics {
       """SELECT media_id, COUNT(*) AS n_sampled,
         |  CAST(MAX(frame_idx) AS INT) AS last_frame FROM (
         |  SELECT doc_id AS media_id,
-        |    unnest(range(0, CAST(octet_length(encode(text)) % 30 + 1 AS INT), 5))
+        |    unnest(range(0, CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) AS INT), 5))
         |    AS frame_idx
         |  FROM documents) t
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
