@@ -127,7 +127,10 @@ object ArtifactStore {
       val t0 = System.nanoTime()
       val tmp = new org.apache.hadoop.fs.Path(
         s"$dir.tmp-${java.util.UUID.randomUUID()}")
-      buildInto(tmp)
+      // a failed build must not leak its partial temp dir under the
+      // artifact root (every retry creates a fresh UUID sibling)
+      try buildInto(tmp)
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
       fs.mkdirs(dest.getParent)
       // re-check: a racing builder may have completed while we built
       if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {

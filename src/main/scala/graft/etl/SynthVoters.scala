@@ -34,8 +34,6 @@ object SynthVoters {
   val inflateState = "AK"
   val inflateBy = 5000L
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Generator version — part of the artifact address: any change to
     * [[rows]]/[[build]] must bump it or a warm store serves a corpus
     * synthesized by the old generator. */
@@ -47,13 +45,16 @@ object SynthVoters {
     * file listing + [[genVersion]]): synthesis cost is paid once per
     * corpus snapshot per store — a cold JVM with a warm store serves
     * the fixture, and the flagship query's wall time measures the
-    * PIPELINE, not the test-fixture generator (VERDICT r5 #3). The
-    * in-JVM map only skips the store's listing-fingerprint hop. */
+    * PIPELINE, not the test-fixture generator (VERDICT r5 #3).
+    * Deliberately NO in-JVM path-keyed cache: the store's
+    * listing-fingerprint hop is what detects a republished `customer`
+    * snapshot, and skipping it would serve the stale corpus for the
+    * JVM's lifetime (the ADVICE-r4 hazard class). */
   def dir(s: SparkSession, d: String): String =
-    cache.getOrElseUpdate(d, graft.ArtifactStore.directory(
+    graft.ArtifactStore.directory(
       s, "synth_voters", s"$d/customer.parquet", genVersion) { tmp =>
         build(s, d, tmp)
-      })
+      }
 
   /** One voter-shaped row per (customer, dup?) pair, all-string TSV
     * fields. `dup_seq` orders the original before its duplicate within

@@ -75,9 +75,13 @@ object ImageCodec {
   /** REAL decode: parse the container, walk the raster. Returns null
     * on undecodable bytes (the permissive-scan convention). */
   def decode(blob: Array[Byte]): Meta = {
+    // NonFatal, not just IOException: ImageIO readers throw runtime
+    // exceptions (IllegalArgument, NegativeArraySize, AIOOBE) on some
+    // malformed-but-recognized containers, and the permissive-scan
+    // contract is NULL for ANY undecodable blob
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val raster = img.getRaster
     val w = img.getWidth

@@ -86,8 +86,11 @@ object MultimodalOps {
       .select(col("media_id"), col("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        val m = graft.functions.ImageCodec.decode(blob)
-        (id, m.width, m.height, m.channels, m.pxSum, m.pxMin, m.pxMax)
+        // decode returns null for undecodable bytes; surface it as
+        // NULL stats exactly like the expression twin, not an NPE
+        val m = Option(graft.functions.ImageCodec.decode(blob))
+        (id, m.map(_.width), m.map(_.height), m.map(_.channels),
+          m.map(_.pxSum), m.map(_.pxMin), m.map(_.pxMax))
       })
       .toDF("media_id", "width", "height", "channels",
         "px_sum", "px_min", "px_max")

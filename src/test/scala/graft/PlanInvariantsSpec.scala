@@ -172,7 +172,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val scanLine = p.linesIterator
       .find(l => l.contains("ivf_layout") && l.contains("PartitionFilters"))
       .getOrElse(fail("no partitioned ivf_layout scan in the plan:\n" + p))
-    val pf = scanLine.split("PartitionFilters: ")(1)
+    // take just the PartitionFilters [...] segment (stop at its
+    // closing bracket so an INSET in PushedFilters can't satisfy the
+    // assertion), without indexing past the end if Spark ever
+    // reformats the line — a format drift should fail the assert
+    // with the line in the message, not AIOOBE
+    val pf = scanLine.drop(scanLine.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
     assert(pf.contains("INSET") || pf.contains("centroid_id IN"),
       s"layout scan is not pruning on the probed cluster set: $scanLine")
   }
