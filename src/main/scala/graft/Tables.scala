@@ -28,20 +28,53 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a
-    * raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * truncate to microseconds — integer `div`, NOT double division,
-    * because epoch-nanos (~1.7e18) overflow double's 53-bit mantissa.
-    * Truncation matches DuckDB's own ns→us conversion, so oracle
-    * comparisons line up exactly. Exposed as TIMESTAMP_NTZ (naive),
-    * like every other timestamp in the testdata.
+  /** `events.ts` has shipped under more than one physical parquet
+    * encoding across fixture generations — TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects outright, [PARQUET_TYPE_ILLEGAL])
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false). A 100 TB lake hits
+    * exactly this daily: partitions written by different writer
+    * versions with different logical-type choices. So the reader
+    * DISPATCHES ON THE RESOLVED SCHEMA instead of assuming one
+    * encoding (the reference's loader is likewise schema-driven,
+    * `utils.ts:70-97`, `load.ts:36-39`):
+    *
+    *  - `LongType`  → the file is NANOS and `nanosAsLong` kicked in:
+    *    truncate to micros with integer `div` (NOT double division —
+    *    epoch-nanos ~1.7e18 overflow double's 53-bit mantissa), which
+    *    matches DuckDB's own ns→us conversion bit-for-bit.
+    *  - `TimestampNTZType` → MICROS NTZ, already the target type.
+    *  - any other timestamp → single cast to `timestamp_ntz`.
+    *
+    * Exposed uniformly as TIMESTAMP_NTZ (naive), like every other
+    * timestamp in the testdata.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
+
+  /** True when `events.ts` resolves as a raw nanosecond long (the
+    * legacy NANOS encoding under `nanosAsLong`) rather than a native
+    * timestamp type. Schema-only read — one parquet footer, no scan.
+    * The streaming reader uses this to build a user schema that
+    * MATCHES the file's physics instead of hard-coding one (a
+    * mismatched user schema over parquet silently misreads, it does
+    * not error — the worst failure mode). */
+  def eventsTsRawNanos(s: SparkSession, d: String): Boolean =
+    tsKindCache.getOrElseUpdate(s"$d/events.parquet", {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table(s, d, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    })
+
+  private val tsKindCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -19,13 +19,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Degrade LOUDLY (VERDICT r6 #7): a throwing query must still
+        // produce an output dir so the driver's compare records one row
+        // per declared query — 15 silently ABSENT rows made r6 diffing
+        // needlessly hard. The marker is a ZERO-row parquet (a 1-row
+        // marker would fake-pass the rows-only `rows > 0` check for
+        // un-oracled queries) whose second column NAME carries the
+        // exception's first line, so the failure reason is visible in
+        // the recorded schema itself; full messages go to errors.json.
+        val first = e.toString.linesIterator.nextOption().getOrElse("error")
+        errors(name) = first
+        System.err.println(s"[verify] $name failed: $first")
+        import org.apache.spark.sql.types._
+        val marker = first.replaceAll("[^\\x20-\\x7e]", " ").take(180)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("err", StringType),
+            StructField(marker, StringType))))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,21 +18,37 @@ import org.apache.spark.sql.types._
   */
 object StreamingSessions {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming reader for the events table. A streaming file source
+    * needs a user-declared schema — and a user schema that contradicts
+    * the parquet's physical encoding does NOT error, it silently
+    * misreads (declaring `ts: Long` over MICROS files hands back raw
+    * micros, which a nanos-assuming `div 1000` then compresses 1000×).
+    * So the declared schema is built from a one-footer probe of the
+    * actual file ([[graft.Tables.eventsTsRawNanos]]), mirroring the
+    * batch reader's schema dispatch:
+    *  - NANOS file → declare `ts: Long` (nanosAsLong), `div 1000`,
+    *    `timestamp_micros` → LTZ.
+    *  - MICROS file → declare `ts: TimestampNTZ` (exact match — a
+    *    future encoding change now fails schema resolution loudly
+    *    instead of corrupting), cast to LTZ.
+    * Watermarks use TIMESTAMP (local tz); session tz is UTC, so LTZ
+    * here equals the batch path's NTZ values and outputs cast back. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val rawNanos = graft.Tables.eventsTsRawNanos(spark, sfDir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // watermarks require TIMESTAMP (with local tz) — session tz is UTC,
-    // so LTZ here equals the batch path's NTZ values; outputs cast back
     // the streaming file source wants a directory: read the sf dir
     // with a glob filter for the events table
-    spark.readStream.schema(eventsSchema)
+    val src = spark.readStream
+      .schema(eventsSchema(if (rawNanos) LongType else TimestampNTZType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (rawNanos) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Gap-based sessions via `session_window` (30 min gap, like the
