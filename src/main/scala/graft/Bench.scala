@@ -53,22 +53,33 @@ object Bench {
       // round-over-round comparison (bench_compare skips values <= 0)
       name -> (if (failed) (-1.0, "error") else (stat, estimator))
     }
-    // Deterministic artifact: sorted keys, one compact line. The
-    // driver's log capture keeps only the TAIL of stdout (BENCH_r04
-    // lost 47/107 queries; BENCH_r05's tail held nothing but the
-    // estimators map, so round-over-round comparison saw 0 shared
-    // queries). Field ORDER is therefore load-bearing: estimators
-    // (strings — invisible to bench_compare's numeric tail-recovery
-    // regex) go FIRST, the numeric queries map and the headline totals
-    // go LAST, so any suffix of the line ends with per-query numbers +
-    // the total. The file below is always the complete record. The
-    // per-query estimator tag lets bench_compare.py flag
-    // median3<->min2 flips (min reads systematically lower than
-    // median) instead of reading them as real deltas.
+    // Deterministic artifact: sorted keys, complete record in ONE line
+    // written to bench_out.json. stdout needs more care: the driver's
+    // log capture keeps only the LAST ~2000 chars of stdout and
+    // json-parses what it finds there (BENCH_r04 lost 47/107 queries;
+    // BENCH_r05's tail held only the estimators map; BENCH_r06's tail
+    // started MID-LINE, so the driver's parse came back null and the
+    // first ~40 queries were unrecoverable). The full record is ~6 KB —
+    // it can never fit that window — so stdout prints in significance
+    // order, least → most, every line a COMPLETE json document:
+    //   1. the full one-line record (for full-stdout captures),
+    //   2. the per-query map re-printed in small chunk lines (each
+    //      parses standalone; whichever suffix of them survives the
+    //      tail window is regex-recoverable by bench_compare.py),
+    //   3. LAST: a compact headline line sized to fit the tail window
+    //      WHOLE — totals plus the slowest queries that fit — so the
+    //      driver's line parse always succeeds on it.
+    // The per-query estimator tag (bench_out.json only) lets
+    // bench_compare.py flag median3<->min2 flips (min reads
+    // systematically lower than median) instead of reading them as
+    // real deltas.
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.map { case (k, (v, _)) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def qjson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val qs = qjson(sorted.map { case (k, (v, _)) => k -> v })
     val est = sorted.map { case (k, (_, e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     // a failed query's -1.0 sentinel must not understate the headline
@@ -83,6 +94,29 @@ object Bench {
     java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+    // (2) chunk lines: ~12 queries each stays well under the window
+    sorted.map { case (k, (v, _)) => k -> v }.grouped(12).zipWithIndex
+      .foreach { case (chunk, i) =>
+        println(s"""{"bench_part":${i + 1},"queries":${qjson(chunk)}}""")
+      }
+    // (3) final compact line: slowest-first per-query pairs (the ones
+    // perf grading cares about) added while the whole line stays
+    // inside a conservative tail budget; count what was dropped so
+    // the line never silently reads as complete coverage
+    val tailBudget = 1500 // chars; window is ~2000 minus sbt epilogue
+    val bySlowest = results.toSeq
+      .filter(_._2._2 != "error").sortBy(-_._2._1).map { case (k, (v, _)) => k -> v }
+    val headlineFixed =
+      s""","metric":"total","value":${fmt(total)},"failed":$failed,"n_queries":${results.size},"complete_record":"bench_out.json","unit":"sec","sf":"$sfDir"}"""
+    val picked = Seq.newBuilder[(String, Double)]
+    var used = """{"slowest_queries":{}""".length + headlineFixed.length
+    var omitted = 0
+    bySlowest.foreach { case (k, v) =>
+      val cost = k.length + fmt(v).length + 4
+      if (used + cost <= tailBudget) { picked += (k -> v); used += cost }
+      else omitted += 1
+    }
+    println(s"""{"slowest_queries":${qjson(picked.result())},"queries_omitted":$omitted$headlineFixed""")
     spark.stop()
   }
 }
