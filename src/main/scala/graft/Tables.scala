@@ -18,7 +18,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTimestamps(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -48,33 +48,97 @@ object Tables {
     * Exposed uniformly as TIMESTAMP_NTZ (naive), like every other
     * timestamp in the testdata.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case org.apache.spark.sql.types.TimestampNTZType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
   /** True when `events.ts` resolves as a raw nanosecond long (the
     * legacy NANOS encoding under `nanosAsLong`) rather than a native
-    * timestamp type. Schema-only read — one parquet footer, no scan.
-    * The streaming reader uses this to build a user schema that
-    * MATCHES the file's physics instead of hard-coding one (a
-    * mismatched user schema over parquet silently misreads, it does
-    * not error — the worst failure mode). */
+    * timestamp type. Footer-metadata-only — no scan. The streaming
+    * reader uses this to build a user schema that MATCHES the file's
+    * physics instead of hard-coding one (a mismatched user schema
+    * over parquet silently misreads, it does not error — the worst
+    * failure mode). */
   def eventsTsRawNanos(s: SparkSession, d: String): Boolean =
-    tsKindCache.getOrElseUpdate(s"$d/events.parquet", {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(s, d, "events").schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
+    nanosTsCols(s, s"$d/events.parquet").contains("ts")
+
+  /** Timestamp-encoding normalization for EVERY table read — the
+    * general form of the fix the events table needed when the fixtures
+    * regenerated from TIMESTAMP(NANOS) to TIMESTAMP(MICROS): a 100 TB
+    * lake routinely mixes writer versions, so no reader may assume one
+    * physical timestamp encoding. Dispatch is driven by the parquet
+    * FOOTER's logical-type annotations (one metadata read per table
+    * per session, cached — the same catalog-statistics discipline as
+    * [[cardinality]]), normalizing every timestamp column to
+    * TIMESTAMP_NTZ, the engine-wide convention:
+    *
+    *  - TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so
+    *    `nanosAsLong` surfaces a raw long: truncate to micros with
+    *    integer `div` (double division would overflow the 53-bit
+    *    mantissa at epoch-nanos ~1.7e18; truncation matches DuckDB's
+    *    ns→us conversion bit-for-bit), then `timestamp_micros`.
+    *  - TIMESTAMP(..., isAdjustedToUTC=true) — resolves LTZ: one cast
+    *    to NTZ (identity under the engine's fixed UTC session tz).
+    *  - TIMESTAMP(..., isAdjustedToUTC=false) MICROS/MILLIS — already
+    *    NTZ: NO-OP, the scan keeps its pushdown-friendly shape (no
+    *    projection inserted over the column).
+    *
+    * Columns needing no rewrite are left untouched, so in the common
+    * case this returns the raw scan and predicate pushdown/column
+    * pruning are unaffected. */
+  private def normalizeTimestamps(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(path)
+    val nanos = nanosTsCols(s, path)
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if nanos(f.name) =>
+          acc.withColumn(f.name,
+            timestamp_micros(expr(s"`${f.name}` div 1000")).cast("timestamp_ntz"))
+        case org.apache.spark.sql.types.TimestampType =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _ => acc
+      }
+    }
+  }
+
+  /** Column names annotated TIMESTAMP(NANOS) in the parquet footer of
+    * `path` (first file's footer for a directory — one writer per
+    * table here; a mixed-encoding directory would need per-file
+    * handling upstream of a single scan anyway). Cached per path. */
+  private def nanosTsCols(s: SparkSession, path: String): Set[String] =
+    nanosColsCache.getOrElseUpdate(path, {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val file: Option[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(root).isDirectory) {
+          val it = fs.listFiles(root, true)
+          var found: Option[org.apache.hadoop.fs.Path] = None
+          while (found.isEmpty && it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) found = Some(f.getPath)
+          }
+          found
+        } else Some(root)
+      file.fold(Set.empty[String]) { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val schema = try reader.getFooter.getFileMetaData.getSchema
+          finally reader.close()
+        val out = Set.newBuilder[String]
+        schema.getFields.forEach { f =>
+          f.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+              out += f.getName
+            case _ => ()
+          }
+        }
+        out.result()
+      }
     })
 
-  private val tsKindCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val nanosColsCache = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
