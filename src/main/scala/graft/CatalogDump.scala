@@ -27,6 +27,7 @@ object CatalogDump {
       "EtlParity" -> ops.EtlParity.queries.keySet,
       "ScalarFuncs" -> ops.ScalarFuncs.queries.keySet,
       "Analytics" -> ops.Analytics.queries.keySet,
+      "LayoutOps" -> ops.LayoutOps.queries.keySet,
     )
     val inModules = modules.flatMap(_._2).toSet
     val generated =

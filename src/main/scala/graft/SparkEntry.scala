@@ -28,6 +28,7 @@ object SparkEntry {
       (ops.EtlParity.queries, () => ops.EtlParity.oracles),
       (ops.ScalarFuncs.queries, () => ops.ScalarFuncs.oracles),
       (ops.Analytics.queries, () => ops.Analytics.oracles),
+      (ops.LayoutOps.queries, () => ops.LayoutOps.oracles),
       (streamingQueries, () => streamingOracles),
     )
 

@@ -1,0 +1,367 @@
+package graft.ops
+
+import graft.{ArtifactStore, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Storage-layout operators: the data-organization side of 100 TB
+  * efficiency. Query operators decide WHAT to compute; these decide
+  * how bytes are arranged so the scan reads almost none of them.
+  *
+  * Three layers, each one a graded query:
+  *
+  *  - Z-ORDER clustering (`layout_zorder_prune`): rewrite a fact
+  *    table ordered by the Morton interleave of two filter columns,
+  *    so a 2-D box predicate maps to a small number of contiguous
+  *    z-ranges → few files/row-groups whose min/max stats intersect
+  *    the box. This is the lakehouse multi-column answer to "sort by
+  *    which column?" — a single-column sort clusters one dimension
+  *    perfectly and the other not at all; the z-curve clusters both
+  *    at √ cost. The same idea the reference applies 1-D via its
+  *    per-state table split (`load.ts:76-84`: state IS its coarse
+  *    clustering key) — generalized to two dimensions.
+  *  - BLOOM SIDECAR (`scan_bloom_fileskip`): per-file Bloom filters
+  *    over a SECONDARY key. Min/max stats serve the clustering
+  *    key(s); a point lookup on any other high-cardinality key hits
+  *    every file's [min,max] and prunes nothing — the sidecar is the
+  *    standard data-skipping index for exactly that case (Parquet
+  *    column blooms / Delta-Iceberg file skipping serve the same
+  *    role; ours is explicit so the skip set is assertable).
+  *  - SCD2 HISTORY (`scd2_history`, `scd2_asof`): versioned
+  *    dimension layout — close-and-open validity intervals built
+  *    from a change stream with one window pass, and the as-of
+  *    point-in-time read over it. The voter-file analog: monthly
+  *    VM2Uniform drops REPLACE each state today (`Publish.atomicSwap`);
+  *    SCD2 is the layout that keeps the replaced versions queryable.
+  *
+  * All three artifacts go through [[ArtifactStore]]: content-addressed
+  * by source fingerprint, built once per corpus snapshot, atomically
+  * published, served thereafter.
+  */
+object LayoutOps {
+
+  // ---------------------------------------------------------------- z-order
+
+  private val ZBits = 32
+
+  /** Bit-spread a non-negative int-valued column: x's low 32 bits end
+    * up in the even bit positions of the result. The classic 5-step
+    * mask-shift ladder — pure builtin bitwise ops, so the whole
+    * z-value stays inside WholeStageCodegen (no UDF). */
+  private def spreadBits(c: Column): Column = {
+    val steps = Seq(
+      (16, 0x0000FFFF0000FFFFL),
+      (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL),
+      (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    steps.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (n, mask)) =>
+      x.bitwiseOR(shiftleft(x, n)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Morton z-value of two int-valued columns (a in even bits, b in
+    * odd). Total order over the z-curve for keys in [0, 2^31): the
+    * interleave of two 31-bit non-negatives keeps the sign bit clear,
+    * so SIGNED long ordering == unsigned z ordering. Keys are
+    * surrogate ints at the design point; wider domains first rank- or
+    * range-reduce to 32 bits (the standard z-order preprocessing). */
+  def zvalue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Number of layout files: enough that the skip fraction is
+    * meaningful, few enough that sf0.001 files aren't empty. At
+    * 100 TB this is "target file size 1 GB", not a count. */
+  private val ZFiles = 16
+
+  /** The z-ordered rewrite of `lineitem`, clustered on
+    * (l_partkey, l_suppkey): range-partitioned by z-value into
+    * [[ZFiles]] files, z-sorted within each. Parquet's footer min/max
+    * stats on BOTH cluster columns become tight per file — the
+    * pruning evidence is measured (not asserted from hope) by
+    * [[statsSkipFraction]]. Built once per corpus snapshot via the
+    * artifact store. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.parquet(s, "zorder_lineitem", s"$d/lineitem.parquet",
+        version = 1) {
+      Tables.lineitem(s, d)
+        .withColumn("__z", zvalue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(ZFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+
+  // the graded 2-D box — non-empty at every shipped SF (491 / 57 / 5
+  // rows at sf0.001/0.01/0.1)
+  private val (pLo, pHi, sLo, sHi) = (40L, 80L, 2L, 5L)
+
+  /** 2-D box scan over the z-ordered layout. Same rows as the raw
+    * table (the oracle is the PLAIN lineitem SQL — grading that the
+    * rewrite is invisible to results); the layout's contribution is
+    * that both range predicates are pushed to a scan whose per-file
+    * stats actually bound them. */
+  def zorderPrune(s: SparkSession, d: String): DataFrame =
+    zorderLayout(s, d)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      // (orderkey, linenumber) is NOT unique in the synthetic fixture —
+      // tie-break on every output column for a deterministic order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+
+  /** Footer-level skip audit: fraction of a parquet directory's
+    * ROW GROUPS whose (l_partkey, l_suppkey) min/max box intersects
+    * the graded query box — i.e. what a stats-pruning reader must
+    * read. Returns (intersecting, total). Footer-only: zero row
+    * bytes touched. Exposed for the spec and SCALE.md, not the query
+    * path (the parquet reader does this same test internally when the
+    * filters are pushed). */
+  def statsSkipFraction(s: SparkSession, dir: String): (Int, Int) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var total = 0
+    var hit = 0
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val pIdx = schema.getFieldIndex("l_partkey")
+        val sIdx = schema.getFieldIndex("l_suppkey")
+        r.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          val ps = block.getColumns.get(pIdx).getStatistics
+          val ss = block.getColumns.get(sIdx).getStatistics
+          def lo(st: org.apache.parquet.column.statistics.Statistics[_]) =
+            st.genericGetMin.asInstanceOf[Number].longValue
+          def hi(st: org.apache.parquet.column.statistics.Statistics[_]) =
+            st.genericGetMax.asInstanceOf[Number].longValue
+          if (lo(ps) <= pHi && hi(ps) >= pLo && lo(ss) <= sHi && hi(ss) >= sLo)
+            hit += 1
+        }
+      } finally r.close()
+    }
+    (hit, total)
+  }
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Per-file Bloom sidecar over the z-layout's SECONDARY key
+    * (`l_orderkey` — the layout is clustered by part/supp, so order
+    * lookups scatter uniformly and min/max stats prune nothing).
+    * One distributed pass: group by `input_file_name()`, aggregate
+    * with the mergeable [[graft.functions.BloomAgg]]. Sized for the
+    * largest per-file row count at the design point's file size, 1 %
+    * fpp. */
+  def bloomSidecar(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.parquet(s, "zorder_bloom_orderkey",
+        s"$d/lineitem.parquet", version = 1) {
+      zorderLayout(s, d)
+        .select(input_file_name().as("file"), col("l_orderkey"))
+        .groupBy(col("file"))
+        .agg(graft.functions.BloomAgg.sketch(col("l_orderkey"),
+          expectedItems = 200 * 1000).as("bloom"))
+    }
+
+  // (fingerprint → (file, filter) array): the sidecar is file-count-
+  // sized, so it is driver-resident by construction; cache it per
+  // corpus snapshot so bench reps / Verify / plan walks deserialize
+  // once, not per query construction.
+  private val sidecarCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(String, org.apache.spark.util.sketch.BloomFilter)]]
+
+  /** Files of the z-layout that MIGHT contain `key` (no false
+    * negatives by Bloom construction; ~1 % false-positive files). */
+  def candidateFiles(s: SparkSession, d: String, key: Long): Seq[String] = {
+    // root is part of the key: the fingerprint addresses the SOURCE,
+    // but the cached entries hold layout-file paths under the store
+    val fp = ArtifactStore.root + ":" +
+      ArtifactStore.fingerprint(s, s"$d/lineitem.parquet")
+    val filters = sidecarCache.getOrElseUpdate(fp,
+      bloomSidecar(s, d).collect().map(r =>
+        (r.getString(0), graft.functions.BloomAgg.readFilter(
+          r.getAs[Array[Byte]](1)))))
+    filters.toSeq.collect { case (f, bf) if bf.mightContainLong(key) => f }
+  }
+
+  // the graded lookup key — present at every shipped SF
+  private val LookupKey = 42L
+
+  /** Point lookup on the secondary key THROUGH the sidecar: probe the
+    * driver-resident blooms, scan only the (few) candidate files, then
+    * apply the exact filter. At the fixture's 16-file layout an order's
+    * ~4 lineitems live in ≤4 files, so ≥75 % of stored bytes are never
+    * opened — the skip set is asserted, not hoped, in LayoutOpsSpec.
+    * The oracle is the plain-table SQL: the sidecar must be invisible
+    * to results (exactness restored by the residual filter). */
+  def bloomFileSkip(s: SparkSession, d: String): DataFrame =
+    lookupSecondary(s, d, LookupKey)
+
+  def lookupSecondary(s: SparkSession, d: String, key: Long): DataFrame = {
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"))
+    val files = candidateFiles(s, d, key)
+    val base =
+      if (files.isEmpty) zorderLayout(s, d).filter(lit(false)) // schema-only
+      else s.read.parquet(files: _*)
+    base.filter(col("l_orderkey") === key)
+      .select(cols: _*)
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+  }
+
+  // ---------------------------------------------------------------- scd2
+
+  // bounded dimension slice: keeps the graded history human-sized at
+  // every SF while exercising every interval case (multi-version,
+  // single-version, tie-broken same-day orders)
+  private val Scd2MaxKey = 100L
+  private val Scd2Epoch = "1992-01-01"
+  private val Scd2AsOf = "1998-06-01"
+
+  /** SCD2 (type-2 slowly-changing dimension) build: customer balances
+    * versioned by their order stream. Version 0 is the base snapshot
+    * (valid from the epoch); each order of the customer opens a new
+    * version at `o_orderdate` carrying the exact running balance
+    * (decimal cumsum — the money discipline of ops/package.scala);
+    * `valid_to` = next version's `valid_from` (close-and-open), NULL
+    * marks current. ONE window pass over the change stream + one over
+    * the union — no per-version joins, no driver iteration; at 100 TB
+    * both windows partition by the dimension key, so state per task
+    * is one customer's version chain. Deterministic tie-break:
+    * same-day orders version in `o_orderkey` order. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .filter(col("c_custkey") < Scd2MaxKey)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val wCum = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, d)
+      .filter(col("o_custkey") < Scd2MaxKey)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .join(base, Seq("c_custkey"))
+      .withColumn("version", row_number().over(wCum))
+      .withColumn("acctbal",
+        (col("c_acctbal").cast(D18_2) +
+          sum(col("o_totalprice").cast(D18_2)).over(
+            wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("double"))
+      .select(col("c_custkey"), col("version"), col("acctbal"),
+        col("o_orderdate").as("valid_from"))
+    val v0 = base.select(col("c_custkey"), lit(0).as("version"),
+      col("c_acctbal").as("acctbal"),
+      lit(Scd2Epoch).cast("timestamp_ntz").as("valid_from"))
+    val wChain = Window.partitionBy(col("c_custkey")).orderBy(col("version"))
+    v0.unionByName(changes)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wChain))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  /** Point-in-time (time-travel) read over the SCD2 layout: the
+    * dimension exactly as it stood on [[Scd2AsOf]] — the interval
+    * containment filter `valid_from <= t < valid_to` (open current
+    * rows qualify via NULL). One row per key by interval disjointness,
+    * which is BY CONSTRUCTION of the close-and-open chain — the spec
+    * asserts it anyway. */
+  def scd2AsOf(s: SparkSession, d: String): DataFrame =
+    scd2History(s, d)
+      .filter(col("valid_from") <= lit(Scd2AsOf).cast("timestamp_ntz") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(Scd2AsOf).cast("timestamp_ntz")))
+      .select(col("c_custkey"), col("version"), col("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder_prune" -> zorderPrune,
+    "scan_bloom_fileskip" -> bloomFileSkip,
+    "scd2_history" -> scd2History,
+    "scd2_asof" -> scd2AsOf,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the layout queries oracle against the PLAIN table: a storage
+    // rewrite that changes results is wrong, full stop
+    "layout_zorder_prune" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN $pLo AND $pHi
+         |  AND l_suppkey BETWEEN $sLo AND $sHi
+         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  l_quantity""".stripMargin,
+    "scan_bloom_fileskip" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         |FROM lineitem WHERE l_orderkey = $LookupKey
+         |ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin,
+    "scd2_history" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_acctbal FROM customer
+         |  WHERE c_custkey < $Scd2MaxKey),
+         |chg AS (
+         |  SELECT o.o_custkey AS c_custkey,
+         |    ROW_NUMBER() OVER w AS version,
+         |    CAST(CAST(b.c_acctbal AS DECIMAL(18,2)) +
+         |      SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) OVER (
+         |        PARTITION BY o.o_custkey
+         |        ORDER BY o.o_orderdate, o.o_orderkey
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) AS acctbal,
+         |    o.o_orderdate AS valid_from
+         |  FROM orders o JOIN base b ON o.o_custkey = b.c_custkey
+         |  WINDOW w AS (PARTITION BY o.o_custkey
+         |               ORDER BY o.o_orderdate, o.o_orderkey)),
+         |v AS (
+         |  SELECT c_custkey, 0 AS version, c_acctbal AS acctbal,
+         |    TIMESTAMP '$Scd2Epoch' AS valid_from FROM base
+         |  UNION ALL
+         |  SELECT c_custkey, version, acctbal, valid_from FROM chg)
+         |SELECT c_custkey, version, acctbal, valid_from,
+         |  LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+         |    AS valid_to,
+         |  (LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+         |    IS NULL) AS is_current
+         |FROM v ORDER BY c_custkey, version""".stripMargin,
+    "scd2_asof" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_acctbal FROM customer
+         |  WHERE c_custkey < $Scd2MaxKey),
+         |chg AS (
+         |  SELECT o.o_custkey AS c_custkey,
+         |    ROW_NUMBER() OVER w AS version,
+         |    CAST(CAST(b.c_acctbal AS DECIMAL(18,2)) +
+         |      SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) OVER (
+         |        PARTITION BY o.o_custkey
+         |        ORDER BY o.o_orderdate, o.o_orderkey
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) AS acctbal,
+         |    o.o_orderdate AS valid_from
+         |  FROM orders o JOIN base b ON o.o_custkey = b.c_custkey
+         |  WINDOW w AS (PARTITION BY o.o_custkey
+         |               ORDER BY o.o_orderdate, o.o_orderkey)),
+         |v AS (
+         |  SELECT c_custkey, 0 AS version, c_acctbal AS acctbal,
+         |    TIMESTAMP '$Scd2Epoch' AS valid_from FROM base
+         |  UNION ALL
+         |  SELECT c_custkey, version, acctbal, valid_from FROM chg),
+         |h AS (
+         |  SELECT c_custkey, version, acctbal, valid_from,
+         |    LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+         |      AS valid_to
+         |  FROM v)
+         |SELECT c_custkey, version, acctbal FROM h
+         |WHERE valid_from <= TIMESTAMP '$Scd2AsOf'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$Scd2AsOf')
+         |ORDER BY c_custkey""".stripMargin,
+  )
+}
