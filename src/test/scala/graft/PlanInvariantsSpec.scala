@@ -183,6 +183,39 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"layout scan is not pruning on the probed cluster set: $scanLine")
   }
 
+  test("layout_zorder_prune: both box predicates reach the layout scan") {
+    // the z-layout's value is row-group stats pruning, which only
+    // happens for filters the parquet reader SEES — both range
+    // predicates must appear in PushedFilters, not in a post-scan
+    // Filter only
+    // plan toString elides long filter lists — read the scan node's
+    // metadata map, which carries the full PushedFilters string
+    val df = SparkEntry.queries("layout_zorder_prune")(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
+    // root whose collect() does not descend into the staged subplan
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("zorder_lineitem")) =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    val pushed = scans.headOption
+      .getOrElse(fail("no zorder_lineitem scan in the plan"))
+    for (c <- Seq("l_partkey", "l_suppkey"))
+      assert(pushed.contains(s"GreaterThanOrEqual($c") &&
+        pushed.contains(s"LessThanOrEqual($c"),
+        s"range predicate on $c not pushed to the layout scan: $pushed")
+  }
+
+  test("scan_bloom_fileskip: the exact lookup predicate reaches the scan") {
+    // file-level skipping happens before the plan (bloom probe over
+    // the sidecar chooses the scan's file list — asserted by count in
+    // LayoutOpsSpec); the residual exactness filter must still be
+    // pushed so surviving files row-group-prune too
+    val p = physicalPlans.toMap.apply("scan_bloom_fileskip")
+    assert(p.contains("EqualTo(l_orderkey,42)"),
+      "exact l_orderkey filter not pushed to the candidate-file scan:\n" + p)
+  }
+
   test("streaming ingest batch plans honor the scale invariants") {
     // VERDICT r3 #6: the stream_* query frames plan as memory-sink
     // LocalTableScans (nothing to audit), but the foreachBatch ingest
