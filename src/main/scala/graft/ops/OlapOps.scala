@@ -145,7 +145,45 @@ object OlapOps {
     probed.orderBy(col("event_type"))
   }
 
+  /** Incremental materialized-aggregate maintenance: the monthly
+    * revenue rollup served from PRE-AGGREGATED state plus a delta —
+    * the batch form of what `stream_stateful_totals` does with
+    * streaming state, and the pattern that makes a 100 TB rollup
+    * cheap to keep fresh: history is never rescanned, only its
+    * partial aggregates (|months| rows of exact-decimal sums — the
+    * algebraic merge-able form) are combined with the new
+    * partition's partials under one tiny re-aggregation.
+    *
+    * The fixture split is deterministic (`o_orderkey % 10`): 90 % of
+    * orders play "already-ingested history" — their partials are a
+    * content-addressed [[graft.ArtifactStore]] artifact, built once
+    * per corpus snapshot — and 10 % play the newly-arrived delta,
+    * aggregated fresh each run. The oracle is the FULL-table rollup:
+    * state + delta must be indistinguishable from a from-scratch
+    * recompute, which is the correctness bar incremental view
+    * maintenance carries. Sums stay DECIMAL end-to-end through
+    * storage and merge (ops/package.scala discipline); one final
+    * cast to double. */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D18_2)).as("sum_price_part"))
+    val state = graft.ArtifactStore.parquet(s, "rollup_state_monthly",
+        s"$d/orders.parquet", version = 1) {
+      partials(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+    }
+    val delta = partials(
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0))
+    state.unionByName(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_price_part")).cast("double").as("sum_price"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_incremental_rollup" -> incrementalRollup,
     "agg_countmin_freq" -> countMinFreq,
     "olap_pivot" -> pivotOrders,
     "join_left_outer" -> leftOuter,
@@ -158,6 +196,15 @@ object OlapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // full-table recompute: the incremental state+delta serve must be
+    // indistinguishable from aggregating everything from scratch
+    "agg_incremental_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_countmin_freq" ->
       """SELECT event_type, COUNT(*) AS exact_n, TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -123,6 +123,33 @@ class LayoutOpsSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.artifacts.dir")
   }
 
+  // ---- incremental aggregate maintenance ----------------------------
+
+  test("incremental rollup: state is built once, merge equals recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    sys.props("graft.artifacts.dir") = dir
+    try {
+      val got = ops.OlapOps.incrementalRollup(spark, sf).collect()
+      val before = ArtifactStore.builds
+      val again = ops.OlapOps.incrementalRollup(spark, sf).collect()
+      // second call serves the history partials from the store —
+      // incremental means history is NOT rescanned per refresh
+      assert(ArtifactStore.builds == before, "state rebuilt on re-serve")
+      assert(got.toSeq == again.toSeq)
+      // merge(state, delta) == full recompute, column for column
+      val full = Tables.orders(spark, sf)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).cast("double").as("sum_price"))
+        .orderBy(col("month")).collect()
+      assert(got.toSeq == full.toSeq)
+      // and the split is genuinely two-sided (delta non-empty)
+      assert(Tables.orders(spark, sf)
+        .filter(col("o_orderkey") % 10 === 0).count() > 0)
+    } finally sys.props.remove("graft.artifacts.dir")
+  }
+
   // ---- scd2 ---------------------------------------------------------
 
   test("scd2 history: close-and-open chain invariants") {
