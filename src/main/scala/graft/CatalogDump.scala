@@ -28,6 +28,7 @@ object CatalogDump {
       "ScalarFuncs" -> ops.ScalarFuncs.queries.keySet,
       "Analytics" -> ops.Analytics.queries.keySet,
       "LayoutOps" -> ops.LayoutOps.queries.keySet,
+      "CdcOps" -> ops.CdcOps.queries.keySet,
     )
     val inModules = modules.flatMap(_._2).toSet
     val generated =

@@ -29,6 +29,7 @@ object SparkEntry {
       (ops.ScalarFuncs.queries, () => ops.ScalarFuncs.oracles),
       (ops.Analytics.queries, () => ops.Analytics.oracles),
       (ops.LayoutOps.queries, () => ops.LayoutOps.oracles),
+      (ops.CdcOps.queries, () => ops.CdcOps.oracles),
       (streamingQueries, () => streamingOracles),
     )
 
@@ -50,8 +51,12 @@ object SparkEntry {
     "stream_dedup_users" -> (streaming.StreamingSessions.distinctUsers _),
     "stream_join_attrib" -> (streaming.StreamingSessions.purchaseAttribution _),
     "stream_enrich_static" -> (streaming.StreamingSessions.enrichStatic _),
+    "stream_cdc_upsert" -> (streaming.StatefulOps.cdcUpsert _),
   )
-  private val streamingOracles: Map[String, String] = Map(
+  private lazy val streamingOracles: Map[String, String] = Map(
+    // identical statement to the batch CDC forms: streamed per-key
+    // state + static base must reproduce the batch MERGE exactly
+    "stream_cdc_upsert" -> ops.CdcOps.mergeOracle,
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -60,6 +60,15 @@ object Tables {
   def eventsTsRawNanos(s: SparkSession, d: String): Boolean =
     nanosTsCols(s, s"$d/events.parquet").contains("ts")
 
+  /** Public footer probe for streaming readers of OTHER tables (the
+    * same schema-dispatch discipline as [[eventsTsRawNanos]], not
+    * events-specific): column names of `path` whose parquet logical
+    * type is TIMESTAMP(NANOS) — i.e. columns a user schema must
+    * declare as `LongType` under `nanosAsLong` rather than a native
+    * timestamp type. Footer-metadata-only, cached. */
+  def rawNanosCols(s: SparkSession, path: String): Set[String] =
+    nanosTsCols(s, path)
+
   /** Timestamp-encoding normalization for EVERY table read — the
     * general form of the fix the events table needed when the fixtures
     * regenerated from TIMESTAMP(NANOS) to TIMESTAMP(MICROS): a 100 TB

