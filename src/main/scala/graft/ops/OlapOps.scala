@@ -75,6 +75,76 @@ object OlapOps {
           col("exact_orders") * 0.15).as("within_tol"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-sketch RE-AGGREGATION: per-month HLL sketches of the
+    * customer set, unioned up to quarters — the pattern that makes
+    * distinct counting cheap at 100 TB (store the sketch per
+    * partition once; answer any coarser rollup by unioning sketches,
+    * never rescanning raw data — the same algebraic-partials
+    * discipline as [[incrementalRollup]], applied to a non-additive
+    * measure). `hll_sketch_agg`/`hll_union_agg` are Spark's Apache
+    * DataSketches bindings. The estimate is implementation-defined,
+    * so the GRADED columns are the exact count and a tolerance
+    * boolean (the [[approxDistinct]] pattern); the estimate's
+    * accuracy is what `within_tol` asserts. */
+  def hllUnionRollup(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val quarterly = monthly
+      .groupBy(date_trunc("quarter", col("month")).cast("timestamp_ntz").as("quarter"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_raw"))
+    val exact = Tables.orders(s, d)
+      .groupBy(date_trunc("quarter", col("o_orderdate")).cast("timestamp_ntz").as("quarter"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custkeys"))
+    exact.join(quarterly, Seq("quarter"))
+      .select(col("quarter"), col("exact_custkeys"),
+        (abs(col("approx_raw") - col("exact_custkeys")) <=
+          col("exact_custkeys") * 0.05 + 10).as("within_tol"))
+      .orderBy(col("quarter"))
+  }
+
+  /** Single-pass table profiler — the data-quality summary every
+    * ingest pipeline publishes next to a table: per column, null
+    * count, exact distinct count, numeric min/max (timestamps as
+    * epoch micros, strings profile nulls/distincts only — numeric
+    * min/max stay typed DOUBLE so the oracle compare never depends
+    * on engine string formatting). ONE aggregate over one scan (the
+    * distinct counts share the Expand), melted to long form with
+    * `stack`. At 100 TB the exact `countDistinct`s downgrade to the
+    * HLL sketches above; the shape is unchanged. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val a = Tables.orders(s, d).agg(
+      nulls("o_orderkey").as("nn_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("double").as("mn_key"),
+      max(col("o_orderkey")).cast("double").as("mx_key"),
+      nulls("o_custkey").as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast("double").as("mn_cust"),
+      max(col("o_custkey")).cast("double").as("mx_cust"),
+      nulls("o_totalprice").as("nn_price"),
+      countDistinct(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice")).as("mn_price"),
+      max(col("o_totalprice")).as("mx_price"),
+      nulls("o_orderdate").as("nn_date"),
+      countDistinct(col("o_orderdate")).as("nd_date"),
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double").as("mn_date"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double").as("mx_date"),
+      nulls("o_orderstatus").as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status"))
+    a.select(expr(
+      """stack(5,
+        |  'o_orderkey',    nn_key,    nd_key,    mn_key,  mx_key,
+        |  'o_custkey',     nn_cust,   nd_cust,   mn_cust, mx_cust,
+        |  'o_totalprice',  nn_price,  nd_price,  mn_price, mx_price,
+        |  'o_orderdate',   nn_date,   nd_date,   mn_date, mx_date,
+        |  'o_orderstatus', nn_status, nd_status, CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS DOUBLE))
+        |  AS (col_name, n_null, n_distinct, min_num, max_num)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
   /** Exact percentiles (quartiles) — `percentile`, not
     * `percentile_approx`, so the linear-interpolation result is
     * engine-independent on these integral quantities. */
@@ -251,6 +321,8 @@ object OlapOps {
     "olap_pivot" -> pivotOrders,
     "olap_unpivot" -> unpivotOrders,
     "agg_histogram" -> histogram,
+    "agg_hll_union" -> hllUnionRollup,
+    "profile_table" -> profileTable,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
     "olap_cube" -> cubeOrders,
@@ -293,6 +365,36 @@ object OlapOps {
       s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n, ${sql.dsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // estimates are implementation-defined; the graded row is the
+    // exact count + the tolerance verdict (approxDistinct pattern)
+    "agg_hll_union" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+        |    AS quarter,
+        |  COUNT(DISTINCT o_custkey) AS exact_custkeys,
+        |  TRUE AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_table" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_null,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+        |  UNION ALL SELECT 'o_custkey',
+        |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice), MAX(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |    COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |    CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+        |    CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "olap_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
