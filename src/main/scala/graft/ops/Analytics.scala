@@ -90,7 +90,46 @@ object Analytics {
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
       .orderBy(col("media_id"))
 
+  /** Deterministic distributed statistics: Pearson correlation and
+    * the OLS fit (slope/intercept) of extendedprice ~ quantity, per
+    * return flag. Spark's own `corr`/`regr_slope` sum doubles in
+    * partition order — non-deterministic across engines AND across
+    * runs — so the moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated
+    * in EXACT decimals (sums of 2-decimal inputs and their scale-4
+    * products — order-insensitive by exactness), cast to double once,
+    * and the closed-form formulas evaluate as the identical IEEE
+    * expression tree in both engines. One partial-agg shuffle; the
+    * formula is driver-free scalar math per group. */
+  def corrLinreg(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(D18_2)).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(D18_2)).cast("double").as("sy"),
+        sum(col("l_quantity").cast(D18_2) *
+          col("l_extendedprice").cast(D18_2)).cast("double").as("sxy"),
+        sum(col("l_quantity").cast(D18_2) *
+          col("l_quantity").cast(D18_2)).cast("double").as("sxx"),
+        sum(col("l_extendedprice").cast(D18_2) *
+          col("l_extendedprice").cast(D18_2)).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val denx = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    // Σy² exceeds double's 53-bit exact range at sf0.1, and the two
+    // engines' DECIMAL→DOUBLE casts then differ by 1 ULP (DuckDB
+    // double-rounds int128·10⁻ˢ; the JVM rounds once) — so the FINAL
+    // statistics are rounded (9/6 digits), the catalog's standard
+    // treatment for derived floats (jaccard, z-scores)
+    m.select(col("l_returnflag"), col("n"),
+        round(num / (sqrt(denx) * sqrt(deny)), 9).as("corr"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy") - num / denx * col("sx")) / nD, 6).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_corr_linreg" -> corrLinreg,
     "events_funnel" -> funnel,
     "events_cohort_retention" -> cohortRetention,
     "agg_forecast_revenue" -> forecastRevenue,
@@ -99,6 +138,30 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // moments in exact decimals, one cast to double, identical
+    // closed-form expression tree — bit-equal statistics
+    "stat_corr_linreg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+        |    CAST(n AS DOUBLE), 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "events_funnel" ->
       """SELECT user_id,
         |  first_signup IS NOT NULL AS signed_up,
