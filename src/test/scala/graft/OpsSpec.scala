@@ -7,6 +7,25 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("BPE trainer: deterministic, monotone argmax frequencies, converged") {
+    val m1 = ops.TextOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m2 = ops.TextOps.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m1.toSeq == m2.toSeq, "training is not deterministic")
+    assert(m1.map(_._1).toSeq == (1 to m1.length), "steps not dense")
+    // merging can only split or preserve pair mass, so each step's
+    // argmax frequency is bounded by the previous step's
+    val freqs = m1.map(_._4)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a },
+      s"argmax frequencies not monotone: ${freqs.mkString(",")}")
+    // at least one learned symbol must itself be merged later
+    // (multi-char left or right side) — the iteration is real, not
+    // eight independent char-pair picks
+    assert(m1.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no learned symbol was ever reused in a later merge")
+  }
+
   test("prefix-filter Jaccard join equals brute force on the full corpus") {
     // 100 % recall is the prefix filter's whole claim vs LSH — prove
     // it over EVERY sf0.001 doc, not just the graded slice

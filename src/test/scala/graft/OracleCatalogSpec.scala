@@ -18,7 +18,7 @@ class OracleCatalogSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private val generatedKeys =
-    ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys
+    ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys ++ ops.TextOps.generatedOracleKeys
 
   test("every oracle key names a registered query (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -41,7 +41,7 @@ class OracleCatalogSpec extends AnyFunSuite {
     ops.SimilarityOps.clearKmeansMemoryCache()
     ops.SimilarityOps.clearPqMemoryCache()
     ops.SimilarityOps.clearSrpParamsCache()
-    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh"))
+    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train"))
       SparkEntry.queries(q)(spark, sf).count()
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
@@ -53,7 +53,7 @@ class OracleCatalogSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"generated keys name no query: $unknown")
     // runs after the bijection test in suite order, but do not depend
     // on ordering: re-trigger the trainers idempotently
-    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh"))
+    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train"))
       SparkEntry.queries(q)(spark, sf).count()
     val absent = generatedKeys -- SparkEntry.oracleSql.keySet
     assert(absent.isEmpty,
