@@ -738,18 +738,52 @@ object TextOps {
       .orderBy(col("step"))
   }
 
+  /** The learned vocabulary APPLIED — the trainer feeding the
+    * pipeline: every document's words segmented with the 8 learned
+    * merges (the constant replace chain compiled into the plan — a
+    * narrow map over the corpus, no joins), rolled up per source:
+    * word count, character count, BPE token count, and the
+    * compression the learned merges bought. Training cost is
+    * vocabulary-bounded and amortized ([[bpeTrain]] is
+    * deterministic, so re-deriving the merges is a handful of
+    * dim-sized jobs; a production pipeline would read the merge
+    * table artifact instead). */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val ms = bpeTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wrapped = regexp_replace(col("w"), "(.)", "($1)")
+    val seg = ms.foldLeft(wrapped) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    Tables.documents(s, d).filter(col("doc_id") < BpeMaxDoc)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), length(col("w")).as("n_chars"),
+        size(call_function("regexp_extract_all", seg,
+          lit("\\(([^)]*)\\)"), lit(1))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Generated oracle: DuckDB replays the training — for each step k
     * it rebuilds the segmentation by applying merges 1..k-1 as a
     * spliced replace chain, re-counts weighted pairs, and SELECTS ITS
     * OWN argmax under the same (freq desc, left, right) tie-break.
     * Spark's learned row must match DuckDB's derivation exactly. */
+  private def bpeChainSql(ms: Seq[(Int, String, String, Long)]): String =
+    ms.foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
+      case (acc, (_, l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+
   private def bpeGeneratedOracle: Map[String, String] =
     learnedMerges.map { ms =>
       val steps = ms.map { case (k, _, _, _) =>
-        val chain = ms.take(k - 1).foldLeft(
-          "regexp_replace(w, '(.)', '(\\1)', 'g')") {
-          case (acc, (_, l, r, _)) => s"replace($acc, '($l)($r)', '($l$r)')"
-        }
+        val chain = bpeChainSql(ms.take(k - 1))
         s"""SELECT $k AS step, l AS "left", r AS "right",
            |  CAST(freq AS BIGINT) AS freq FROM (
            |  SELECT p['l'] AS l, p['r'] AS r, SUM(wc) AS freq FROM (
@@ -773,10 +807,34 @@ object TextOps {
            |) ORDER BY step""".stripMargin
     }.toMap
 
-  private[graft] val generatedOracleKeys: Set[String] = Set("text_bpe_train")
+  /** Generated oracle for [[bpeApply]]: the full learned chain
+    * spliced over each word, per-source rollup mirrored exactly. */
+  private def bpeApplyGeneratedOracle: Map[String, String] =
+    learnedMerges.map { ms =>
+      "text_bpe_apply" ->
+        s"""WITH w AS (
+           |  SELECT source, unnest(list_filter(string_split(text, ' '),
+           |    x -> x <> '')) AS w
+           |  FROM documents WHERE doc_id < $BpeMaxDoc),
+           |seg AS (
+           |  SELECT source, length(w) AS n_chars,
+           |    len(regexp_extract_all(${bpeChainSql(ms)},
+           |      '\\(([^)]*)\\)', 1)) AS n_tok
+           |  FROM w)
+           |SELECT source, COUNT(*) AS n_words,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+           |  round(CAST(SUM(n_chars) AS DOUBLE) /
+           |    CAST(SUM(n_tok) AS DOUBLE), 6) AS compression
+           |FROM seg GROUP BY source ORDER BY source""".stripMargin
+    }.toMap
+
+  private[graft] val generatedOracleKeys: Set[String] =
+    Set("text_bpe_train", "text_bpe_apply")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_apply" -> bpeApply,
     "text_tfidf_topk" -> tfidfTopk,
     "text_chunk" -> textChunks,
     "corpus_overlap" -> corpusOverlap,
@@ -796,7 +854,8 @@ object TextOps {
     "text_dup_ngrams" -> dupNgrams,
   )
 
-  def oracles: Map[String, String] = staticOracles ++ bpeGeneratedOracle
+  def oracles: Map[String, String] =
+    staticOracles ++ bpeGeneratedOracle ++ bpeApplyGeneratedOracle
 
   private val staticOracles: Map[String, String] = Map(
     "text_tfidf_topk" ->
