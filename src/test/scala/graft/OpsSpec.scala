@@ -7,6 +7,21 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("deletion-neighborhood fuzzy join equals brute-force levenshtein") {
+    val got = ops.DedupOps.fuzzyJoinEdit1(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val names = Tables.customer(spark, sf).filter(col("c_custkey") < 1000)
+      .select(col("c_name").as("w")).distinct()
+    val brute = names.as("x").join(broadcast(names.as("y")),
+        col("x.w") < col("y.w") &&
+          levenshtein(col("x.w"), col("y.w")) <= 1)
+      .select(col("x.w"), col("y.w")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(brute.nonEmpty, "no edit-1 pairs in the fixture slice")
+    assert(got == brute,
+      s"missed ${(brute -- got).size} / invented ${(got -- brute).size}")
+  }
+
   test("BPE trainer: deterministic, monotone argmax frequencies, converged") {
     val m1 = ops.TextOps.bpeTrain(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
