@@ -171,9 +171,17 @@ object DedupOps {
     * goes quadratic — the SymSpell scale-out shape. Graded over the
     * customer-name slice (single-digit neighbors make a dense,
     * deterministic pair set); oracle = all-pairs levenshtein. */
-  def fuzzyJoinEdit1(s: SparkSession, d: String): DataFrame = {
-    val names = Tables.customer(s, d).filter(col("c_custkey") < 1000)
-      .select(col("c_name").as("w")).distinct()
+  def fuzzyJoinEdit1(s: SparkSession, d: String): DataFrame =
+    fuzzyJoinEdit1On(
+      Tables.customer(s, d).filter(col("c_custkey") < 1000)
+        .select(col("c_name").as("w")))
+
+  /** The deletion-neighborhood core over any single-column `w` frame
+    * (exposed for the brute-force spec and the degenerate sweep).
+    * Empty strings are dropped up front: `sequence(1, 0)` counts DOWN
+    * in Spark, and a length-0 word would generate junk variants. */
+  def fuzzyJoinEdit1On(raw: DataFrame): DataFrame = {
+    val names = raw.filter(length(col("w")) > 0).distinct()
     val variants = names.select(col("w"), explode(concat(
         array(col("w")),
         expr("""transform(sequence(1, length(w)),

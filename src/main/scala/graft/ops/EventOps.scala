@@ -219,12 +219,18 @@ object EventOps {
     * scaffold explode and both windows reuse that partitioning (the
     * join keys lead with user_id). State per task = one user's month,
     * independent of corpus size. */
-  def gapfillInterp(s: SparkSession, d: String): DataFrame = {
+  def gapfillInterp(s: SparkSession, d: String): DataFrame =
+    gapfillOn(Tables.events(s, d).filter(col("user_id") < GapfillMaxUser))
+
+  /** The resample+interpolate core over any (user_id, ts, value)
+    * frame — exposed for the degenerate sweep (empty corpus,
+    * single-event users: mn==mx makes a 1-slot scaffold with no gap,
+    * which must not throw). */
+  def gapfillOn(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("h"))
     val wPrev = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val hourly = Tables.events(s, d)
-      .filter(col("user_id") < GapfillMaxUser)
+    val hourly = ev
       .groupBy(col("user_id"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
       .agg(sum(col("value").cast(D18_2)).as("sv"))

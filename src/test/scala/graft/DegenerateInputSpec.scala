@@ -53,6 +53,11 @@ class DegenerateInputSpec extends AnyFunSuite {
     "tfidfTopkOn" -> ops.TextOps.tfidfTopkOn,
     "textChunksOn" -> ops.TextOps.textChunksOn,
     "corpusOverlapOn" -> ops.TextOps.corpusOverlapOn,
+    "jaccardPrefixPairsOn" -> ((d: DataFrame) =>
+      ops.DedupOps.jaccardPrefixPairsOn(d.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        ops.DedupOps.shingles(
+          org.apache.spark.sql.functions.col("text")).as("sh")))),
   )
 
   test("document cores survive an empty corpus") {
@@ -87,5 +92,31 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(fn(emb(Nil)).count() >= 0, s"$name on empty")
       assert(fn(single).count() >= 0, s"$name on single vector")
     }
+  }
+
+  test("fuzzy-join core survives empty, single, and empty-string names") {
+    import org.apache.spark.sql.functions.col
+    def names(ws: Seq[String]) = ws.toDF("w")
+    assert(ops.DedupOps.fuzzyJoinEdit1On(names(Nil)).count() == 0)
+    assert(ops.DedupOps.fuzzyJoinEdit1On(names(Seq("solo"))).count() == 0)
+    // empty strings must be dropped, not fed to sequence(1, 0)
+    val got = ops.DedupOps.fuzzyJoinEdit1On(names(Seq("", "ab", "ac")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("ab", "ac")))
+  }
+
+  test("gapfill core survives empty input and single-event users") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(ops.EventOps.gapfillOn(empty).count() == 0)
+    val one = Seq((5L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), 2.5))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val rows = ops.EventOps.gapfillOn(one).collect()
+    // mn == mx → exactly one scaffold slot, known, not interpolated
+    assert(rows.length == 1 && !rows(0).getBoolean(3) &&
+      rows(0).getDouble(2) == 2.5)
   }
 }
