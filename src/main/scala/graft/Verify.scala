@@ -35,7 +35,8 @@ object Verify {
         // exception's first line, so the failure reason is visible in
         // the recorded schema itself; full messages go to errors.json.
         val first = e.toString.linesIterator.nextOption().getOrElse("error")
-        errors(name) = first
+        errors(name) = e.toString +
+          e.getStackTrace.take(8).map("\n  at " + _).mkString
         System.err.println(s"[verify] $name failed: $first")
         import org.apache.spark.sql.types._
         val marker = first.replaceAll("[^\\x20-\\x7e]", " ").take(180)
@@ -67,6 +68,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
         .sorted.map(q).mkString("[", ",", "]"))
+    // the FULL failure messages (the parquet marker carries only a
+    // sanitized first line) — written even when empty so its absence
+    // never reads as "no failures recorded vs nothing ran"
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

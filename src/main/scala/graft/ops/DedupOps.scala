@@ -178,15 +178,20 @@ object DedupOps {
 
   /** The deletion-neighborhood core over any single-column `w` frame
     * (exposed for the brute-force spec and the degenerate sweep).
-    * Empty strings are dropped up front: `sequence(1, 0)` counts DOWN
-    * in Spark, and a length-0 word would generate junk variants. */
+    * Length-0 strings stay IN (the oracle's all-pairs levenshtein has
+    * no length filter, and ("", one-char) pairs sit at distance 1 —
+    * found via the 1-char word's deletion variant = the empty word's
+    * identity); only the DELETION generation is guarded, because
+    * `sequence(1, 0)` counts DOWN in Spark and would emit junk
+    * variants for the empty string. */
   def fuzzyJoinEdit1On(raw: DataFrame): DataFrame = {
-    val names = raw.filter(length(col("w")) > 0).distinct()
+    val names = raw.distinct()
     val variants = names.select(col("w"), explode(concat(
         array(col("w")),
-        expr("""transform(sequence(1, length(w)),
+        expr("""CASE WHEN length(w) = 0 THEN slice(array(w), 1, 0)
+          |ELSE transform(sequence(1, length(w)),
           |  i -> concat(substring(w, 1, i - 1),
-          |              substring(w, i + 1, length(w))))""".stripMargin)))
+          |              substring(w, i + 1, length(w)))) END""".stripMargin)))
         .as("v"))
     variants.as("a")
       .join(variants.as("b"),

@@ -162,10 +162,16 @@ object LayoutOps {
     * largest per-file row count at the design point's file size, 1 %
     * fpp. */
   def bloomSidecar(s: SparkSession, d: String): DataFrame =
+    // v2: the sidecar keys FILE BASENAMES, not absolute paths — a
+    // warm store served from a relocated/remounted root would leave
+    // absolute paths dangling (or worse, pointing at a stale old
+    // root); readers re-resolve against the layout dir they actually
+    // scanned
     ArtifactStore.parquet(s, "zorder_bloom_orderkey",
-        s"$d/lineitem.parquet", version = 1) {
+        s"$d/lineitem.parquet", version = 2) {
       zorderLayout(s, d)
-        .select(input_file_name().as("file"), col("l_orderkey"))
+        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+          col("l_orderkey"))
         .groupBy(col("file"))
         .agg(graft.functions.BloomAgg.sketch(col("l_orderkey"),
           expectedItems = 200 * 1000).as("bloom"))
@@ -179,17 +185,24 @@ object LayoutOps {
     .empty[String, Array[(String, org.apache.spark.util.sketch.BloomFilter)]]
 
   /** Files of the z-layout that MIGHT contain `key` (no false
-    * negatives by Bloom construction; ~1 % false-positive files). */
+    * negatives by Bloom construction; ~1 % false-positive files) —
+    * basenames from the sidecar resolved against the CURRENT layout
+    * dir, so a relocated warm store still reads the layout it
+    * serves. */
   def candidateFiles(s: SparkSession, d: String, key: Long): Seq[String] = {
     // root is part of the key: the fingerprint addresses the SOURCE,
-    // but the cached entries hold layout-file paths under the store
+    // but the cached entries hold layout-file basenames under the store
     val fp = ArtifactStore.root + ":" +
       ArtifactStore.fingerprint(s, s"$d/lineitem.parquet")
     val filters = sidecarCache.getOrElseUpdate(fp,
       bloomSidecar(s, d).collect().map(r =>
         (r.getString(0), graft.functions.BloomAgg.readFilter(
           r.getAs[Array[Byte]](1)))))
-    filters.toSeq.collect { case (f, bf) if bf.mightContainLong(key) => f }
+    val layoutDir = zorderLayout(s, d).inputFiles.head
+      .replaceAll("/[^/]*$", "")
+    filters.toSeq.collect {
+      case (f, bf) if bf.mightContainLong(key) => s"$layoutDir/$f"
+    }
   }
 
   // the graded lookup key — present at every shipped SF

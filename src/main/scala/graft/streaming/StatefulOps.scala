@@ -23,8 +23,13 @@ object StatefulOps {
   case class UserState(n: Long, totalCents: Long)
   case class UserSummary(user_id: Long, n_events: Long, sum_value: Double)
 
+  // only the projected columns are declared — in particular NOT `ts`,
+  // whose physical encoding varies across fixture generations; a
+  // fixed user schema over it silently misreads (the events-reader
+  // lesson). A future ts consumer must go through the footer-probe
+  // dispatch (Tables.rawNanosCols), like cdcUpsert does for orders.
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -148,14 +153,10 @@ object StatefulOps {
       .withColumn("rn", row_number().over(wFinal))
       .filter(col("rn") === 1)
       .select(col("c_custkey"), col("d_op"), col("d_bal"))
-    graft.Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .join(latest, Seq("c_custkey"), "full_outer")
-      .filter(coalesce(col("d_op"), lit("U")) === "U")
-      .select(col("c_custkey"),
-        coalesce(col("d_bal"), col("c_acctbal")).as("acctbal"),
-        when(col("d_op").isNotNull, lit("cdc")).otherwise(lit("base"))
-          .as("origin"))
+    graft.ops.CdcOps.mergeLatestWithBase(
+        graft.Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_acctbal")),
+        latest)
       .orderBy(col("c_custkey"))
   }
 }

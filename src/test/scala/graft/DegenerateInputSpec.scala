@@ -99,10 +99,16 @@ class DegenerateInputSpec extends AnyFunSuite {
     def names(ws: Seq[String]) = ws.toDF("w")
     assert(ops.DedupOps.fuzzyJoinEdit1On(names(Nil)).count() == 0)
     assert(ops.DedupOps.fuzzyJoinEdit1On(names(Seq("solo"))).count() == 0)
-    // empty strings must be dropped, not fed to sequence(1, 0)
+    // empty strings stay in (matching the all-pairs oracle) but must
+    // not reach sequence(1, 0) deletion generation
     val got = ops.DedupOps.fuzzyJoinEdit1On(names(Seq("", "ab", "ac")))
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq == Seq(("ab", "ac")))
+    // ("", one-char) sits at distance 1 and must be FOUND, via the
+    // one-char word's deletion variant = the empty word's identity
+    val withEmpty = ops.DedupOps.fuzzyJoinEdit1On(names(Seq("", "x")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(withEmpty.toSeq == Seq(("", "x")))
   }
 
   test("gapfill core survives empty input and single-event users") {
