@@ -30,7 +30,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     // dominates at these SFs; the probe proves the cost is fixed
     // overhead, not data growth)
     "sim_ivf_quantized", "sim_ivf_pruned_layout", "etl_load_report",
-    "dedup_semantic", "corpus_clean", "stream_sessionize")
+    "dedup_semantic", "corpus_clean", "stream_sessionize",
+    // round-7: the corpus-linear newcomers (CDC rank-merge over the
+    // full order stream + base; OHLC over all events; the one-scan
+    // profiler with its countDistinct Expand; monthly→quarterly HLL
+    // re-aggregation) and the streaming CDC twin (fixed micro-batch
+    // overhead must dominate, not data growth). The bounded-slice
+    // newcomers (prefix/fuzzy joins, gapfill, BPE) are flat by
+    // construction and served/bounded — not probed.
+    "cdc_read_mor", "events_resample_ohlc", "profile_table",
+    "agg_hll_union", "stream_cdc_upsert")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.3
 
