@@ -121,7 +121,49 @@ object EtlParity {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Data-quality EXPECTATIONS suite (the Deequ/Great-Expectations
+    * shape; the reference's count-reconciliation A4 generalized to
+    * declarative constraints): uniqueness, completeness, range, and
+    * referential-integrity checks evaluated as ONE aggregate over
+    * each table plus one anti-join per foreign key, emitted as a
+    * (rule, violations, passed) report — the artifact a pipeline
+    * publishes next to every load. Scale shape: the single-table
+    * rules share one partial-agg pass; each FK check is a key-only
+    * anti-join (broadcastable build side when the parent is a dim). */
+  def qualityExpectations(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val single = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("nd"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp_ntz") ||
+        col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz"), 1L)
+        .otherwise(0L)).as("oor"))
+    val fkLineitem = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_fk_orders").as("rule"), col("violations"))
+    val fkCustomer = o.select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_fk_customer").as("rule"), col("violations"))
+    single.select(expr(
+        """stack(4,
+          |  'orderkey_unique',     n - nd,
+          |  'orderkey_not_null',   nn,
+          |  'totalprice_positive', nonpos,
+          |  'orderdate_in_range',  oor) AS (rule, violations)""".stripMargin))
+      .unionByName(fkLineitem)
+      .unionByName(fkCustomer)
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_expectations" -> qualityExpectations,
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
     "etl_date_coercion" -> dateCoercion,
@@ -176,6 +218,28 @@ object EtlParity {
   }
 
   val oracles: Map[String, String] = Map(
+    "quality_expectations" ->
+      """SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'orderkey_unique' AS rule,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |      AS violations FROM orders
+        |  UNION ALL SELECT 'orderkey_not_null',
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'totalprice_positive',
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orderdate_in_range',
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+        |    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    WHERE o.o_orderkey IS NULL
+        |  UNION ALL SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+        |    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_custkey IS NULL)
+        |ORDER BY rule""".stripMargin,
     "etl_geohash" -> geohashSql,
     // Recomputes SynthVoters' per-state report from `customer`
     // directly: rows_in = base + %7 duplicates, rows_loaded = distinct
