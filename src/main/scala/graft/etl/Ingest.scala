@@ -38,6 +38,23 @@ object Ingest {
   def readTsv(spark: SparkSession, paths: Seq[String], strict: Boolean = true,
       headerPath: Option[String] = None): DataFrame = {
     val names = headerOf(spark, headerPath.getOrElse(paths.head))
+    // Spark binds a user schema to CSV files POSITIONALLY and by
+    // default (enforceSchema) never looks at the other files' header
+    // rows — a file whose header ORDERS the same columns differently
+    // would silently misbind every column (the reference parses each
+    // file against its OWN header, csv-parser `headers: true`). Every
+    // file's header must EQUAL the batch header, checked here with
+    // one first-line read per additional file; a mismatch refuses
+    // loudly instead of corrupting (review finding).
+    val anchor = headerPath.getOrElse(paths.head)
+    paths.filterNot(_ == anchor).foreach { p =>
+      val h = headerOf(spark, p)
+      val firstDiff =
+        if (h.length != names.length) s"column counts ${h.length} vs ${names.length}"
+        else s"first differing column index ${h.zip(names).indexWhere(t => t._1 != t._2)}"
+      require(h.sameElements(names),
+        s"header of $p does not match $anchor — refusing positional bind ($firstDiff)")
+    }
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
     spark.read
       .option("sep", "\t")

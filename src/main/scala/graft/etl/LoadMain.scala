@@ -61,13 +61,22 @@ object LoadMain {
     }
   }
 
+  private val knownOpts = Set("start", "end", "tolerance")
+
   private def parseArgs(args: Array[String]): (Map[String, String], Array[String]) = {
     val opts = scala.collection.mutable.Map[String, String]()
     val pos = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
       if (args(i).startsWith("--")) {
-        opts(args(i).drop(2)) = args(i + 1); i += 2
+        val k = args(i).drop(2)
+        // a misspelled flag silently falling back to its default is
+        // an operator trap (--tolerence 5 would run with 1000); a
+        // trailing valueless flag used to throw a raw AIOOBE
+        require(knownOpts(k),
+          s"unknown option --$k (known: ${knownOpts.toSeq.sorted.mkString(", ")})")
+        require(i + 1 < args.length, s"--$k requires a value")
+        opts(k) = args(i + 1); i += 2
       } else { pos += args(i); i += 1 }
     }
     (opts.toMap, pos.toArray)

@@ -96,48 +96,61 @@ object LoadPipeline {
       .sortBy(n => n.split("--")(0).toInt)
     if (todo.nonEmpty) {
       // S10: register the pending files UP FRONT (expected line counts
-      // in one distributed pass) so reconciliation below runs against
-      // real expectations, not an empty manifest.
+      // in one distributed pass, ONE batch upsert — a per-file
+      // register() fold builds an O(files)-deep join chain) so
+      // reconciliation below runs against real expectations. A file
+      // the count pass didn't cover is a loud error: registering a
+      // sentinel instead would silently disable its quality gate.
       val lines = Quality.lineCounts(spark, todo.map(f => s"$inputDir/$f"))
-      todo.foreach { f =>
-        manifest = Manifest.register(manifest, f, f.split("--")(1),
-          lines.getOrElse(f, -1L).toInt)
-      }
+      manifest = Manifest.registerAll(manifest, todo.map { f =>
+        val n = lines.getOrElse(f,
+          sys.error(s"no line count for pending file '$f' — " +
+            s"counted keys: ${lines.keys.toSeq.sorted.mkString(", ")}"))
+        (f, f.split("--")(1), n.toInt)
+      })
       // load ONLY the pending files: already-loaded partitions stay
       // untouched (dynamic overwrite replaces only published states)
       val result = run(spark, inputDir, only = Some(todo),
         manifest = Some(manifest), tolerance = tolerance)
-      // Incremental sink dedup (SURVEY.md §7.4): a PK may already be
-      // published under ANOTHER state's partition — drop such rows
-      // (ON CONFLICT DO NOTHING across the whole table). Keys in the
-      // states being (re)loaded don't count: those partitions are
-      // replaced by this publish.
-      val loadStates = todo.map(_.split("--")(1)).distinct
-      val toPublish =
-        if (Publish.pathExists(spark, outPath)) {
-          // localCheckpoint: the publish overwrites the path this key
-          // set is read from — materialize the (small) key column
-          // eagerly so the write doesn't read its own target
-          val existingKeys = spark.read.parquet(outPath)
-            .filter(!col("state").isInCollection(loadStates))
-            .select(col("LALVOTERID")).localCheckpoint(true)
-          Dedup.againstExisting(result.loaded, existingKeys, "LALVOTERID")
-        } else result.loaded
-      Publish.publishPartitioned(toPublish, outPath)
-      // A4/S12: reconcile counts with the requested tolerance; alerts
-      // go to the pluggable sink directly AND are published as an
-      // observed metric (any registered AlertListener also delivers
-      // them), and an unreconciled state's files are NOT marked Loaded
-      // (load.ts aborts before the swap/markLoaded on a failed check).
-      // ONE action over the observed frame — a second collect would
-      // fire the observed metric again and make a registered
-      // AlertListener deliver every alert twice
+      // A4/S12: reconcile counts BEFORE publishing — load.ts aborts
+      // before the swap on a failed check, so an unreconciled state's
+      // partition must keep its OLD published data, not receive the
+      // bad rows (review finding; previously the publish ran first).
+      // Alerts go to the pluggable sink directly AND are published as
+      // an observed metric. ONE action over the observed frame — a
+      // second collect would fire the observed metric again and make
+      // a registered AlertListener deliver every alert twice.
       val unreconciled = Alerts.observed(result.report)
         .filter(!col("reconciled")).orderBy(col("state")).collect()
       Quality.alertMessages(unreconciled).foreach(alertSink.send)
       val badStates = unreconciled.map(_.getAs[String]("state")).toSet
-      todo.filterNot(f => badStates.contains(f.split("--")(1)))
-        .foreach(f => manifest = Manifest.markLoaded(manifest, f))
+      // Incremental sink dedup (SURVEY.md §7.4): a PK may already be
+      // published under ANOTHER state's partition — drop such rows
+      // (ON CONFLICT DO NOTHING across the whole table). Keys in the
+      // states actually being (re)written don't count: those
+      // partitions are replaced by this publish. An unreconciled
+      // state's partition is NOT replaced, so its published keys DO
+      // count.
+      val goodStates = todo.map(_.split("--")(1)).distinct
+        .filterNot(badStates)
+      if (goodStates.nonEmpty) {
+        val goodRows =
+          if (badStates.isEmpty) result.loaded
+          else result.loaded.filter(col("state").isInCollection(goodStates))
+        val toPublish =
+          if (Publish.pathExists(spark, outPath)) {
+            // localCheckpoint: the publish overwrites the path this key
+            // set is read from — materialize the (small) key column
+            // eagerly so the write doesn't read its own target
+            val existingKeys = spark.read.parquet(outPath)
+              .filter(!col("state").isInCollection(goodStates))
+              .select(col("LALVOTERID")).localCheckpoint(true)
+            Dedup.againstExisting(goodRows, existingKeys, "LALVOTERID")
+          } else goodRows
+        Publish.publishPartitioned(toPublish, outPath)
+      }
+      manifest = Manifest.markLoadedAll(manifest,
+        todo.filterNot(f => badStates.contains(f.split("--")(1))))
     }
     Manifest.save(manifest, manifestPath)
     todo

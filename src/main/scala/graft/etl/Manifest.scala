@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The VoterFile load catalog (SURVEY.md §2.1 S10/S11, §2.2 P6/P7):
   * one row per ingested file — Filename (PK), State, Lines (expected
@@ -31,6 +32,34 @@ object Manifest {
       .withColumn("updatedAt", current_timestamp())
     Merge.upsert(manifest, row, "Filename")
   }
+
+  /** Batch form of [[register]]: ONE new-rows frame, ONE upsert. A
+    * per-file fold of register() builds an O(files)-deep chain of
+    * anti-joins and unions in the manifest plan — a 2,000-file
+    * backfill becomes unanalyzable (or a StackOverflow) before a
+    * single row loads (review finding). */
+  def registerAll(manifest: DataFrame,
+      files: Seq[(String, String, Int)]): DataFrame = {
+    if (files.isEmpty) manifest
+    else {
+      val rows = files.map { case (f, st, lines) =>
+        Row(f, st, Integer.valueOf(lines), java.lang.Boolean.FALSE,
+          new java.sql.Timestamp(0L))
+      }
+      val batch = manifest.sparkSession.createDataFrame(
+          new java.util.ArrayList[Row](rows.asJava), Schemas.voterFile)
+        .withColumn("updatedAt", current_timestamp())
+      Merge.upsert(manifest, batch, "Filename")
+    }
+  }
+
+  /** Batch form of [[markLoaded]] — one CASE over a literal set, not
+    * one nested when() per file. */
+  def markLoadedAll(manifest: DataFrame, filenames: Seq[String]): DataFrame =
+    if (filenames.isEmpty) manifest
+    else manifest.withColumn("Loaded",
+      when(col("Filename").isInCollection(filenames), lit(true))
+        .otherwise(col("Loaded")))
 
   /** S11: mark a file loaded after a successful publish (upsert). */
   def markLoaded(manifest: DataFrame, filename: String): DataFrame =

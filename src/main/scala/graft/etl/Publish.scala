@@ -48,9 +48,13 @@ object Publish {
       .partitionBy("state")
       .parquet(path)
 
-  /** D1: full truncate-and-reload of the target (static overwrite). */
+  /** D1: full truncate-and-reload of the target (static overwrite).
+    * The pre-write repartition is load-bearing exactly as in
+    * [[publishPartitioned]]: without it every upstream task writes a
+    * file into every state dir (tasks × states small files). */
   def replaceAll(df: DataFrame, path: String): Unit =
-    df.write
+    df.repartition(org.apache.spark.sql.functions.col("state"))
+      .write
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").partitionBy("state").parquet(path)
 

@@ -47,7 +47,8 @@ object Quality {
       .withColumn("dups_dropped", col("rows_in") - col("rows_loaded"))
       .withColumn("reconciled",
         col("expected_lines").isNull ||
-          col("rows_loaded") >= col("expected_lines") - tolerance)
+          (col("rows_loaded") >= col("expected_lines") - tolerance &&
+            col("rows_loaded") <= col("expected_lines") + tolerance))
       .orderBy(col("state"))
   }
 
@@ -60,11 +61,21 @@ object Quality {
     * N job round-trips. */
   def lineCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
     import org.apache.spark.sql.functions.{count => cnt, _}
+    // input_file_name() is a URI: a filename with a space (legal in
+    // the grammar's free `rest` segment) comes back %20-encoded, and
+    // an un-decoded key would silently miss the caller's raw-name
+    // lookup — which in runCatalog used to disable the quality gate
+    // (review finding). Decode percent-escapes driver-side; '+' is
+    // protected first because URI encoding leaves it LITERAL while
+    // URLDecoder would turn it into a space.
     spark.read.text(paths: _*)
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
       .agg((cnt(lit(1)) - 1).as("lines"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map { r =>
+        java.net.URLDecoder.decode(
+          r.getString(0).replace("+", "%2B"), "UTF-8") -> r.getLong(1)
+      }.toMap
   }
 
   /** S12 analog: the alert messages the reference posts to Slack on a

@@ -52,12 +52,27 @@ case class MinHashSignature(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override def nullSafeEval(shingles: Any): Any =
-    MinHashCodegen.signature(shingles.asInstanceOf[ArrayData], k)
+  // an EMPTY shingle array yields NULL, not [Long.MaxValue × k]: the
+  // composed array_min(transform(...)) form returns NULL per band for
+  // empty input, and NULL band keys never equi-join — whereas a
+  // shared MaxValue signature would cluster every empty document as a
+  // near-duplicate of every other (review finding). Unreachable via
+  // shingles(), which never emits an empty array.
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(shingles: Any): Any = {
+    val a = shingles.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null
+    else MinHashCodegen.signature(a, k)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashCodegen.signature($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.MinHashCodegen.signature($c, $k);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -67,12 +67,26 @@ case class SrpBands(child: Expression, bitsPerBand: Int, nBands: Int, seed: Long
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_srp_bands"
 
-  override def nullSafeEval(vec: Any): Any =
-    SrpCodegen.bands(vec.asInstanceOf[ArrayData], bitsPerBand, nBands, seed)
+  // null-ELEMENT poisoning (the DotProduct/IntDot convention): a null
+  // element must yield NULL band keys (which never equi-join), not be
+  // silently read as 0.0 and land the row in plausible-but-wrong LSH
+  // buckets — the review-caught divergence from the composed form
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(vec: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData]
+    if (DotCodegen.anyNull(v)) null
+    else SrpCodegen.bands(v, bitsPerBand, nBands, seed)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SrpCodegen.bands($c, $bitsPerBand, $nBands, ${seed}L)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.DotCodegen.anyNull($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} =
+          graft.functions.SrpCodegen.bands($c, $bitsPerBand, $nBands, ${seed}L);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

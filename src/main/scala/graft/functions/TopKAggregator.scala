@@ -29,7 +29,13 @@ class TopKAggregator(k: Int)
   override def zero: List[Scored] = Nil
 
   override def reduce(buf: List[Scored], in: Scored): List[Scored] = {
-    if (buf.sizeIs >= k && beats(buf.last, in)) buf
+    // NaN is incomparable (beats() is false BOTH ways), so without
+    // this guard a NaN candidate would be spliced to the FRONT of a
+    // full buffer and occupy a top-k slot; the window/row_number
+    // formulation this class must match sorts NaN last (review
+    // finding). Reject it outright.
+    if (in.score.isNaN) buf
+    else if (buf.sizeIs >= k && beats(buf.last, in)) buf
     else {
       val (front, back) = buf.span(beats(_, in))
       (front ::: in :: back).take(k)

@@ -260,8 +260,10 @@ object EtlParity {
         |  CAST(rows_in - rows_loaded AS BIGINT) AS dups_dropped,
         |  CAST(rows_in + CASE WHEN state = 'AK' THEN 5000 ELSE 0 END
         |    AS BIGINT) AS expected_lines,
-        |  rows_loaded >= rows_in
+        |  (rows_loaded >= rows_in
         |    + CASE WHEN state = 'AK' THEN 5000 ELSE 0 END - 1000
+        |   AND rows_loaded <= rows_in
+        |    + CASE WHEN state = 'AK' THEN 5000 ELSE 0 END + 1000)
         |    AS reconciled
         |FROM agg ORDER BY state""".stripMargin,
     "etl_null_normalize" ->
