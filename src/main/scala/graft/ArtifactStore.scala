@@ -133,23 +133,52 @@ object ArtifactStore {
       catch { case e: Throwable => fs.delete(tmp, true); throw e }
       fs.mkdirs(dest.getParent)
       // re-check: a racing builder may have completed while we built
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      if (fs.exists(success)) {
         fs.delete(tmp, true)
       } else {
-        // a dest without _SUCCESS is an unreadable partial from a
-        // crashed build — clear it or rename would nest tmp inside
-        if (fs.exists(dest)) fs.delete(dest, true)
-        if (!fs.rename(tmp, dest)) {
+        // A dest WITHOUT _SUCCESS is an unreadable partial from a
+        // crashed build and must be cleared before the rename (or tmp
+        // would nest inside it). But a racing winner can publish
+        // between ANY completeness check and a delete — and deleting
+        // a complete artifact out from under live readers is the one
+        // forbidden transition (review finding). So the stale dir is
+        // MOVED ASIDE with an atomic rename, never deleted in place:
+        // worst case the move catches a just-published complete
+        // artifact, which the next rename immediately replaces with
+        // this build's byte-identical deterministic output — readers
+        // only ever observe one complete artifact or the other.
+        val aside = new org.apache.hadoop.fs.Path(
+          s"$dir.aside-${java.util.UUID.randomUUID()}")
+        val moved = fs.exists(dest) && fs.rename(dest, aside)
+        if (fs.exists(dest)) {
+          // could not clear the address: either a racing winner
+          // re-published right after our move (serve theirs), or the
+          // move itself failed (fail loudly, not a confusing
+          // missing-path read downstream)
+          fs.delete(tmp, true)
+          if (moved) fs.delete(aside, true)
+          if (!fs.exists(success))
+            throw new java.io.IOException(
+              s"artifact publish failed: cannot clear stale dir at $dest")
+        } else if (!fs.rename(tmp, dest)) {
           fs.delete(tmp, true)
           // a false rename is only benign when a racing builder won;
-          // if dest is still incomplete the publish genuinely failed —
-          // report that, not the confusing missing-path read error
-          // downstream (ADVICE r5)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-            throw new java.io.IOException(
-              s"artifact publish failed: rename $tmp -> $dest returned " +
-                "false and no completed artifact exists at the address")
-        }
+          // if the address is still incomplete, restore a complete
+          // moved-aside artifact if that is what the move caught,
+          // else report the failure (ADVICE r5)
+          if (!fs.exists(success)) {
+            if (moved && fs.exists(
+                new org.apache.hadoop.fs.Path(aside, "_SUCCESS"))) {
+              fs.rename(aside, dest)
+            } else {
+              if (moved) fs.delete(aside, true)
+              throw new java.io.IOException(
+                s"artifact publish failed: rename $tmp -> $dest returned " +
+                  "false and no completed artifact exists at the address")
+            }
+          } else if (moved) fs.delete(aside, true)
+        } else if (moved) fs.delete(aside, true)
       }
       System.err.println(
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -94,9 +94,17 @@ object Tables {
     * case this returns the raw scan and predicate pushdown/column
     * pruning are unaffected. */
   private def normalizeTimestamps(s: SparkSession, path: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(path)
     val nanos = nanosTsCols(s, path)
+    // `nanosAsLong` is SESSION-wide: setting it unconditionally would
+    // make every OTHER parquet read in the session silently resolve
+    // third-party TIMESTAMP(NANOS) columns as longs instead of
+    // failing loudly with PARQUET_TYPE_ILLEGAL — the exact
+    // silent-misread failure mode this reader exists to prevent
+    // (review finding). Set it only when THIS file's footer actually
+    // carries NANOS columns; in the common case the conf is untouched.
+    if (nanos.nonEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(path)
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case org.apache.spark.sql.types.LongType if nanos(f.name) =>

@@ -233,7 +233,6 @@ object DedupOps {
   def minhashLshOn(docsRaw: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val s = docsRaw.sparkSession
     val docs = fanOut(docsRaw)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     // Signature in ONE array pass via the native graft_minhash
@@ -267,11 +266,18 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val withSh = docs
+    // verify candidates with exact Jaccard. The shingle transform is
+    // computed AFTER each verify join, so it evaluates on the
+    // candidate-sized join output, not once more per branch over the
+    // whole corpus (review finding) — with the (small) candidate side
+    // broadcast under AQE, the corpus text never shuffles here either.
     cand
-      .join(withSh.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
-      .join(withSh.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      .join(docsRaw.select(col("doc_id").as("a_id"), col("text").as("ta")),
+        Seq("a_id"))
+      .join(docsRaw.select(col("doc_id").as("b_id"), col("text").as("tb")),
+        Seq("b_id"))
+      .withColumn("sa", shingles(col("ta")))
+      .withColumn("sb", shingles(col("tb")))
       .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -300,7 +306,6 @@ object DedupOps {
   /** Core of [[simhashNearDup]]; `maxHamming + 1` must divide 64. */
   def simhashNearDupOn(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val s = docs.sparkSession
     val nBlocks = maxHamming + 1
     require(64 % nBlocks == 0, s"block count $nBlocks must divide 64")
     val width = 64 / nBlocks

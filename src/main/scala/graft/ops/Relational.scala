@@ -292,7 +292,9 @@ object Relational {
     * projection is pruned away under the count. */
   def rowCounts(s: SparkSession, d: String): DataFrame = {
     val counted = Tables.all.map { t =>
-      val df = if (t == "events") Tables.events(s, d) else Tables.table(s, d, t)
+      // all tables read through the footer-dispatching normalized
+      // reader (Tables.normalizeTimestamps) — no per-table special case
+      val df = Tables.table(s, d, t)
       df.agg(count(lit(1)).as("n_rows"))
         .select(lit(t).as("tbl"), col("n_rows"))
     }

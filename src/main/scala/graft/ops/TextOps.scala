@@ -77,15 +77,10 @@ object TextOps {
     langMarkers.toMap.apply(lang).map(hitCountSql(textCol, _))
       .mkString("(", " + ", ")")
 
-  /** argmax over language scores, ties broken by declaration order. */
-  def langGuess(textCol: String): Column = {
-    val scored = langMarkers.map { case (l, _) => l -> langScore(textCol, l) }
-    scored.foldRight(lit("und")) { case ((l, s), rest) =>
-      when(scored.filter(_._1 != l).map(_._2).foldLeft(s > -1) {
-        (acc, other) => acc && s >= other
-      } && s > 0, lit(l)).otherwise(rest)
-    }
-  }
+  // the Column-side argmax lives ONLY in withLangGuess (score columns
+  // materialized once); a second Column twin here drifted from it and
+  // was deleted (review finding) — langGuessSql remains the oracle's
+  // one mirror.
 
   def langGuessSql(textCol: String): String = {
     val branches = langMarkers.zipWithIndex.map { case ((l, _), i) =>
