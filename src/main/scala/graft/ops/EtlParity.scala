@@ -162,8 +162,27 @@ object EtlParity {
       .orderBy(col("rule"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple — the
+    * training-data governance twin of [[qualityExpectations]]: any
+    * combination of quasi-identifiers shared by fewer than k
+    * individuals re-identifies them, so the release gate reports
+    * every equivalence class below k. One partial-agg shuffle on the
+    * quasi-identifier tuple; at 100 TB the report is
+    * |distinct quasi-tuples| rows, and the k floor is the policy
+    * input. (The scrub itself is `etl_pii_scrub`; this is the CHECK
+    * that the scrubbed release actually satisfies the policy.) */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val K = 5L
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("meets_k", col("class_size") >= K)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_expectations" -> qualityExpectations,
+    "privacy_k_anonymity" -> kAnonymity,
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
     "etl_date_coercion" -> dateCoercion,
@@ -218,6 +237,12 @@ object EtlParity {
   }
 
   val oracles: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  COUNT(*) >= 5 AS meets_k
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "quality_expectations" ->
       """SELECT rule, violations, violations = 0 AS passed FROM (
         |  SELECT 'orderkey_unique' AS rule,
