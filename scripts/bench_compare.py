@@ -27,18 +27,30 @@ def load(path):
     try:
         d = json.loads(txt)
         if isinstance(d, dict) and "tail" in d and "queries" not in d:
-            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
+            # the preceding delimiter anchors the key: the tail window
+            # can start MID-KEY, and an unanchored match would record a
+            # truncated fragment as a (possibly colliding) query name
+            pairs = re.findall(r'[,{]"([a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
             qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
             return qs, sum(qs.values()), {}  # partial total: visible tail only
         if isinstance(d, dict) and "queries" in d:
             return d["queries"], d["value"], d.get("estimators", {})
     except json.JSONDecodeError:
         pass
-    line = txt.splitlines()[-1]
-    if line.startswith("[info] "):
-        line = line[len("[info] "):]
-    d = json.loads(line)
-    return d["queries"], d["value"], d.get("estimators", {})
+    # Multi-line capture (full sbt stdout): Bench prints in
+    # significance order with the FULL record FIRST and a compact
+    # headline (no "queries" key) LAST — scan for any line that parses
+    # AND carries the per-query map rather than assuming a position.
+    for line in txt.splitlines():
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "queries" in d:
+            return d["queries"], d["value"], d.get("estimators", {})
+    raise SystemExit(f"{path}: no parseable bench record with a 'queries' map")
 
 
 def main():

@@ -46,6 +46,23 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame):
     a, b = norm(a), norm(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # vectorized fast path: identical null masks + byte-identical
+        # values short-circuit the per-cell loop (which costs minutes
+        # on 10^5-row frames); the loop below runs only to locate and
+        # report the first mismatch
+        try:
+            import numpy as np
+            an, bn = pd.isna(av), pd.isna(bv)
+            if an.equals(bn):
+                if av.dtype.kind == "f" and bv.dtype.kind == "f":
+                    af, bf = av.fillna(0.0), bv.fillna(0.0)
+                    if af.to_numpy(dtype="f8").tobytes() ==                        bf.to_numpy(dtype="f8").tobytes():
+                        continue
+                elif av[~an].reset_index(drop=True).equals(
+                        bv[~bn].reset_index(drop=True)):
+                    continue
+        except Exception:
+            pass  # fall through to the exact per-cell comparison
         for i in range(len(av)):
             x, y = av.iloc[i], bv.iloc[i]
             xn = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
@@ -90,7 +107,12 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = (False, f"oracle SQL failed: {e}")
             continue
-        results[name] = cmp_frames(spark_df, duck_df)
+        # one pathological frame (e.g. unorderable nested cells) must
+        # fail ITS row, not abort the whole gate with a traceback
+        try:
+            results[name] = cmp_frames(spark_df, duck_df)
+        except Exception as e:
+            results[name] = (False, f"compare crashed: {e}")
     npass = sum(1 for ok, _ in results.values() if ok)
     for name in sorted(results):
         ok, msg = results[name]

@@ -41,10 +41,14 @@ object Bench {
         catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
+      // short-circuit after a failed run: the value is discarded as
+      // the -1.0 sentinel regardless, and re-running a throwing query
+      // 1-2 more times cost minutes across r6's 15 failures
       val r1 = once()
-      val r2 = once()
+      val r2 = if (failed) r1 else once()
       val (stat, estimator) =
-        if (math.min(r1, r2) <= repeatCutoffSec) {
+        if (failed) (-1.0, "error")
+        else if (math.min(r1, r2) <= repeatCutoffSec) {
           val runs = Seq(r1, r2, once()).sorted
           (runs(1), "median3")
         } else (math.min(r1, r2), "min2")

@@ -17,36 +17,25 @@ object CatalogDump {
     spark.stop()
     println("| query | oracle | module |")
     println("|---|---|---|")
-    val modules = Seq(
-      "Relational" -> ops.Relational.queries.keySet,
-      "EventOps" -> ops.EventOps.queries.keySet,
-      "OlapOps" -> ops.OlapOps.queries.keySet,
-      "TextOps" -> ops.TextOps.queries.keySet,
-      "DedupOps" -> ops.DedupOps.queries.keySet,
-      "SimilarityOps" -> ops.SimilarityOps.queries.keySet,
-      "MultimodalOps" -> ops.MultimodalOps.queries.keySet,
-      "EtlParity" -> ops.EtlParity.queries.keySet,
-      "ScalarFuncs" -> ops.ScalarFuncs.queries.keySet,
-      "Analytics" -> ops.Analytics.queries.keySet,
-      "LayoutOps" -> ops.LayoutOps.queries.keySet,
-      "CdcOps" -> ops.CdcOps.queries.keySet,
-    )
-    val inModules = modules.flatMap(_._2).toSet
+    // module attribution comes from SparkEntry.moduleInventory — the
+    // ONE registration point — not a hand-duplicated parallel list
+    // that silently mislabeled queries of any newly added module
+    // (review finding)
+    val modules = SparkEntry.moduleInventory
     val generated =
       ops.SimilarityOps.generatedOracleKeys ++ ops.DedupOps.generatedOracleKeys ++
         ops.TextOps.generatedOracleKeys
     for (q <- SparkEntry.queries.keySet.toSeq.sorted) {
-      val mod = modules.find(_._2.contains(q)).map(_._1).getOrElse("streaming")
+      val mod = modules.find(_._2.contains(q)).map(_._1).getOrElse("???")
+      // the generated label must also CHECK the oracle exists: a
+      // declined/ambiguous trainer splice would otherwise print
+      // "DuckDB (generated)" for an oracle-less query and contradict
+      // the total (review finding)
       val o =
-        if (generated.contains(q)) "DuckDB (generated)"
+        if (generated.contains(q) && oracles.contains(q)) "DuckDB (generated)"
         else if (oracles.contains(q)) "DuckDB"
         else "rows-only"
       println(s"| `$q` | $o | $mod |")
     }
-    println(s"Total: ${SparkEntry.queries.size} queries, " +
-      s"${oracles.size} DuckDB-oracled " +
-      s"(${generated.count(oracles.contains)} generated from trained " +
-      s"constants, rest hand-written), " +
-      s"${SparkEntry.queries.size - oracles.size} rows-only.")
   }
 }

@@ -16,22 +16,29 @@ object SparkEntry {
   // exist after the queries have run (Verify runs every query, then
   // dumps oracleSql), so each module's oracle map must be re-read at
   // dump time rather than frozen when this Seq is first forced.
-  private lazy val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], () => Map[String, String])] =
+  private lazy val modules: Seq[(String, Map[String, (SparkSession, String) => DataFrame], () => Map[String, String])] =
     Seq(
-      (ops.Relational.queries, () => ops.Relational.oracles),
-      (ops.EventOps.queries, () => ops.EventOps.oracles),
-      (ops.OlapOps.queries, () => ops.OlapOps.oracles),
-      (ops.TextOps.queries, () => ops.TextOps.oracles),
-      (ops.DedupOps.queries, () => ops.DedupOps.oracles),
-      (ops.SimilarityOps.queries, () => ops.SimilarityOps.oracles),
-      (ops.MultimodalOps.queries, () => ops.MultimodalOps.oracles),
-      (ops.EtlParity.queries, () => ops.EtlParity.oracles),
-      (ops.ScalarFuncs.queries, () => ops.ScalarFuncs.oracles),
-      (ops.Analytics.queries, () => ops.Analytics.oracles),
-      (ops.LayoutOps.queries, () => ops.LayoutOps.oracles),
-      (ops.CdcOps.queries, () => ops.CdcOps.oracles),
-      (streamingQueries, () => streamingOracles),
+      ("Relational", ops.Relational.queries, () => ops.Relational.oracles),
+      ("EventOps", ops.EventOps.queries, () => ops.EventOps.oracles),
+      ("OlapOps", ops.OlapOps.queries, () => ops.OlapOps.oracles),
+      ("TextOps", ops.TextOps.queries, () => ops.TextOps.oracles),
+      ("DedupOps", ops.DedupOps.queries, () => ops.DedupOps.oracles),
+      ("SimilarityOps", ops.SimilarityOps.queries, () => ops.SimilarityOps.oracles),
+      ("MultimodalOps", ops.MultimodalOps.queries, () => ops.MultimodalOps.oracles),
+      ("EtlParity", ops.EtlParity.queries, () => ops.EtlParity.oracles),
+      ("ScalarFuncs", ops.ScalarFuncs.queries, () => ops.ScalarFuncs.oracles),
+      ("Analytics", ops.Analytics.queries, () => ops.Analytics.oracles),
+      ("LayoutOps", ops.LayoutOps.queries, () => ops.LayoutOps.oracles),
+      ("CdcOps", ops.CdcOps.queries, () => ops.CdcOps.oracles),
+      ("streaming", streamingQueries, () => streamingOracles),
     )
+
+  /** The authoritative (module name → query names) inventory — the
+    * ONE registration point. CatalogDump derives QUERIES.md's module
+    * column from this instead of a hand-duplicated parallel list that
+    * silently mislabeled queries of any newly added module. */
+  def moduleInventory: Seq[(String, Set[String])] =
+    modules.map { case (n, qs, _) => (n, qs.keySet) }
 
   /** Structured Streaming twins of the batch event queries (SURVEY.md
     * §7.2 M4). The hourly rollup is oracle-able (tumbling windows are
@@ -119,14 +126,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_._1).reduce(_ ++ _)
+    modules.iterator.map(_._2).reduce(_ ++ _)
 
   /** Sum of per-module query counts — equals `queries.size` unless two
     * modules declare the same name (silent overwrite; tested). */
-  def declaredQueryCount: Int = modules.map(_._1.size).sum
+  def declaredQueryCount: Int = modules.map(_._2.size).sum
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.iterator.map(_._2()).reduce(_ ++ _)
+    modules.iterator.map(_._3()).reduce(_ ++ _)
 }

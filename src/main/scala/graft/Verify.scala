@@ -40,11 +40,19 @@ object Verify {
         System.err.println(s"[verify] $name failed: $first")
         import org.apache.spark.sql.types._
         val marker = first.replaceAll("[^\\x20-\\x7e]", " ").take(180)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("err", StringType),
-            StructField(marker, StringType))))
+        // the marker write must not itself be able to abort the run:
+        // if the context died (executor OOM) or the disk filled, an
+        // escaping secondary exception here would kill the loop and
+        // reproduce the very silently-absent-rows failure the marker
+        // exists to prevent (review finding) — record and continue
+        try spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("err", StringType),
+              StructField(marker, StringType))))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write ALSO failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
