@@ -138,6 +138,56 @@ class RandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of join on random tied/null-laden frames == replay") {
+    val rnd = new scala.util.Random(99)
+    val base = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+    def ts(step: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(base.plusMinutes(step))
+    // coarse minute grid forces exact left-right time ties AND
+    // duplicate right times per key (the tie-break path); ~10% null
+    // keys/times exercise the never-match rule
+    val left = (1 to 200).map { i =>
+      (if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(8)),
+        if (rnd.nextInt(10) == 0) null else ts(rnd.nextInt(50)),
+        i.toLong)
+    }
+    val right = (1 to 150).map { j =>
+      (if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(8)),
+        if (rnd.nextInt(12) == 0) null else ts(rnd.nextInt(50)),
+        (1000 + j).toLong)
+    }
+    val lDf = left.toDF("k", "t", "lid")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val rDf = right.toDF("rk", "rt", "rid")
+      .withColumn("rt", col("rt").cast("timestamp_ntz"))
+
+    def replay(tolMicros: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (k, t, lid) =>
+        lid -> (if (k == null || t == null) None
+        else right.filter { case (rk, rt, _) =>
+          rk != null && rt != null && rk == k && !rt.after(t) &&
+            tolMicros.forall(tol =>
+              (t.getTime - rt.getTime) * 1000L <= tol)
+        }.sortBy { case (_, rt, rid) => (rt.getTime, rid) }
+          .lastOption.map(_._3))
+      }.toMap
+
+    for (tol <- Seq(None, Some(5L * 60L * 1000000L))) {
+      val got = graft.plans.AsOf.join(lDf, rDf,
+          leftKey = "k", leftTime = "t",
+          rightKey = "rk", rightTime = "rt", rightTieBreak = "rid",
+          toleranceMicros = tol)
+        .select(col("lid"), col("rid")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val expected = replay(tol)
+      assert(got.keySet == expected.keySet)
+      val diffs = expected.keys.filter(k => got(k) != expected(k))
+      assert(diffs.isEmpty,
+        s"tol=$tol: ${diffs.take(5).map(k => s"$k: ${got(k)} vs ${expected(k)}")}")
+    }
+  }
+
   test("prefix-filter Jaccard on random token sets == in-memory brute force") {
     val rnd = new scala.util.Random(23)
     // small token universe → heavy prefix collisions; variable sizes
