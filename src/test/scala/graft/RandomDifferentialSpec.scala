@@ -188,6 +188,53 @@ class RandomDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sessionization on random gap-tied events == strict replay") {
+    val rnd = new scala.util.Random(5)
+    val base = java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
+    // per-user cumulative gaps drawn to land ON the 30-min boundary
+    // often: the session_window tie rule (exact gap EXTENDS, strictly
+    // more starts a new session) is the empirically-probed semantics
+    // the oracle encodes — stress it, don't avoid it
+    var eid = 0L
+    val rows = (0L to 4L).flatMap { u =>
+      var t = rnd.nextInt(3600)
+      (1 to 40).map { _ =>
+        t += (rnd.nextInt(4) match {
+          case 0 => 1800          // exactly the gap: same session
+          case 1 => 1801          // one past: new session
+          case 2 => rnd.nextInt(1800)
+          case _ => 1800 + rnd.nextInt(3600)
+        })
+        eid += 1
+        (eid, java.sql.Timestamp.valueOf(base.plusSeconds(t)), u,
+          "view", 1.0, "{}")
+      }
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // the streaming reader expects a FILE named events.parquet (like
+    // the fixtures), so stage the single part file under that name
+    val staging = java.nio.file.Files.createTempDirectory("graft-ss-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss")
+    java.nio.file.Files.copy(part.toPath, dir.resolve("events.parquet"))
+
+    val got = streaming.StreamingSessions.sessionCounts(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy(_._3).map { case (u, es) =>
+      val times = es.map(_._2.getTime / 1000L).sorted
+      val sessions = 1 + times.zip(times.tail)
+        .count { case (a, b) => b - a > 1800L }
+      u -> (sessions.toLong, es.size.toLong)
+    }
+    assert(got == expected,
+      s"diff: ${expected.keys.filter(k => got.get(k) != expected.get(k))
+        .map(k => s"$k: ${got.get(k)} vs ${expected(k)}")}")
+  }
+
   test("prefix-filter Jaccard on random token sets == in-memory brute force") {
     val rnd = new scala.util.Random(23)
     // small token universe → heavy prefix collisions; variable sizes
