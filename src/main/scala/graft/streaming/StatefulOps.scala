@@ -38,7 +38,7 @@ object StatefulOps {
     * oracle's decimal-exact sum. */
   def userTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no nanosAsLong set: ts is not in the declared schema at all
     val src = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -101,7 +101,8 @@ object StatefulOps {
     // fails resolution loudly instead of misreading
     val nanos = graft.Tables.rawNanosCols(spark, s"$sfDir/orders.parquet")
       .contains("o_orderdate")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (nanos)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ordersSchema = StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),

@@ -40,7 +40,12 @@ object StreamingSessions {
     * here equals the batch path's NTZ values and outputs cast back. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val rawNanos = graft.Tables.eventsTsRawNanos(spark, sfDir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-wide conf only when the footer actually needs it — the
+    // same hygiene as Tables.normalizeTimestamps (an unconditional set
+    // would make unrelated reads of third-party NANOS parquet silently
+    // resolve longs instead of failing loudly)
+    if (rawNanos)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory: read the sf dir
     // with a glob filter for the events table
     val src = spark.readStream

@@ -215,12 +215,13 @@ class RandomDifferentialSpec extends AnyFunSuite {
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
     // the streaming reader expects a FILE named events.parquet (like
     // the fixtures), so stage the single part file under that name
-    val staging = java.nio.file.Files.createTempDirectory("graft-ss-stage")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss")
+    val staging = dir.resolve("stage")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = staging.toFile.listFiles()
       .find(_.getName.endsWith(".parquet")).get
-    val dir = java.nio.file.Files.createTempDirectory("graft-ss")
-    java.nio.file.Files.copy(part.toPath, dir.resolve("events.parquet"))
+    java.nio.file.Files.move(part.toPath, dir.resolve("events.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
 
     val got = streaming.StreamingSessions.sessionCounts(spark, dir.toString)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
