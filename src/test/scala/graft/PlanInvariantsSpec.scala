@@ -133,6 +133,37 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!phys.contains("CartesianProduct"), "sane physical join")
   }
 
+  test("join_regional_revenue: customer enters the custkey exchange " +
+      "already ASIA-restricted") {
+    // VERDICT r7 #1: the only selective predicate (r_name='ASIA') must
+    // restrict customer BEFORE the corpus-sized custkey join — i.e. the
+    // customer side of that join already contains the nationkey join
+    // against the broadcast ASIA nation set. Asserted on the optimized
+    // logical plan so it holds regardless of physical join strategy.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val reg = ops.Relational.regionalRevenue(spark, sf)
+    val opt = reg.queryExecution.optimizedPlan
+    val custJoins = opt.collect {
+      case j: Join if j.condition.exists(
+          _.references.exists(_.name == "c_custkey")) => j
+    }
+    assert(custJoins.nonEmpty, "no custkey join in the optimized plan")
+    custJoins.foreach { j =>
+      // optimized-plan leaves print as `Relation [cols...] parquet` —
+      // identify the customer relation by its key column, not the path
+      val custSide = Seq(j.left, j.right).find(
+        _.collectLeaves().exists(_.toString.contains("c_custkey")))
+        .getOrElse(fail("custkey join has no customer-side child:\n" + j))
+      val restricted = custSide.collect {
+        case jj: Join if jj.condition.exists(
+            _.references.exists(_.name == "n_nationkey")) => jj
+      }
+      assert(restricted.nonEmpty,
+        "customer side of the custkey join is not pre-restricted by the " +
+          "ASIA nation set (late-restriction plan regressed):\n" + custSide)
+    }
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
