@@ -170,7 +170,14 @@ object ArtifactStore {
           if (!fs.exists(success)) {
             if (moved && fs.exists(
                 new org.apache.hadoop.fs.Path(aside, "_SUCCESS"))) {
-              fs.rename(aside, dest)
+              // the restore must not fail silently: a false rename
+              // here leaves NO artifact at the address and the
+              // downstream read dies with the confusing missing-path
+              // error this dance exists to prevent (ADVICE r7)
+              if (!fs.rename(aside, dest))
+                throw new java.io.IOException(
+                  s"artifact publish failed: could not restore the " +
+                    s"moved-aside complete artifact $aside -> $dest")
             } else {
               if (moved) fs.delete(aside, true)
               throw new java.io.IOException(
@@ -183,6 +190,24 @@ object ArtifactStore {
       System.err.println(
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // A builder that crashed between move-aside and restore leaks its
+    // .aside-UUID sibling forever (ADVICE r7) — sweep stale ones on
+    // every serve. Age-gated: a FRESH aside may belong to an in-flight
+    // publish dance in another JVM (deleting it would turn that
+    // builder's recoverable rename race into a hard failure), and any
+    // live dance completes in seconds, so 15 min is conservative.
+    try {
+      val parent = dest.getParent
+      if (fs.exists(parent)) {
+        val prefix = dest.getName + ".aside-"
+        val cutoff = System.currentTimeMillis() - 15 * 60 * 1000
+        fs.listStatus(parent).foreach { st =>
+          if (st.getPath.getName.startsWith(prefix) &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: java.io.IOException => () } // sweep is best-effort
     dir
   }
 }

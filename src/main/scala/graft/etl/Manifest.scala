@@ -54,12 +54,19 @@ object Manifest {
   }
 
   /** Batch form of [[markLoaded]] — one CASE over a literal set, not
-    * one nested when() per file. */
+    * one nested when() per file. Also stamps `updatedAt` like the
+    * singular form: without it the batched path left the registration
+    * timestamp in place and lost the load-completion time (ADVICE
+    * r7). */
   def markLoadedAll(manifest: DataFrame, filenames: Seq[String]): DataFrame =
     if (filenames.isEmpty) manifest
-    else manifest.withColumn("Loaded",
-      when(col("Filename").isInCollection(filenames), lit(true))
-        .otherwise(col("Loaded")))
+    else manifest
+      .withColumn("Loaded",
+        when(col("Filename").isInCollection(filenames), lit(true))
+          .otherwise(col("Loaded")))
+      .withColumn("updatedAt",
+        when(col("Filename").isInCollection(filenames), current_timestamp())
+          .otherwise(col("updatedAt")))
 
   /** S11: mark a file loaded after a successful publish (upsert). */
   def markLoaded(manifest: DataFrame, filename: String): DataFrame =

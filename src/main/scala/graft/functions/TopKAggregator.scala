@@ -29,11 +29,17 @@ class TopKAggregator(k: Int)
   override def zero: List[Scored] = Nil
 
   override def reduce(buf: List[Scored], in: Scored): List[Scored] = {
-    // NaN is incomparable (beats() is false BOTH ways), so without
+    // NaN is incomparable to beats() (false BOTH ways), so without
     // this guard a NaN candidate would be spliced to the FRONT of a
-    // full buffer and occupy a top-k slot; the window/row_number
-    // formulation this class must match sorts NaN last (review
-    // finding). Reject it outright.
+    // full buffer by span() — at an arbitrary position, not a
+    // defined rank. Note the engines' own ordering is the OPPOSITE
+    // of dropping: Spark and DuckDB both sort NaN GREATER than every
+    // double, so a window/row_number DESC formulation would rank a
+    // NaN candidate FIRST (ADVICE r7). NaN scores are therefore out
+    // of contract for this aggregator: the only producer is a
+    // zero-norm embedding's cosine (0/0), which the fixtures exclude
+    // and a caller must pre-filter — dropping here keeps the buffer
+    // deterministic rather than emulating either engine's NaN rank.
     if (in.score.isNaN) buf
     else if (buf.sizeIs >= k && beats(buf.last, in)) buf
     else {
