@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** OLAP aggregation surface (SURVEY.md §2.7 X7/X8): rollup, cube,
@@ -100,6 +100,63 @@ object OlapOps {
       .select(col("quarter"), col("exact_custkeys"),
         (abs(col("approx_raw") - col("exact_custkeys")) <=
           col("exact_custkeys") * 0.05 + 10).as("within_tol"))
+      .orderBy(col("quarter"))
+  }
+
+  /** Mergeable QUANTILE-sketch re-aggregation (VERDICT r7 #4) — the
+    * [[hllUnionRollup]] stored-sketch pattern for a second
+    * non-additive measure family: per-month deterministic compactor
+    * sketches ([[graft.functions.QSketch]], MRL/KLL lineage) of
+    * o_totalprice, unioned up to quarters, answering p50/p95 without
+    * rescanning raw data. At 100 TB the monthly `sk` column is what
+    * gets STORED next to each partition; any coarser rollup (quarter,
+    * year, all-time) is a merge of sketch bytes.
+    *
+    * Grading (the `approxDistinct` discipline): sketch estimates are
+    * merge-order-dependent (equally valid sketches differ run to
+    * run), so the graded columns are the EXACT interpolated
+    * percentiles (engine-independent, rounded 6) plus rank-tolerance
+    * booleans — each approx quantile's TRUE rank fraction in the
+    * quarter, computed by a broadcast join of the (|quarters|-row)
+    * estimates back onto orders, must sit within 2% (+2/n for
+    * integer-rank granularity at small n) of its target. */
+  def quantileUnionRollup(s: SparkSession, d: String): DataFrame = {
+    val skAgg = udaf(new graft.functions.QuantileSketchAgg(512))
+    val skMerge = udaf(new graft.functions.QuantileMergeAgg(512, Seq(0.5, 0.95)))
+    val o = Tables.orders(s, d)
+    val quarterOf = (c: Column) =>
+      date_trunc("quarter", c).cast("timestamp_ntz").as("quarter")
+    val monthly = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(skAgg(col("o_totalprice")).as("sk"))
+    val quarterly = monthly
+      .groupBy(quarterOf(col("month")))
+      .agg(skMerge(col("sk")).as("est"))
+      .select(col("quarter"),
+        element_at(col("est"), 1).as("approx_p50"),
+        element_at(col("est"), 2).as("approx_p95"))
+    val exact = o
+      .groupBy(quarterOf(col("o_orderdate")))
+      .agg(count(lit(1)).as("n_orders"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("exact_p50"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 6).as("exact_p95"))
+    val ranks = o
+      .select(quarterOf(col("o_orderdate")), col("o_totalprice"))
+      .join(broadcast(quarterly), Seq("quarter"))
+      .groupBy(col("quarter"))
+      .agg(
+        (sum(when(col("o_totalprice") <= col("approx_p50"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("r50"),
+        (sum(when(col("o_totalprice") <= col("approx_p95"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("r95"),
+        count(lit(1)).cast("double").as("nq"))
+    exact.join(ranks, Seq("quarter"))
+      .select(col("quarter"), col("n_orders"),
+        col("exact_p50"), col("exact_p95"),
+        (abs(col("r50") - 0.5) <= lit(0.02) + lit(2.0) / col("nq"))
+          .as("p50_within_tol"),
+        (abs(col("r95") - 0.95) <= lit(0.02) + lit(2.0) / col("nq"))
+          .as("p95_within_tol"))
       .orderBy(col("quarter"))
   }
 
@@ -322,6 +379,7 @@ object OlapOps {
     "olap_unpivot" -> unpivotOrders,
     "agg_histogram" -> histogram,
     "agg_hll_union" -> hllUnionRollup,
+    "agg_quantile_union" -> quantileUnionRollup,
     "profile_table" -> profileTable,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
@@ -372,6 +430,18 @@ object OlapOps {
         |    AS quarter,
         |  COUNT(DISTINCT o_custkey) AS exact_custkeys,
         |  TRUE AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact percentiles are engine-independent after round(6); the
+    // sketch estimates are graded as rank-tolerance booleans (the
+    // agg_hll_union pattern — TRUE is the asserted contract)
+    "agg_quantile_union" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+        |    AS quarter,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS exact_p95,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p95_within_tol
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "profile_table" ->
       """SELECT * FROM (

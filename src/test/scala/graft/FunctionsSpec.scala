@@ -355,4 +355,92 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(stream === batch)
   }
+
+  // --- QSketch (deterministic mergeable quantile sketch, r8) ---
+
+  /** Deterministic pseudo-shuffled test stream: values 0..n-1 in
+    * splitmix-scrambled order (exact quantiles are then trivially
+    * q*(n-1) against the sorted domain). */
+  private def scrambled(n: Int): Array[Double] =
+    (0 until n).sortBy(i => java.lang.Long.rotateLeft(i * 0x9E3779B97F4A7C15L, 31))
+      .map(_.toDouble).toArray
+
+  private def rankOf(v: Double, n: Int): Double = {
+    // data is 0..n-1, so #(values <= v) = floor(v)+1
+    (math.floor(v) + 1) / n
+  }
+
+  test("qsketch: rank error within 2% on 100k items, weights conserved") {
+    import graft.functions.QSketch
+    val n = 100000
+    val sk = new QSketch(512)
+    scrambled(n).foreach(sk.update)
+    assert(sk.n === n.toLong)
+    val mass = sk.levels.zipWithIndex
+      .map { case (lvl, i) => lvl.length.toLong << i }.sum
+    assert(mass === n.toLong, "item weights must be conserved exactly")
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)) {
+      val est = sk.quantile(q)
+      assert(math.abs(rankOf(est, n) - q) <= 0.02,
+        s"q=$q est=$est trueRank=${rankOf(est, n)}")
+    }
+  }
+
+  test("qsketch: merge of shard sketches answers like a direct build") {
+    import graft.functions.QSketch
+    val n = 50000
+    val data = scrambled(n)
+    val direct = new QSketch(512)
+    data.foreach(direct.update)
+    // 10 shards, merged in a worst-case-ish interleaved order
+    val shards = data.grouped(n / 10 + 1).map { chunk =>
+      val s = new QSketch(512); chunk.foreach(s.update); s
+    }.toSeq
+    val merged = new QSketch(512)
+    shards.zipWithIndex.sortBy(_._2 % 3).map(_._1).foreach(merged.merge)
+    assert(merged.n === n.toLong)
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      // both forms must hold the rank-error contract vs the EXACT
+      // data; merged-vs-direct estimates need not be identical
+      // (different compaction histories are equally valid sketches)
+      assert(math.abs(rankOf(direct.quantile(q), n) - q) <= 0.02)
+      assert(math.abs(rankOf(merged.quantile(q), n) - q) <= 0.02)
+    }
+  }
+
+  test("qsketch: serialization round-trips bit-exactly; degenerate inputs") {
+    import graft.functions.QSketch
+    val sk = new QSketch(64)
+    scrambled(10000).foreach(sk.update)
+    val rt = QSketch.deserialize(sk.serialize)
+    assert(rt.n === sk.n)
+    assert(rt.serialize.toSeq === sk.serialize.toSeq)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(rt.quantile(q) === sk.quantile(q))
+    // empty sketch: NaN (the aggregator never emits it for a real
+    // group — groupBy only forms non-empty groups)
+    assert(new QSketch(64).quantile(0.5).isNaN)
+    // single element: every quantile is that element
+    val one = new QSketch(64)
+    one.update(42.0)
+    assert(one.quantile(0.0) === 42.0 && one.quantile(1.0) === 42.0)
+    // merging an empty sketch is the identity
+    val before = sk.serialize.toSeq
+    sk.merge(new QSketch(64))
+    assert(sk.serialize.toSeq === before)
+  }
+
+  test("agg_quantile_union: re-aggregation equals direct within rank tolerance") {
+    // the end-to-end contract the graded query bets on: monthly
+    // sketches merged to quarters land within the rank band of the
+    // exact quarter percentiles — and the query's own tolerance
+    // booleans must all be true at test SF
+    val df = ops.OlapOps.quantileUnionRollup(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"p50 out of rank tolerance: $r")
+      assert(r.getBoolean(5), s"p95 out of rank tolerance: $r")
+    }
+  }
 }
