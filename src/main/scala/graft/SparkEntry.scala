@@ -59,11 +59,17 @@ object SparkEntry {
     "stream_join_attrib" -> (streaming.StreamingSessions.purchaseAttribution _),
     "stream_enrich_static" -> (streaming.StreamingSessions.enrichStatic _),
     "stream_cdc_upsert" -> (streaming.StatefulOps.cdcUpsert _),
+    "stream_dedup_neardup" -> (streaming.StreamingDedup.nearDupPairs _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
     // identical statement to the batch CDC forms: streamed per-key
     // state + static base must reproduce the batch MERGE exactly
     "stream_cdc_upsert" -> ops.CdcOps.mergeOracle,
+    // identical statement to the batch MinHash-LSH: cross-batch
+    // band-bucket state + the shared verify tail must reproduce the
+    // batch candidate set exactly (no bucket overflows at fixture
+    // scale, so arrival order cannot matter — see StreamingDedup)
+    "stream_dedup_neardup" -> ops.DedupOps.oracles("dedup_minhash_lsh"),
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -234,27 +234,9 @@ object DedupOps {
   def minhashLshOn(docsRaw: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val docs = fanOut(docsRaw)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    // Signature in ONE array pass via the native graft_minhash
-    // expression (each shingle byte-hashed once, k splitmix
-    // finalizations). The explode × seeds + groupBy formulation
-    // shuffled |docs|·|shingles|·k rows (9 s at sf0.1); the k-column
-    // array_min form still traversed the array k times (3.3 s); this
-    // is a single narrow projection.
-    val sigs = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
-    // band bucket = hash of the band's 4 minhashes; one output row per
-    // (doc, band) via posexplode of the band-bucket array
-    val bucketCols = (0 until numHashes / rowsPerBand).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col("sig").getItem(i)): _*)
-    }
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("doc_id"))
-    val bands = sigs
-      .select(col("doc_id"),
-        posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+    val bands = bandBuckets(fanOut(docsRaw), numHashes, rowsPerBand)
       .withColumn("__rank", row_number().over(wBucket))
       .observe("graft_lsh_bucket_overflow",
         sum(when(col("__rank") > maxBucket, 1L).otherwise(0L)).as("dropped"))
@@ -267,11 +249,45 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify candidates with exact Jaccard. The shingle transform is
-    // computed AFTER each verify join, so it evaluates on the
-    // candidate-sized join output, not once more per branch over the
-    // whole corpus (review finding) — with the (small) candidate side
-    // broadcast under AQE, the corpus text never shuffles here either.
+    verifyJaccard(cand, docsRaw)
+  }
+
+  /** The (doc_id, band, bucket) projection shared by [[minhashLshOn]]
+    * and its streaming twin ([[graft.streaming.StreamingDedup]]) — ONE
+    * definition of signature + banding, so batch and stream cannot
+    * drift (the LoadPipeline.derive discipline).
+    *
+    * Signature in ONE array pass via the native graft_minhash
+    * expression (each shingle byte-hashed once, k splitmix
+    * finalizations). The explode × seeds + groupBy formulation
+    * shuffled |docs|·|shingles|·k rows (9 s at sf0.1); the k-column
+    * array_min form still traversed the array k times (3.3 s); this
+    * is a single narrow projection — streaming-safe (no shuffle, no
+    * repartition; callers fan out batch inputs themselves).
+    * Band bucket = xxhash64 of the band's `rowsPerBand` minhashes; one
+    * output row per (doc, band) via posexplode of the bucket array. */
+  def bandBuckets(docs: DataFrame, numHashes: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(
+        shingles(col("text")), numHashes).as("sig"))
+    val bucketCols = (0 until numHashes / rowsPerBand).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("sig").getItem(i)): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Exact-Jaccard verification of an (a_id, b_id) candidate frame
+    * against the corpus — the shared tail of [[minhashLshOn]] and the
+    * streaming twin. The shingle transform is computed AFTER each
+    * verify join, so it evaluates on the candidate-sized join output,
+    * not once more per branch over the whole corpus (review finding) —
+    * with the (small) candidate side broadcast under AQE, the corpus
+    * text never shuffles here either. */
+  def verifyJaccard(cand: DataFrame, docsRaw: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
     cand
       .join(docsRaw.select(col("doc_id").as("a_id"), col("text").as("ta")),
         Seq("a_id"))
@@ -280,10 +296,9 @@ object DedupOps {
       .withColumn("sa", shingles(col("ta")))
       .withColumn("sb", shingles(col("tb")))
       .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** SimHash near-dup pairs over the FULL corpus via the native
     * `graft_simhash` expression + Manku-style block buckets.
