@@ -114,6 +114,97 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  // --- CBO twin of regionalRevenue (VERDICT r7 #5) ---------------
+
+  /** Tables already registered + ANALYZEd per (sfDir): the one-time
+    * catalog setup is idempotent and cached per JVM, like the
+    * artifact-store fingerprint caches. */
+  private val cboReady =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** Register the Q5 tables as CATALOG tables over the testdata
+    * parquet and compute column statistics — the prerequisite CBO
+    * needs (statistics live in the session catalog; a path-based
+    * `spark.read.parquet` relation has sizeInBytes only, so the
+    * cost-based reorderer can do nothing with it). Guarded loudly
+    * against a NANOS-encoded fixture generation: raw catalog tables
+    * bypass `Tables`' footer dispatch, and the one thing this repo
+    * never does is silently misread a timestamp column. */
+  private[graft] def cboTables(s: SparkSession, d: String): Map[String, String] =
+    cboReady.getOrElseUpdate(d, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val specs = Seq(
+        "region" -> Seq("r_regionkey", "r_name"),
+        "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
+        "customer" -> Seq("c_custkey", "c_nationkey"),
+        // NO o_orderdate stats: Spark 4.1's FilterEstimation has no
+        // TimestampNTZType case and throws MatchError when a range
+        // filter meets column stats on an NTZ column — without them
+        // the date filter takes default selectivity, which is enough
+        // for the reorder (the decisive stats are the ASIA chain's)
+        "orders" -> Seq("o_orderkey", "o_custkey"),
+        "lineitem" -> Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      specs.map { case (t, cols) =>
+        require(graft.Tables.rawNanosCols(s, s"$d/$t.parquet").isEmpty,
+          s"CBO catalog table over $t needs MICROS timestamps; the footer " +
+            "shows NANOS — route through Tables' dispatch before ANALYZE")
+        val name = s"graft_cbo_${t}_$digest"
+        s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+          s"LOCATION '$d/$t.parquet'")
+        s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${cols.mkString(", ")}")
+        t -> name
+      }.toMap
+    })
+
+  /** Run `body` with the cost-based optimizer + its join reorderer
+    * enabled, restoring the session's previous values after. Scoped —
+    * CBO must not silently re-plan the rest of the catalog. */
+  private[graft] def withCbo[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> s.conf.get(k))
+    keys.foreach(s.conf.set(_, "true"))
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  /** The Q5 join in its NAIVE order — the exact late-restriction
+    * shape [[regionalRevenue]] had before r8's hand fix, over the
+    * ANALYZEd catalog tables, with ZERO hints. Callers wrap it in
+    * [[withCbo]]; the point is that statistics + the cost-based
+    * reorderer produce the early-restricted plan WITHOUT the hand
+    * reordering (the engine-credit version of the r8 fix — asserted
+    * in PlanInvariantsSpec). */
+  private[graft] def cboRegionalFrame(s: SparkSession, d: String): DataFrame = {
+    val t = cboTables(s, d)
+    val r = s.table(t("region")).filter(col("r_name") === "ASIA")
+    val n = s.table(t("nation"))
+    val c = s.table(t("customer"))
+    val o = s.table(t("orders"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = s.table(t("lineitem"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Graded CBO query: identical semantics (and oracle) to
+    * [[regionalRevenue]], but the plan quality comes from ANALYZE
+    * statistics + cost-based join reordering instead of hand-ordered
+    * joins. Executed EAGERLY inside the CBO conf scope (plans
+    * optimize at action time, so returning a lazy frame would
+    * optimize after the confs are restored); the checkpointed result
+    * is re-sorted for the deterministic output contract. */
+  def regionalRevenueCbo(s: SparkSession, d: String): DataFrame =
+    withCbo(s) { cboRegionalFrame(s, d).localCheckpoint(true) }
+      .orderBy(col("n_name"))
+
   /** Anti-join: customers with no order over 300k — the reference's
     * files-vs-manifest "skip already loaded" shape (`load.ts:98-108`). */
   def antiJoin(s: SparkSession, d: String): DataFrame = {
@@ -421,6 +512,7 @@ object Relational {
     "filter_selective" -> selectiveFilter,
     "join_top_revenue" -> topRevenue,
     "join_regional_revenue" -> regionalRevenue,
+    "join_regional_revenue_cbo" -> regionalRevenueCbo,
     "join_anti" -> antiJoin,
     "join_semi" -> semiJoin,
     "window_latest_per_group" -> latestPerGroup,
@@ -535,6 +627,23 @@ object Relational {
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin,
     "join_regional_revenue" ->
+      s"""SELECT n_name,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+    // identical statement: the CBO form must be semantically
+    // indistinguishable from the hand-ordered plan — only the plan
+    // derivation differs (statistics + cost-based reorder)
+    "join_regional_revenue_cbo" ->
       s"""SELECT n_name,
          |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue,
          |  COUNT(*) AS n_items

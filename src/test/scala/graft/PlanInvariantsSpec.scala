@@ -164,6 +164,57 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO reorders the naive Q5 join into the early restriction " +
+      "without hints") {
+    // VERDICT r7 #5, the engine-credit version of the r8 hand fix:
+    // over ANALYZEd catalog tables with the cost-based reorderer on,
+    // the NAIVE-ordered, hint-free Q5 join must plan with customer
+    // already restricted by the nationkey join before the custkey
+    // join — statistics drive the reorder, not hand ordering.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    ops.Relational.withCbo(spark) {
+      val opt = ops.Relational.cboRegionalFrame(spark, sf)
+        .queryExecution.optimizedPlan
+      val custJoins = opt.collect {
+        case j: Join if j.condition.exists(
+            _.references.exists(_.name == "c_custkey")) => j
+      }
+      assert(custJoins.nonEmpty, "no custkey join in the optimized plan")
+      custJoins.foreach { j =>
+        val custSide = Seq(j.left, j.right).find(
+          _.collectLeaves().exists(_.toString.contains("c_custkey")))
+          .getOrElse(fail("custkey join has no customer-side child:\n" + j))
+        val restricted = custSide.collect {
+          case jj: Join if jj.condition.exists(
+              _.references.exists(_.name == "n_nationkey")) => jj
+        }
+        assert(restricted.nonEmpty,
+          "CBO did not pre-restrict customer by the ASIA nation set:\n" + opt)
+      }
+    }
+    // and WITHOUT CBO the same naive frame keeps its naive order —
+    // proving the reorder is the statistics' doing, not a default
+    // optimizer behavior that would make this test vacuous
+    val naiveOpt = ops.Relational.cboRegionalFrame(spark, sf)
+      .queryExecution.optimizedPlan
+    val naiveCust = naiveOpt.collect {
+      case j: Join if j.condition.exists(
+          _.references.exists(_.name == "c_custkey")) => j
+    }
+    val anyRestricted = naiveCust.exists { j =>
+      Seq(j.left, j.right)
+        .find(_.collectLeaves().exists(_.toString.contains("c_custkey")))
+        .exists(_.collect {
+          case jj: Join if jj.condition.exists(
+              _.references.exists(_.name == "n_nationkey")) => jj
+        }.nonEmpty)
+    }
+    assert(!anyRestricted,
+      "without CBO the naive order should survive — if Catalyst now " +
+        "reorders this by default, the CBO assertion above is vacuous " +
+        "and this test should be rethought")
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
