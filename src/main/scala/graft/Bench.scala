@@ -26,13 +26,20 @@ object Bench {
     // timings on a co-tenant box carry a ±30% noise band, which made
     // sub-2 s "regressions" indistinguishable from noise. Every query
     // runs at least twice; cheap queries (min of the first two runs
-    // ≤ 5 s) run a third time and report the MEDIAN, expensive ones
+    // ≤ 2 s) run a third time and report the MEDIAN, expensive ones
     // report the MIN of 2 — co-tenant/JIT noise is purely additive,
     // so min is the robust estimator there, and one extra run bounds
     // wall time where repeats are priciest. Classifying on the min of
     // TWO runs (not the first alone) keeps boundary queries from
     // flipping estimators round-over-round on one noisy sample.
-    val repeatCutoffSec = 5.0
+    // Cutoff 5 → 2 s (VERDICT r7 #8): at 140+ queries the third rep
+    // of every deliberately-expensive exact stage (dedup_semantic,
+    // corpus_overlap, the streaming fixed-overhead rows) is what
+    // grows suite wall time; min2 is already the robust estimator
+    // for that class, so the catalog can keep growing with flat wall.
+    // bench_compare.py flags the median3->min2 estimator flips this
+    // causes once, by design.
+    val repeatCutoffSec = 2.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
       def once(): Double = {
