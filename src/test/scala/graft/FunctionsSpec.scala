@@ -464,6 +464,82 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.serialize.toSeq === before)
   }
 
+  // --- MGSketch (mergeable Misra–Gries heavy hitters, r8) ---
+
+  test("mg sketch: exact while distinct <= m; serialization round-trip") {
+    import graft.functions.MGSketch
+    val sk = new MGSketch(8)
+    val truth = Map("a" -> 500, "b" -> 300, "c" -> 150, "d" -> 50)
+    // interleaved deterministic order
+    (0 until 1000).foreach { i =>
+      val k = if (i % 2 == 0 && i / 2 < 500) "a"
+        else if (i % 10 < 6 && i < 750) "b" else if (i < 900) "c" else "d"
+      sk.update(k)
+    }
+    // re-derive the actual truth of that generator
+    val gen = (0 until 1000).map { i =>
+      if (i % 2 == 0 && i / 2 < 500) "a"
+      else if (i % 10 < 6 && i < 750) "b" else if (i < 900) "c" else "d"
+    }
+    val exact = gen.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(truth != null) // (truth is illustrative; exact is the oracle)
+    assert(sk.counters.toMap === exact,
+      "4 distinct keys under m=8 must count exactly")
+    val rt = MGSketch.deserialize(sk.serialize)
+    assert(rt.counters.toMap === exact && rt.n === sk.n)
+    assert(rt.serialize.toSeq === sk.serialize.toSeq)
+  }
+
+  test("mg sketch: planted heavy hitter survives sharded merges within bound") {
+    import graft.functions.MGSketch
+    // 400 distinct cold keys + one hot key at 20% of the stream:
+    // n/(m+1) = 10000/17 ≈ 588 < 2000, so MG GUARANTEES presence
+    val m = 16
+    val stream = (0 until 10000).map { i =>
+      if (i % 5 == 0) "hot" else s"cold${i % 400}"
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // direct build
+    val direct = new MGSketch(m)
+    stream.foreach(direct.update)
+    // sharded build + merge in a scrambled order
+    val shards = stream.grouped(1000).map { chunk =>
+      val s = new MGSketch(m); chunk.foreach(s.update); s
+    }.toSeq
+    val merged = new MGSketch(m)
+    shards.zipWithIndex.sortBy(_._2 % 3).map(_._1).foreach(merged.merge)
+    assert(merged.n === 10000L)
+    for (sk <- Seq(direct, merged)) {
+      val est = sk.counters.getOrElse("hot", 0L)
+      assert(est > 0L, "guaranteed heavy hitter evicted")
+      // never overcount; undercount bounded by n/(m+1)
+      assert(est <= exact("hot"))
+      assert(exact("hot") - est <= 10000L / (m + 1) + 1)
+      assert(sk.topK(1).head._1 === "hot")
+      // the invariant holds for EVERY surviving counter
+      sk.counters.foreach { case (k, c) =>
+        assert(c <= exact(k), s"overcount on $k")
+      }
+      assert(sk.counters.size <= m)
+    }
+  }
+
+  test("agg_topk_union: merged sketch counts equal exact GROUP BY at fixtures") {
+    val df = ops.OlapOps.topkUnionRollup(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent exact recomputation in Spark
+    val exact = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+      .groupBy(date_trunc("quarter", col("o_orderdate"))
+        .cast("timestamp_ntz").as("quarter"), col("o_orderpriority"))
+      .count().collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(exact((r.get(0), r.getString(2))) === r.getLong(3),
+        s"sketch estimate diverged from exact at $r")
+    }
+  }
+
   test("agg_quantile_union: re-aggregation equals direct within rank tolerance") {
     // the end-to-end contract the graded query bets on: monthly
     // sketches merged to quarters land within the rank band of the
