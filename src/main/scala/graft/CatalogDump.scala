@@ -10,6 +10,7 @@ object CatalogDump {
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries("sim_kmeans_sizes")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("sim_pca_project")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("sim_pq_topk")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("dedup_semantic_lsh")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("text_bpe_train")(spark, "/root/testdata/sf0.001").count()

@@ -535,6 +535,60 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.map(_._3).sum === vecs.length) }
   }
 
+  test("pca component matches the single-node reference arithmetic exactly") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val scale = 1000000L
+    val got = ops.SimilarityOps.pcaFit(
+      Tables.embeddings(spark, sf), iters = 8, quantScale = scale)
+    // single-node reference: same HALF_UP quantization, exact-integer
+    // centered rows, exact BigInt second stage, same driver-side IEEE
+    // normalization (BigInt.toDouble is correctly rounded, like the
+    // distributed path's BigDecimal.toDouble on the same integers)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => JBD.valueOf(x.toDouble * scale)
+        .setScale(0, RoundingMode.HALF_UP).longValue())
+    val q = vecs.map(quant)
+    val n = q.length.toLong
+    val dim = q.head.length
+    val sums = Array.fill(dim)(0L)
+    q.foreach { row =>
+      var i = 0; while (i < dim) { sums(i) += row(i); i += 1 } }
+    var comp: Seq[Long] = Seq.fill(dim)(scale)
+    for (_ <- 1 to 8) {
+      val u = Array.fill(dim)(BigInt(0))
+      q.foreach { row =>
+        var w = 0L
+        var i = 0
+        while (i < dim) { w += (n * row(i) - sums(i)) * comp(i); i += 1 }
+        i = 0
+        while (i < dim) {
+          u(i) += BigInt(w) * BigInt(n * row(i) - sums(i)); i += 1 }
+      }
+      val uu = u.map(_.toDouble)
+      val norm = math.sqrt(uu.map(x => x * x).sum)
+      if (norm != 0.0)
+        comp = uu.map(x => math.round(x / norm * scale)).toSeq
+    }
+    val want = comp.find(_ != 0L) match {
+      case Some(lead) if lead < 0L => comp.map(-_)
+      case _ => comp
+    }
+    assert(got.n === n && got.dim === dim)
+    assert(got.sums === sums.toSeq, "centering sums must match exactly")
+    assert(got.component === want, "component must match bit-exactly")
+    // normalization sanity: fixed-point unit vector up to rounding
+    val norm2 = got.component.map(c => (c.toDouble / scale) *
+      (c.toDouble / scale)).sum
+    assert(norm2 > 0.98 && norm2 < 1.02, s"component not unit-norm: $norm2")
+    // and the trainer is a pure function of the table (re-run == run)
+    val again = ops.SimilarityOps.pcaFit(
+      Tables.embeddings(spark, sf), iters = 8, quantScale = scale)
+    assert(again.component === got.component && again.sums === got.sums)
+  }
+
   test("leakage-safe split: clusters never straddle, totals reconcile") {
     val rows = ops.DedupOps.leakageSafeSplit(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq.sorted === Seq("eval", "train"))

@@ -41,7 +41,9 @@ class OracleCatalogSpec extends AnyFunSuite {
     ops.SimilarityOps.clearKmeansMemoryCache()
     ops.SimilarityOps.clearPqMemoryCache()
     ops.SimilarityOps.clearSrpParamsCache()
-    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train"))
+    ops.SimilarityOps.clearPcaMemoryCache()
+    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train",
+        "sim_pca_project"))
       SparkEntry.queries(q)(spark, sf).count()
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
@@ -53,7 +55,8 @@ class OracleCatalogSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"generated keys name no query: $unknown")
     // runs after the bijection test in suite order, but do not depend
     // on ordering: re-trigger the trainers idempotently
-    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train"))
+    for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train",
+        "sim_pca_project"))
       SparkEntry.queries(q)(spark, sf).count()
     val absent = generatedKeys -- SparkEntry.oracleSql.keySet
     assert(absent.isEmpty,
