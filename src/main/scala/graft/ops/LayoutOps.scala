@@ -294,6 +294,58 @@ object LayoutOps {
       .select(col("c_custkey"), col("version"), col("acctbal"))
       .orderBy(col("c_custkey"))
 
+  // ------------------------------------------------- inverted index
+
+  /** Inverted text index as a stored layout artifact (r8): one
+    * (doc_id, term) posting ROW per distinct term occurrence,
+    * hive-partitioned by the term's first character and term-sorted
+    * within each partition's files. Two pruning layers serve a term
+    * lookup: the `bucket=<c>` literal filter prunes partition DIRS
+    * (PartitionFilters — the IVF-probe discipline), and the pushed
+    * `term IN (...)` predicate row-group-prunes within surviving
+    * files because the sort made term min/max tight.
+    *
+    * Posting rows, not posting-list arrays, deliberately: at 100 TB a
+    * stopword's array would be a multi-GB single value (one row, one
+    * task, OOM), while rows stay splittable, compress just as well
+    * sorted, and aggregate to lists on demand. The reference-free
+    * analog at the design point is Delta/Iceberg-style secondary
+    * index tables; roaring-bitmap blocks are the next compression
+    * step, same layout. */
+  private def invertedIndexLayout(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.parquet(s, "inverted_documents", s"$d/documents.parquet",
+        version = 1, partitionColumns = Seq("bucket")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.tokensNonEmpty(col("text")))).as("term"))
+        .withColumn("bucket", substring(col("term"), 1, 1))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+    }
+
+  /** The graded lookup terms: chosen to hit two DIFFERENT buckets so
+    * the partition-pruning assertion is non-trivial. */
+  private val LookupTerms = Seq("merge", "join", "vector")
+
+  /** Conjunctive term lookup via the inverted index: documents
+    * containing ALL of [[LookupTerms]], answered from posting rows —
+    * explicit bucket literals for directory pruning, term equi-filter
+    * for row-group pruning, then an intersection by counting distinct
+    * matched terms per doc. The oracle is the DIRECT corpus scan (a
+    * layout that changes results is wrong, full stop) — the index's
+    * contribution is reading posting partitions instead of every
+    * document's full text. */
+  def invertedLookup(s: SparkSession, d: String): DataFrame =
+    invertedIndexLayout(s, d)
+      .filter(col("bucket").isInCollection(
+          LookupTerms.map(_.substring(0, 1)).distinct) &&
+        col("term").isInCollection(LookupTerms))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === LookupTerms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,9 +353,19 @@ object LayoutOps {
     "scan_bloom_fileskip" -> bloomFileSkip,
     "scd2_history" -> scd2History,
     "scd2_asof" -> scd2AsOf,
+    "layout_inverted_lookup" -> invertedLookup,
   )
 
   val oracles: Map[String, String] = Map(
+    // direct corpus scan — the index must answer exactly what a full
+    // text scan answers (dedup'd per-doc terms, so COUNT counts each
+    // matched term once)
+    "layout_inverted_lookup" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${LookupTerms.map(t =>
+               s"list_contains(string_split(text, ' '), '$t')")
+             .mkString("\n  AND ")}
+         |ORDER BY doc_id""".stripMargin,
     // the layout queries oracle against the PLAIN table: a storage
     // rewrite that changes results is wrong, full stop
     "layout_zorder_prune" ->

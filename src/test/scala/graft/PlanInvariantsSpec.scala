@@ -288,6 +288,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"range predicate on $c not pushed to the layout scan: $pushed")
   }
 
+  test("layout_inverted_lookup: bucket dirs pruned, term filter pushed") {
+    // the inverted-index layout's two pruning layers must be visible
+    // in the scan: bucket literals as PartitionFilters (directory
+    // pruning — the IVF-probe discipline) and the term equi-filter in
+    // PushedFilters (row-group pruning via the term-sorted files)
+    val df = SparkEntry.queries("layout_inverted_lookup")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("inverted_documents")) =>
+        (s.metadata.getOrElse("PartitionFilters", ""),
+          s.metadata.getOrElse("PushedFilters", ""))
+    }
+    val (pf, pushed) = scans.headOption
+      .getOrElse(fail("no inverted_documents scan in the plan"))
+    assert(pf.contains("bucket"),
+      s"bucket literals not pruning partition dirs: $pf")
+    assert(pushed.contains("In(term") || pushed.contains("term"),
+      s"term filter not pushed to the posting scan: $pushed")
+  }
+
   test("scan_bloom_fileskip: the exact lookup predicate reaches the scan") {
     // file-level skipping happens before the plan (bloom probe over
     // the sidecar chooses the scan's file list — asserted by count in
