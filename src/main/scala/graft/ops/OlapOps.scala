@@ -191,6 +191,47 @@ object OlapOps {
       .orderBy(col("quarter"), col("rank"))
   }
 
+  /** Approximate query processing by DETERMINISTIC sampling: estimate
+    * the corpus-wide discounted revenue from a 10% md5-prefix sample
+    * in the SAME single scan that computes the exact answer (one
+    * conditional aggregation — sampled mass rides a `when` branch).
+    * The sample is the `sample_stratified`/`corpus_shuffle` systematic
+    * scheme: a row is in iff the first 8 hex chars of
+    * md5(composite key) sort below the rate threshold — engine-
+    * independent (md5 is identical in Spark and DuckDB), replayable
+    * (the training-set-reproducibility property), and unbiased in
+    * expectation over the hash.
+    *
+    * Graded columns are all deterministic: exact decimal sums, the
+    * scaled estimate (one double division + round(2)), and the
+    * ±5% verdict — the AQP contract that a 10% systematic sample of a
+    * near-uniform measure lands inside. At 100 TB this is the
+    * "answer in seconds from 1/10th the bytes" dial: the sample
+    * predicate pushes to the scan of a sample-clustered layout, and
+    * the same estimate shape serves any additive measure. */
+  def sampleEstimate(s: SparkSession, d: String): DataFrame = {
+    val rateHex = "19999999" // floor(0.1 · 2³²) in hex — 10%
+    val key = concat(lit("aqp:"),
+      col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"), lit(":"),
+      col("l_partkey").cast("string"), lit(":"),
+      col("l_suppkey").cast("string"))
+    val inSample = substring(md5(key), 1, 8) < lit(rateHex)
+    val rev = discounted(col("l_extendedprice"), col("l_discount"))
+    Tables.lineitem(s, d)
+      .select(rev.as("rev"), inSample.as("in_sample"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("rev")).cast("double").as("revenue_true"),
+        // no otherwise: unsampled rows contribute SQL NULL, which SUM
+        // skips — the same CASE-without-ELSE shape the oracle uses
+        round(sum(when(col("in_sample"), col("rev")))
+          .cast("double") / 0.1, 2).as("revenue_est"))
+      .withColumn("within_5pct",
+        abs(col("revenue_est") - col("revenue_true")) <=
+          col("revenue_true") * 0.05)
+  }
+
   /** Single-pass table profiler — the data-quality summary every
     * ingest pipeline publishes next to a table: per column, null
     * count, exact distinct count, numeric min/max (timestamps as
@@ -412,6 +453,7 @@ object OlapOps {
     "agg_hll_union" -> hllUnionRollup,
     "agg_quantile_union" -> quantileUnionRollup,
     "agg_topk_union" -> topkUnionRollup,
+    "agg_sample_estimate" -> sampleEstimate,
     "profile_table" -> profileTable,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
@@ -490,6 +532,28 @@ object OlapOps {
         |      ORDER BY n_orders DESC, priority) AS BIGINT) AS rank
         |  FROM counted) t
         |WHERE rank <= 3 ORDER BY quarter, rank""".stripMargin,
+    // the sample selection is the md5-prefix scheme — engine-identical
+    // hex strings, so the oracle replays selection AND estimate exactly
+    "agg_sample_estimate" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |      AS rev,
+        |    substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) || ':' ||
+        |      CAST(l_partkey AS VARCHAR) || ':' ||
+        |      CAST(l_suppkey AS VARCHAR)), 1, 8) < '19999999' AS in_sample
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled,
+        |  CAST(SUM(rev) AS DOUBLE) AS revenue_true,
+        |  round(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE)
+        |    / 0.1, 2) AS revenue_est,
+        |  abs(round(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE)
+        |      / 0.1, 2) - CAST(SUM(rev) AS DOUBLE))
+        |    <= CAST(SUM(rev) AS DOUBLE) * 0.05 AS within_5pct
+        |FROM t""".stripMargin,
     "profile_table" ->
       """SELECT * FROM (
         |  SELECT 'o_orderkey' AS col_name,
