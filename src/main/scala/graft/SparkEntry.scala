@@ -60,6 +60,7 @@ object SparkEntry {
     "stream_enrich_static" -> (streaming.StreamingSessions.enrichStatic _),
     "stream_cdc_upsert" -> (streaming.StatefulOps.cdcUpsert _),
     "stream_dedup_neardup" -> (streaming.StreamingDedup.nearDupPairs _),
+    "stream_quantile_rollup" -> (streaming.StatefulOps.quantileRollup _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
     // identical statement to the batch CDC forms: streamed per-key
@@ -70,6 +71,10 @@ object SparkEntry {
     // batch candidate set exactly (no bucket overflows at fixture
     // scale, so arrival order cannot matter — see StreamingDedup)
     "stream_dedup_neardup" -> ops.DedupOps.oracles("dedup_minhash_lsh"),
+    // identical statement to the batch sketch rollup: streamed
+    // per-month sketch state merged to quarters must satisfy the same
+    // exact-percentile + rank-tolerance contract
+    "stream_quantile_rollup" -> ops.OlapOps.oracles("agg_quantile_union"),
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -122,25 +122,36 @@ object OlapOps {
     * integer-rank granularity at small n) of its target. */
   def quantileUnionRollup(s: SparkSession, d: String): DataFrame = {
     val skAgg = udaf(new graft.functions.QuantileSketchAgg(512))
-    val skMerge = udaf(new graft.functions.QuantileMergeAgg(512, Seq(0.5, 0.95)))
-    val o = Tables.orders(s, d)
-    val quarterOf = (c: Column) =>
-      date_trunc("quarter", c).cast("timestamp_ntz").as("quarter")
-    val monthly = o
+    val monthly = Tables.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(skAgg(col("o_totalprice")).as("sk"))
+    quantileGradeFromMonthly(monthly, Tables.orders(s, d))
+  }
+
+  /** The quarter-merge + grading tail of [[quantileUnionRollup]],
+    * shared with the streaming twin (`stream_quantile_rollup`):
+    * `monthly` is any (month, sk) frame of serialized [[graft.functions.QSketch]]
+    * bytes — built by a batch groupBy or drained from streaming state —
+    * and the grade is identical either way, which is exactly the
+    * stored-sketch promise (the serving side cannot tell who built
+    * the sketch). */
+  private[graft] def quantileGradeFromMonthly(monthly: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val skMerge = udaf(new graft.functions.QuantileMergeAgg(512, Seq(0.5, 0.95)))
+    val quarterOf = (c: Column) =>
+      date_trunc("quarter", c).cast("timestamp_ntz").as("quarter")
     val quarterly = monthly
       .groupBy(quarterOf(col("month")))
       .agg(skMerge(col("sk")).as("est"))
       .select(col("quarter"),
         element_at(col("est"), 1).as("approx_p50"),
         element_at(col("est"), 2).as("approx_p95"))
-    val exact = o
+    val exact = orders
       .groupBy(quarterOf(col("o_orderdate")))
       .agg(count(lit(1)).as("n_orders"),
         round(percentile(col("o_totalprice"), lit(0.5)), 6).as("exact_p50"),
         round(percentile(col("o_totalprice"), lit(0.95)), 6).as("exact_p95"))
-    val ranks = o
+    val ranks = orders
       .select(quarterOf(col("o_orderdate")), col("o_totalprice"))
       .join(broadcast(quarterly), Seq("quarter"))
       .groupBy(col("quarter"))

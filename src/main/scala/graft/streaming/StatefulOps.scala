@@ -73,6 +73,79 @@ object StatefulOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming QUANTILE-sketch maintenance — the streaming twin of
+    * `agg_quantile_union` and the state-store face of the mergeable-
+    * sketch discipline: each micro-batch folds its order prices into
+    * the per-month [[graft.functions.QSketch]] held in typed state and
+    * emits the updated sketch BYTES (update mode — the last emission
+    * per month is the final sketch, the cdcUpsert pattern with a seq
+    * tie-break). The drained sketches then run through the IDENTICAL
+    * quarter-merge + grading tail as the batch query
+    * (`OlapOps.quantileGradeFromMonthly`) — the serving side cannot
+    * tell who built the sketch, which is the stored-sketch promise.
+    *
+    * Grades against the SAME oracle as the batch form. Scale: state is
+    * one ~k·log(n/k)-double sketch per open month, partitioned across
+    * the store; real deployments close months with event-time
+    * timeouts and persist the final bytes next to the partition. */
+  def quantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nanos = graft.Tables.rawNanosCols(spark, s"$sfDir/orders.parquet")
+      .contains("o_orderdate")
+    if (nanos)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
+    val src = spark.readStream.schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        if (nanos) timestamp_micros(expr("o_orderdate div 1000"))
+        else col("o_orderdate").cast("timestamp"))
+    val keyed = src.select(
+        unix_micros(date_trunc("month", col("ts"))).as("mk"),
+        col("o_totalprice").as("v"))
+      .as[(Long, Double)]
+    val sketches = keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
+        (mk: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Array[Byte], Long)]) => {
+          val (bytes, seq) = state.getOption.getOrElse(
+            (null: Array[Byte], 0L))
+          val sk = if (bytes == null) new graft.functions.QSketch(512)
+            else graft.functions.QSketch.deserialize(bytes)
+          rows.foreach(r => sk.update(r._2))
+          val next = (sk.serialize, seq + 1)
+          state.update(next)
+          Iterator.single((mk, next._2, next._1))
+        })
+      .toDF("mk", "seq", "sk")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      sketches.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName("stream_quantile_sketches")
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+
+    import org.apache.spark.sql.expressions.Window
+    val wLatest = Window.partitionBy(col("mk"))
+      .orderBy(col("seq").desc)
+    val monthly = spark.table("stream_quantile_sketches")
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(timestamp_micros(col("mk")).cast("timestamp_ntz").as("month"),
+        col("sk"))
+    graft.ops.OlapOps.quantileGradeFromMonthly(monthly,
+      graft.Tables.orders(spark, sfDir))
+  }
+
   case class CdcState(micros: Long, seq: Long, op: String, bal: Double)
 
   /** Streaming CDC upsert — the streaming twin of `cdc_read_mor`: the

@@ -464,6 +464,82 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.serialize.toSeq === before)
   }
 
+  test("stream_quantile_rollup: sketches accumulate across micro-batches") {
+    // orders split into 3 files streamed one per trigger: each month's
+    // sketch must fold rows from SEVERAL batches through state (not
+    // one batch each), and the drained grade must hold the same
+    // rank-tolerance contract as the batch query
+    val sf = "/root/testdata/sf0.001"
+    val o = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice",
+        $"o_orderdate".cast("timestamp_ntz").as("o_orderdate"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("stream-qsketch")
+    val watch = dir.resolve("in")
+    java.nio.file.Files.createDirectory(watch)
+    for (i <- 0 until 3) {
+      val tmp = dir.resolve(s"tmp$i").toString
+      o.filter($"o_orderkey" % 3 === i).coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      // the production query globs orders.parquet; name files to match
+      java.nio.file.Files.move(part, watch.resolve(s"orders.parquet-$i"))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      .withColumn("ts", $"o_orderdate".cast("timestamp"))
+    val keyed = src.select(
+        unix_micros(date_trunc("month", $"ts")).as("mk"),
+        $"o_totalprice".as("v"))
+      .as[(Long, Double)]
+    val sketches = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        (mk: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Array[Byte], Long)]) => {
+          val (bytes, seq) = state.getOption.getOrElse((null: Array[Byte], 0L))
+          val sk = if (bytes == null) new graft.functions.QSketch(512)
+            else graft.functions.QSketch.deserialize(bytes)
+          rows.foreach(r => sk.update(r._2))
+          val next = (sk.serialize, seq + 1)
+          state.update(next)
+          Iterator.single((mk, next._2, next._1))
+        })
+      .toDF("mk", "seq", "sk")
+    val sink = streaming.StreamingSessions.runToCompletion(
+      spark, sketches, "test_qsketch_xbatch", mode = "update")
+    // cross-batch proof: months span all 3 round-robin shards, so the
+    // final per-month seq must exceed 1 (state was folded repeatedly)
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy($"mk").orderBy($"seq".desc)
+    val latest = sink.withColumn("rn", row_number().over(wL))
+      .filter($"rn" === 1)
+    assert(latest.filter($"seq" >= 2).count() > 0,
+      "no month accumulated across micro-batches")
+    // and the final sketches carry exactly the corpus: Σn == |orders|
+    val total = latest.select($"sk").collect()
+      .map(r => graft.functions.QSketch
+        .deserialize(r.getAs[Array[Byte]](0)).n).sum
+    assert(total === o.count())
+    // grade tail holds the same contract as the batch query
+    val monthly = latest.select(
+      timestamp_micros($"mk").cast("timestamp_ntz").as("month"), $"sk")
+    val graded = ops.OlapOps.quantileGradeFromMonthly(monthly, o.toDF())
+      .collect()
+    assert(graded.nonEmpty)
+    graded.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"streamed sketch out of rank tolerance: $r")
+    }
+  }
+
   // --- MGSketch (mergeable Misra–Gries heavy hitters, r8) ---
 
   test("mg sketch: exact while distinct <= m; serialization round-trip") {
