@@ -535,6 +535,24 @@ class OpsSpec extends AnyFunSuite {
       assert(rows.map(_._3).sum === vecs.length) }
   }
 
+  test("pagerank: fixed-point invariants hold (mass bound, floor, top-20)") {
+    val rows = ops.Analytics.pagerank(spark, sf).collect()
+    assert(rows.length === 20)
+    val ranks = rows.map(_.getLong(1))
+    // every node keeps at least the teleport term, and truncating
+    // division can only LOSE mass: Σ over the top-20 is under the
+    // total scale (the full sum is ≤ 10^12 by induction)
+    assert(ranks.forall(_ > 0L))
+    assert(ranks.sum < 1000000000000L)
+    // deterministic: ordered by rank desc then part asc
+    assert(rows.sortBy(r => (-r.getLong(1), r.getLong(0))).toSeq === rows.toSeq)
+    // pure function of the table: re-run equals run (edges artifact +
+    // integer arithmetic)
+    val again = ops.Analytics.pagerank(spark, sf).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("pca component matches the single-node reference arithmetic exactly") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val scale = 1000000L
