@@ -869,6 +869,103 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  // --------------------------- hybrid retrieval (RRF fusion, r8) ---
+
+  private val RrfK = 60
+  private val RrfTopN = 50
+  private val RrfTerms = Seq("vector", "scan")
+
+  /** HYBRID retrieval with reciprocal-rank fusion — the RAG-stack
+    * composition every retrieval pipeline runs: a keyword ranker
+    * (distinct-query-term match count over `documents`) and a vector
+    * ranker (round-6 cosine to the vec_id=0 query embedding, the
+    * fixture's doc_id↔vec_id alignment) each produce a top-50, and
+    * candidates fuse by RRF score Σ 1/(k + rank), k=60 (Cormack et
+    * al.'s constant) — rank-based fusion needs no score calibration
+    * between rankers, which is why it is the default hybrid combiner.
+    *
+    * Determinism: ranks are ints from fully tie-broken orderings,
+    * the score is a sum of two exact int-ratio doubles evaluated in
+    * the same expression shape the oracle uses, rounded 9.
+    *
+    * Scale shape: each ranker's top-50 is `orderBy().limit()` —
+    * TakeOrdered, a distributed partial top-k, NOT a global sort —
+    * and rank assignment happens DRIVER-side over the 50 survivors
+    * (dim-sized, the centroid-collect discipline; a degenerate
+    * one-partition window over them would be the same 50 rows with a
+    * shuffle). Fusion is a full-outer join of two 50-row local
+    * frames. */
+  def hybridSearchRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val matches = RrfTerms
+      .map(t => array_contains(TextOps.tokens(col("text")), t).cast("int"))
+      .reduce(_ + _)
+    // TakeOrdered preserves the sort on collect; ranks = positions
+    val kwRanked = Tables.documents(s, d)
+      .select(col("doc_id"), matches.as("m"))
+      .filter(col("m") > 0)
+      .orderBy(col("m").desc, col("doc_id"))
+      .limit(RrfTopN)
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i + 1) }
+      .toDF("doc_id", "kw_rank")
+
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
+    val semRanked = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        Vectors.cosine6WithNorms(col("qe"), col("qn"),
+          col("embedding"), Vectors.normCol(col("embedding"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(RrfTopN)
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i + 1) }
+      .toDF("doc_id", "sem_rank")
+
+    kwRanked.join(semRanked, Seq("doc_id"), "full_outer")
+      .withColumn("score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)), 9))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("score"),
+        coalesce(col("kw_rank"), lit(0)).as("kw_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"))
+  }
+
+  private def hybridRrfOracleSql: String = {
+    val matchSql = RrfTerms
+      .map(t => s"CAST(list_contains(string_split(text, ' '), '$t') AS INT)")
+      .mkString(" + ")
+    s"""WITH kw AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id)
+       |      AS kw_rank
+       |  FROM (SELECT doc_id, $matchSql AS m FROM documents) t
+       |  WHERE m > 0),
+       |kw50 AS (SELECT doc_id, kw_rank FROM kw WHERE kw_rank <= $RrfTopN),
+       |sem AS (
+       |  SELECT v.vec_id AS doc_id,
+       |    ${cos.format("v.embedding", "q.embedding")} AS cosine
+       |  FROM embeddings v, embeddings q
+       |  WHERE q.vec_id = 0 AND v.vec_id <> 0),
+       |semr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+       |      AS sem_rank FROM sem),
+       |sem50 AS (SELECT doc_id, sem_rank FROM semr
+       |  WHERE sem_rank <= $RrfTopN)
+       |SELECT doc_id,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + kw_rank), 0.0)
+       |    + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + sem_rank), 0.0), 9)
+       |    AS score,
+       |  CAST(COALESCE(kw_rank, 0) AS INT) AS kw_rank,
+       |  CAST(COALESCE(sem_rank, 0) AS INT) AS sem_rank
+       |FROM kw50 FULL OUTER JOIN sem50 USING (doc_id)
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Product-quantization model: codebook m holds the 16 (dense code
     * id → 8-dim centroid) entries for embedding dims [m·8, m·8+8).
     * 64 float32 dims compress to 8 byte-sized codes — 32× — which is
@@ -1082,6 +1179,7 @@ object SimilarityOps {
     "sim_pq_topk" -> pqTopk, // generated oracle (spliced codebooks)
     "sim_kmeans_sizes" -> kmeansSizes, // generated oracle (spliced snapshots)
     "sim_pca_project" -> pcaProject, // generated oracle (spliced component)
+    "search_hybrid_rrf" -> hybridSearchRrf,
     "sim_quantized_top1" -> quantizedTopK,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
@@ -1292,6 +1390,7 @@ object SimilarityOps {
 
   private val staticOracles: Map[String, String] = Map(
     "sim_threshold_lsh" -> thresholdLshOracleSql,
+    "search_hybrid_rrf" -> hybridRrfOracleSql,
     "sim_centroid_drift" ->
       // same fixed-point centroids: exact integer sums of round(x·1e6),
       // one double division per coordinate, round-6 cosine

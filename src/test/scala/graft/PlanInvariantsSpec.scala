@@ -44,7 +44,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "text_lm_score",
     // same scalar-join shape: corpus doc count N is a SINGLE-ROW
     // broadcast against the doc-term stream (idf denominator)
-    "text_tfidf_topk"
+    "text_tfidf_topk",
+    // the semantic ranker's query side is ONE row (vec_id = 0)
+    // broadcast against the corpus scan — the sim_cosine_topk shape
+    // at single-query degeneracy
+    "search_hybrid_rrf"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
