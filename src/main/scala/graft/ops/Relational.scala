@@ -316,6 +316,34 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Ratio-to-report: each nation's share of its REGION's revenue —
+    * the window-over-aggregate OLAP shape (share-of-total within a
+    * partition) the window family didn't yet cover. One aggregation
+    * to nation grain, then a partition-window sum at |nations| = 25
+    * rows — the window runs over the AGGREGATE, never the fact table,
+    * which is what keeps ratio-to-report cheap at any scale. Shares
+    * divide two exact decimal-summed doubles and round(9) (the
+    * stat_corr discipline), so the oracle matches bit-for-bit. */
+  def ratioToReport(s: SparkSession, d: String): DataFrame = {
+    val nationRev = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(D18_2)).as("rev"))
+    val w = Window.partitionBy(col("r_name"))
+    nationRev
+      .withColumn("region_rev", sum(col("rev")).over(w))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("nation_revenue"),
+        col("region_rev").cast("double").as("region_revenue"),
+        round(col("rev").cast("double") /
+          col("region_rev").cast("double"), 9).as("share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Supplier-side snowflake: supplier ⋈ nation ⋈ region rollup. */
   def supplierStats(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
@@ -518,6 +546,7 @@ object Relational {
     "window_latest_per_group" -> latestPerGroup,
     "window_topn_per_group" -> topNPerGroup,
     "window_running_total" -> runningTotal,
+    "window_ratio_to_report" -> ratioToReport,
     "sort_limit" -> sortLimit,
     "filter_point_lookup" -> pointLookup,
     "setop_union_except" -> setOps,
@@ -657,6 +686,23 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY n_name""".stripMargin,
+    "window_ratio_to_report" ->
+      """WITH nr AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM customer
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(rev AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS region_revenue,
+        |  round(CAST(rev AS DOUBLE) /
+        |    CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 9)
+        |    AS share
+        |FROM nr ORDER BY r_name, n_name""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
