@@ -65,6 +65,9 @@ object GraftFunctions {
     ("graft_image_meta",
       (es: Seq[Expression]) => ImageMeta(es.head),
       "graft_image_meta(blob) - real PNG decode (JDK ImageIO): dims, bands, sample stats"),
+    ("graft_image_dhash",
+      (es: Seq[Expression]) => ImageDHash(es.head),
+      "graft_image_dhash(blob) - perceptual difference hash over the real decoded raster"),
     // the one AGGREGATE in the set: builds a serialized Count-Min
     // sketch; probe it with CountMinAgg.estimate (driver) or the
     // broadcast CountMinEstimate expression (distributed)

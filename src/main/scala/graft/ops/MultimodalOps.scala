@@ -97,6 +97,31 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Real decode as a Column: [[graft.functions.ImageDHash]]. */
+  private def imageDHash(blob: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ImageDHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** Perceptual-hash families over the PNG corpus: REAL ImageIO
+    * decode → band-sum dHash (one bit per horizontally-adjacent
+    * pixel pair, [[graft.functions.ImageCodec.dhashBoxed]]) → group
+    * identical hashes into families — the image near-dup primitive a
+    * media lake runs before any expensive pairwise comparison (equal
+    * dHash ⇒ candidate duplicates; hamming-near extends via the
+    * SimHash block-bucket machinery already in DedupOps). The DuckDB
+    * oracle re-derives every BIT from the pixel generator formula
+    * (band-sum luminance, wrap-aware adjacent compare), so a decode
+    * or bit-packing divergence fails the hash gate. Narrow map +
+    * one partial-agg shuffle on the 64-bit hash — corpus-linear. */
+  def phashFamilies(s: SparkSession, d: String): DataFrame =
+    pngTable(s, d)
+      .withColumn("dhash", imageDHash(col("blob")))
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("min_media_id"))
+      .orderBy(col("dhash"))
+
   /** Chunk-level blob dedup — the content-addressable-storage scan a
     * media lake runs: split each blob into fixed 64-byte chunks, hash
     * each chunk, report per-source total vs distinct chunk counts and
@@ -162,9 +187,40 @@ object MultimodalOps {
     "mm_resize" -> resizePlan,
     "mm_decode_features" -> decodeFeatures,
     "mm_decode_mappartitions" -> decodeMapPartitions,
+    "mm_phash_families" -> phashFamilies,
   )
 
   val oracles: Map[String, String] = Map(
+    // every BIT re-derived from the pixel generator: band-sum
+    // luminance l = Σ_c (id·w_c + 7x + 13y) mod 256 (gray = band 0
+    // only), bit k = y·(w−1)+x set iff l(x+1) > l(x)
+    "mm_phash_families" ->
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
+        |  FROM documents),
+        |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
+        |xs AS (SELECT media_id, w, nb, y,
+        |    unnest(range(0, w - 1)) AS x FROM ys),
+        |lums AS (SELECT media_id, w, y, x,
+        |    CASE WHEN nb = 1
+        |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
+        |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
+        |         + (media_id * 17 + 7 * x + 13 * y) % 256
+        |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
+        |    CASE WHEN nb = 1
+        |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+        |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+        |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
+        |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
+        |  FROM xs),
+        |bits AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN l1 > l0
+        |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM lums GROUP BY media_id)
+        |SELECT dhash, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
+        |FROM bits GROUP BY dhash ORDER BY dhash""".stripMargin,
     "mm_blob_stats" ->
       """SELECT source, COUNT(*) AS n_blobs,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -464,6 +464,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.serialize.toSeq === before)
   }
 
+  test("image dhash: decode matches the pixel formula; undecodable -> null") {
+    import graft.functions.ImageCodec
+    for (id <- Seq(0L, 1L, 7L, 42L, 123L)) {
+      val got = ImageCodec.dhashBoxed(ImageCodec.encodePng(id))
+      assert(got != null)
+      // formula replay: band-sum luminance, wrap-aware compare
+      val w = (id % 5 + 2).toInt
+      val h = (id % 3 + 2).toInt
+      val bands = if (id % 2 == 1) Seq(0) else Seq(0, 1, 2)
+      def lum(x: Int, y: Int): Int =
+        bands.map(c => ImageCodec.sampleValue(id, c, x, y)).sum
+      var want = 0L
+      var k = 0
+      for (y <- 0 until h; x <- 0 until w - 1) {
+        if (lum(x + 1, y) > lum(x, y)) want |= 1L << k
+        k += 1
+      }
+      assert(got.longValue() === want, s"id=$id")
+    }
+    assert(ImageCodec.dhashBoxed("not a png".getBytes("UTF-8")) == null)
+  }
+
   test("stream_quantile_rollup: sketches accumulate across micro-batches") {
     // orders split into 3 files streamed one per trigger: each month's
     // sketch must fold rows from SEVERAL batches through state (not
