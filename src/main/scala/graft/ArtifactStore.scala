@@ -191,18 +191,23 @@ object ArtifactStore {
         f"[artifact] built $name -> $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // A builder that crashed between move-aside and restore leaks its
-    // .aside-UUID sibling forever (ADVICE r7) — sweep stale ones on
-    // every serve. Age-gated: a FRESH aside may belong to an in-flight
-    // publish dance in another JVM (deleting it would turn that
-    // builder's recoverable rename race into a hard failure), and any
-    // live dance completes in seconds, so 15 min is conservative.
+    // .aside-UUID sibling forever (ADVICE r7), and one hard-killed
+    // MID-BUILD (kill -9/OOM — the in-process catch never ran) leaks
+    // its half-written .tmp-UUID dir — sweep both stale classes on
+    // every serve. Age-gated: a FRESH sibling may belong to an
+    // in-flight build/publish in another JVM (deleting a live tmp
+    // fails that build; deleting a live aside turns a recoverable
+    // rename race into a hard failure). An aside's dance completes in
+    // seconds; a tmp lives for one build — 15 min covers both here
+    // (size the gate to the longest expected build at 100 TB).
     try {
       val parent = dest.getParent
       if (fs.exists(parent)) {
-        val prefix = dest.getName + ".aside-"
+        val prefixes =
+          Seq(dest.getName + ".aside-", dest.getName + ".tmp-")
         val cutoff = System.currentTimeMillis() - 15 * 60 * 1000
         fs.listStatus(parent).foreach { st =>
-          if (st.getPath.getName.startsWith(prefix) &&
+          if (prefixes.exists(st.getPath.getName.startsWith) &&
               st.getModificationTime < cutoff)
             fs.delete(st.getPath, true)
         }

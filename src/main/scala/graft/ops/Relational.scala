@@ -131,7 +131,11 @@ object Relational {
     * bypass `Tables`' footer dispatch, and the one thing this repo
     * never does is silently misread a timestamp column. */
   private[graft] def cboTables(s: SparkSession, d: String): Map[String, String] =
-    cboReady.getOrElseUpdate(d, {
+    // keyed on the CONTENT fingerprint, not the path: republished
+    // fixture data at the same path must re-ANALYZE, or CBO plans
+    // against stale statistics (review finding — the same staleness
+    // rule every artifact-store consumer follows)
+    cboReady.getOrElseUpdate(graft.ArtifactStore.fingerprint(s, d), {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val specs = Seq(

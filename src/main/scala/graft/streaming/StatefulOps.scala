@@ -108,6 +108,20 @@ object StatefulOps {
         unix_micros(date_trunc("month", col("ts"))).as("mk"),
         col("o_totalprice").as("v"))
       .as[(Long, Double)]
+    quantileRollupOver(spark, keyed, graft.Tables.orders(spark, sfDir),
+      "stream_quantile_sketches")
+  }
+
+  /** Core of [[quantileRollup]], parameterized for tests (the
+    * cross-batch spec feeds a 3-file one-per-trigger source through
+    * THIS code — the production state fold, not a copy): a keyed
+    * (month-micros, value) stream folds into per-month QSketch state,
+    * the drained latest-per-month sketches run the shared batch grade
+    * tail against `orders`. */
+  private[graft] def quantileRollupOver(spark: SparkSession,
+      keyed: org.apache.spark.sql.Dataset[(Long, Double)],
+      orders: DataFrame, sinkName: String): DataFrame = {
+    import spark.implicits._
     val sketches = keyed
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
@@ -123,27 +137,17 @@ object StatefulOps {
           Iterator.single((mk, next._2, next._1))
         })
       .toDF("mk", "seq", "sk")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      sketches.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName("stream_quantile_sketches")
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
-
+    val sink = StreamingSessions.runToCompletion(spark, sketches, sinkName,
+      mode = "update")
     import org.apache.spark.sql.expressions.Window
     val wLatest = Window.partitionBy(col("mk"))
       .orderBy(col("seq").desc)
-    val monthly = spark.table("stream_quantile_sketches")
+    val monthly = sink
       .withColumn("rn", row_number().over(wLatest))
       .filter(col("rn") === 1)
       .select(timestamp_micros(col("mk")).cast("timestamp_ntz").as("month"),
         col("sk"))
-    graft.ops.OlapOps.quantileGradeFromMonthly(monthly,
-      graft.Tables.orders(spark, sfDir))
+    graft.ops.OlapOps.quantileGradeFromMonthly(monthly, orders)
   }
 
   case class CdcState(micros: Long, seq: Long, op: String, bal: Double)

@@ -520,25 +520,20 @@ class FunctionsSpec extends AnyFunSuite {
         unix_micros(date_trunc("month", $"ts")).as("mk"),
         $"o_totalprice".as("v"))
       .as[(Long, Double)]
-    val sketches = keyed.groupByKey(_._1)
-      .flatMapGroupsWithState(
-        org.apache.spark.sql.streaming.OutputMode.Update(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
-        (mk: Long, rows: Iterator[(Long, Double)],
-         state: org.apache.spark.sql.streaming.GroupState[(Array[Byte], Long)]) => {
-          val (bytes, seq) = state.getOption.getOrElse((null: Array[Byte], 0L))
-          val sk = if (bytes == null) new graft.functions.QSketch(512)
-            else graft.functions.QSketch.deserialize(bytes)
-          rows.foreach(r => sk.update(r._2))
-          val next = (sk.serialize, seq + 1)
-          state.update(next)
-          Iterator.single((mk, next._2, next._1))
-        })
-      .toDF("mk", "seq", "sk")
-    val sink = streaming.StreamingSessions.runToCompletion(
-      spark, sketches, "test_qsketch_xbatch", mode = "update")
-    // cross-batch proof: months span all 3 round-robin shards, so the
-    // final per-month seq must exceed 1 (state was folded repeatedly)
+    // the PRODUCTION core (state fold + drain + grade tail), not a
+    // test copy — a drift in the fold fails here, not just in grading
+    val graded = streaming.StatefulOps
+      .quantileRollupOver(spark, keyed, o.toDF(), "test_qsketch_xbatch")
+      .collect()
+    assert(graded.nonEmpty)
+    graded.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"streamed sketch out of rank tolerance: $r")
+    }
+    // cross-batch proof from the sink the core drained: months span
+    // all 3 round-robin shards, so the final per-month seq must
+    // exceed 1 (state was folded repeatedly, not rebuilt per batch)
+    val sink = spark.table("test_qsketch_xbatch")
     val wL = org.apache.spark.sql.expressions.Window
       .partitionBy($"mk").orderBy($"seq".desc)
     val latest = sink.withColumn("rn", row_number().over(wL))
@@ -550,16 +545,6 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => graft.functions.QSketch
         .deserialize(r.getAs[Array[Byte]](0)).n).sum
     assert(total === o.count())
-    // grade tail holds the same contract as the batch query
-    val monthly = latest.select(
-      timestamp_micros($"mk").cast("timestamp_ntz").as("month"), $"sk")
-    val graded = ops.OlapOps.quantileGradeFromMonthly(monthly, o.toDF())
-      .collect()
-    assert(graded.nonEmpty)
-    graded.foreach { r =>
-      assert(r.getBoolean(4) && r.getBoolean(5),
-        s"streamed sketch out of rank tolerance: $r")
-    }
   }
 
   // --- MGSketch (mergeable Misra–Gries heavy hitters, r8) ---
