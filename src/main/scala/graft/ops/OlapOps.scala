@@ -202,6 +202,38 @@ object OlapOps {
       .orderBy(col("quarter"), col("rank"))
   }
 
+  /** EQUI-DEPTH histogram (per-priority price deciles) from exact
+    * distributed ORDER STATISTICS — the complement of the equi-width
+    * [[histogram]]: bucket boundaries adapt to the distribution so
+    * every bucket holds ~n/10 rows. No percentile interpolation
+    * anywhere: each row's exact rank within its priority comes from
+    * the two-phase [[PrefixSum]] (never a corpus-wide single-task
+    * window — the text_pack_sequences machinery), the order key is
+    * the integer composite cents·2²⁴ + orderkey (unique, order-
+    * preserving; widen the shift when keys outgrow 2²⁴ — the z-order
+    * rank-reduction note applies), and decile assignment is the pure
+    * integer ⌊(rank−1)·10/n⌋. Bucket row counts, min and max are then
+    * exact values both engines agree on byte-for-byte. */
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("k",
+        round(col("o_totalprice") * 100).cast("long") * lit(16777216L) +
+          col("o_orderkey"))
+      .withColumn("one", lit(1L))
+    val ranked = PrefixSum.runningSum(rows, Seq("o_orderpriority"),
+      "k", "one", "rk", bucketWidth = 1L << 40)
+    val totals = ranked.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(totals), Seq("o_orderpriority"))
+      .withColumn("bucket", expr("((rk - 1) * 10) div n"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+  }
+
   /** Approximate query processing by DETERMINISTIC sampling: estimate
     * the corpus-wide discounted revenue from a 10% md5-prefix sample
     * in the SAME single scan that computes the exact answer (one
@@ -465,6 +497,7 @@ object OlapOps {
     "agg_quantile_union" -> quantileUnionRollup,
     "agg_topk_union" -> topkUnionRollup,
     "agg_sample_estimate" -> sampleEstimate,
+    "agg_equidepth_histogram" -> equidepthHistogram,
     "profile_table" -> profileTable,
     "join_left_outer" -> leftOuter,
     "olap_rollup" -> rollupLineitem,
@@ -543,6 +576,22 @@ object OlapOps {
         |      ORDER BY n_orders DESC, priority) AS BIGINT) AS rank
         |  FROM counted) t
         |WHERE rank <= 3 ORDER BY quarter, rank""".stripMargin,
+    // exact order statistics: ranks over the same unique composite
+    // integer key, pure-integer decile assignment — both engines
+    // agree byte-for-byte, no interpolation involved
+    "agg_equidepth_histogram" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+        |        * 16777216 + o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST((rk - 1) * 10 // n AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n_rows, MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the sample selection is the md5-prefix scheme — engine-identical
     // hex strings, so the oracle replays selection AND estimate exactly
     "agg_sample_estimate" ->
