@@ -113,11 +113,19 @@ object Analytics {
     * localCheckpoint per iteration keeps the lineage flat. At 100 TB
     * the edges frame is the artifact and iterations co-partition
     * ranks with the adjacency on node id. */
-  def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = partEdges(s, d)
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOn(partEdges(s, d))
+
+  /** Core of [[pagerank]] over any symmetric (src, dst) edge frame —
+    * parameterized for degenerate-input tests. */
+  def pagerankOn(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val n = deg.count()
+    // an edgeless graph (every order a single part) has no ranked
+    // nodes — return the empty frame instead of dividing by zero
+    if (n == 0L)
+      return deg.select(col("src").as("part"), lit(0L).as("rank"))
     val base = (100L - PrDamp) * PrScale / (100L * n)
     var ranks = deg.select(col("src").as("node"),
       lit(PrScale / n).as("r"))

@@ -111,6 +111,42 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(withEmpty.toSeq == Seq(("", "x")))
   }
 
+  test("pagerank core survives empty and single-edge graphs") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ops.Analytics.pagerankOn(empty).count() == 0)
+    // one undirected edge = two directed rows; both nodes rank equally
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = ops.Analytics.pagerankOn(pair).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 2)
+    assert(got.map(_._2).distinct.length == 1,
+      "symmetric 2-node graph must rank both nodes equally")
+  }
+
+  test("quantile grade tail survives an empty sketch frame") {
+    import org.apache.spark.sql.functions.col
+    val monthly = Seq.empty[(java.sql.Timestamp, Array[Byte])]
+      .toDF("month", "sk")
+      .withColumn("month", col("month").cast("timestamp_ntz"))
+    val orders = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    assert(ops.OlapOps.quantileGradeFromMonthly(monthly, orders).count() == 0)
+  }
+
+  test("mg sketch aggregator yields no rows for an empty frame") {
+    import org.apache.spark.sql.functions._
+    val build = udaf(new graft.functions.MGSketchAgg(4))
+    val empty = Seq.empty[(String, String)].toDF("g", "k")
+    assert(empty.groupBy(col("g")).agg(build(col("k"))).count() == 0)
+    // null keys are skipped, not NPEs
+    val withNulls = Seq(("a", null: String), ("a", "x")).toDF("g", "k")
+    val bytes = withNulls.groupBy(col("g")).agg(build(col("k")).as("sk"))
+      .collect().head.getAs[Array[Byte]](1)
+    val sk = graft.functions.MGSketch.deserialize(bytes)
+    assert(sk.n == 1L && sk.counters.toMap == Map("x" -> 1L))
+  }
+
   test("gapfill core survives empty input and single-event users") {
     import org.apache.spark.sql.functions.col
     val empty = Seq.empty[(Long, java.sql.Timestamp, Double)]
