@@ -134,7 +134,14 @@ object OlapOps {
     * bytes — built by a batch groupBy or drained from streaming state —
     * and the grade is identical either way, which is exactly the
     * stored-sketch promise (the serving side cannot tell who built
-    * the sketch). */
+    * the sketch).
+    *
+    * The rank check uses count(≤ approx)/n, which assumes low tie
+    * mass per value (true of o_totalprice: ~unique 2-decimal prices).
+    * Under HEAVY ties a returned value occupies a rank INTERVAL
+    * [count(<v), count(≤v)] and the correct acceptance test is that
+    * the interval intersects the band — the form the seeded-random
+    * sweep in RandomDifferentialSpec uses over 25%-duplicated data. */
   private[graft] def quantileGradeFromMonthly(monthly: DataFrame,
       orders: DataFrame): DataFrame = {
     val skMerge = udaf(new graft.functions.QuantileMergeAgg(512, Seq(0.5, 0.95)))

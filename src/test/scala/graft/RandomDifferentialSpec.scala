@@ -257,4 +257,88 @@ class RandomDifferentialSpec extends AnyFunSuite {
     assert(got == expected,
       s"missed ${(expected -- got).size} / invented ${(got -- expected).size}")
   }
+
+  test("qsketch on random streams under random shard merges holds the " +
+      "rank band (r8)") {
+    // adversarial-ish inputs: heavy duplication, skewed magnitudes,
+    // random shard boundaries and merge orders — the sketch's rank
+    // guarantee must hold for EVERY combination, graded against exact
+    // sorted data (an independent sequential model)
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 2000 + rnd.nextInt(20000)
+      val data = Array.fill(n) {
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(10).toDouble // heavy collisions
+          case 1 => rnd.nextDouble() * 1e6
+          case 2 => -rnd.nextDouble() * 1e3 // negatives
+          case _ => rnd.nextGaussian() * 100
+        }
+      }
+      val sorted = data.sorted
+      // under heavy ties a value OCCUPIES a rank interval
+      // [count(<v), count(≤v)] — the sketch's guarantee is that this
+      // interval intersects the q band, not that its upper end does
+      // (a 25%-duplicated value can legitimately span several percent)
+      def rankLo(v: Double): Double = sorted.count(_ < v).toDouble / n
+      def rankHi(v: Double): Double = sorted.count(_ <= v).toDouble / n
+      // random shard split + scrambled merge order
+      val nShards = 1 + rnd.nextInt(12)
+      val cuts = (Array(0, n) ++ Array.fill(nShards - 1)(rnd.nextInt(n)))
+        .distinct.sorted
+      val shards = cuts.sliding(2).map { case Array(a, b) =>
+        val s = new graft.functions.QSketch(512)
+        (a until b).foreach(i => s.update(data(i)))
+        s
+      }.toSeq
+      val merged = new graft.functions.QSketch(512)
+      rnd.shuffle(shards).foreach(merged.merge)
+      assert(merged.n === n.toLong, s"trial $trial: mass lost")
+      for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+        val est = merged.quantile(q)
+        val eps = 0.02 + 1.0 / n
+        assert(rankLo(est) <= q + eps && rankHi(est) >= q - eps,
+          s"trial $trial n=$n q=$q est=$est " +
+            s"interval=[${rankLo(est)}, ${rankHi(est)}]")
+      }
+    }
+  }
+
+  test("mg sketch on random zipf streams under random merges: never " +
+      "overcounts, undercount bounded, heavy hitters present (r8)") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val m = 8 + rnd.nextInt(24)
+      val n = 5000 + rnd.nextInt(10000)
+      // zipf-ish: key j with weight ~ 1/(j+1)
+      val keys = Array.fill(n) {
+        var j = 0
+        while (j < 200 && rnd.nextDouble() > 0.3) j += 1
+        s"k$j"
+      }
+      val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nShards = 1 + rnd.nextInt(8)
+      val cuts = (Array(0, n) ++ Array.fill(nShards - 1)(rnd.nextInt(n)))
+        .distinct.sorted
+      val shards = cuts.sliding(2).map { case Array(a, b) =>
+        val s = new graft.functions.MGSketch(m)
+        (a until b).foreach(i => s.update(keys(i)))
+        s
+      }.toSeq
+      val merged = new graft.functions.MGSketch(m)
+      rnd.shuffle(shards).foreach(merged.merge)
+      assert(merged.n === n.toLong)
+      assert(merged.counters.size <= m)
+      val bound = n.toLong / (m + 1) + 1
+      merged.counters.foreach { case (k, c) =>
+        assert(c <= exact(k), s"trial $trial: overcount on $k")
+        assert(exact(k) - c <= bound, s"trial $trial: undercount on $k")
+      }
+      // every guaranteed heavy hitter (freq > n/(m+1)) is present
+      exact.filter(_._2 > bound).keys.foreach { k =>
+        assert(merged.counters.contains(k),
+          s"trial $trial: guaranteed heavy hitter $k evicted")
+      }
+    }
+  }
 }
