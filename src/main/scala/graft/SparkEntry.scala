@@ -61,6 +61,7 @@ object SparkEntry {
     "stream_cdc_upsert" -> (streaming.StatefulOps.cdcUpsert _),
     "stream_dedup_neardup" -> (streaming.StreamingDedup.nearDupPairs _),
     "stream_quantile_rollup" -> (streaming.StatefulOps.quantileRollup _),
+    "stream_topk_rollup" -> (streaming.StatefulOps.topkRollup _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
     // identical statement to the batch CDC forms: streamed per-key
@@ -75,6 +76,10 @@ object SparkEntry {
     // per-month sketch state merged to quarters must satisfy the same
     // exact-percentile + rank-tolerance contract
     "stream_quantile_rollup" -> ops.OlapOps.oracles("agg_quantile_union"),
+    // identical statement to the batch top-k rollup: the streamed MG
+    // state is exact here (domain under capacity), so the counts must
+    // hash-match the plain GROUP BY + row_number oracle
+    "stream_topk_rollup" -> ops.OlapOps.oracles("agg_topk_union"),
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

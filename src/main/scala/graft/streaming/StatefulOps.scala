@@ -150,6 +150,72 @@ object StatefulOps {
     graft.ops.OlapOps.quantileGradeFromMonthly(monthly, orders)
   }
 
+  /** Streaming HEAVY-HITTERS maintenance — the [[quantileRollup]]
+    * pattern for the Misra–Gries summary, completing the streaming
+    * side of the mergeable-sketch family: per-month MG state folds
+    * priority keys across micro-batches, the drained latest sketches
+    * merge to quarters through the SAME
+    * `graft.functions.MGMergeAgg` the batch query uses, and the
+    * result grades against `agg_topk_union`'s own oracle (the
+    * priority domain sits under the summary capacity, so the
+    * streamed counts are exact by the degenerate-exact property
+    * regardless of batch boundaries). */
+  def topkRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nanos = graft.Tables.rawNanosCols(spark, s"$sfDir/orders.parquet")
+      .contains("o_orderdate")
+    if (nanos)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ordersSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
+    val src = spark.readStream.schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(sfDir)
+      .withColumn("ts",
+        if (nanos) timestamp_micros(expr("o_orderdate div 1000"))
+        else col("o_orderdate").cast("timestamp"))
+    val keyed = src.select(
+        unix_micros(date_trunc("month", col("ts"))).as("mk"),
+        col("o_orderpriority").as("v"))
+      .as[(Long, String)]
+    val sketches = keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
+        (mk: Long, rows: Iterator[(Long, String)],
+         state: GroupState[(Array[Byte], Long)]) => {
+          val (bytes, seq) = state.getOption.getOrElse(
+            (null: Array[Byte], 0L))
+          val sk = if (bytes == null) new graft.functions.MGSketch(8)
+            else graft.functions.MGSketch.deserialize(bytes)
+          rows.foreach(r => sk.update(r._2))
+          val next = (sk.serialize, seq + 1)
+          state.update(next)
+          Iterator.single((mk, next._2, next._1))
+        })
+      .toDF("mk", "seq", "sk")
+    val sink = StreamingSessions.runToCompletion(spark, sketches,
+      "stream_topk_sketches", mode = "update")
+    import org.apache.spark.sql.expressions.Window
+    val wLatest = Window.partitionBy(col("mk"))
+      .orderBy(col("seq").desc)
+    val monthly = sink
+      .withColumn("rn", row_number().over(wLatest))
+      .filter(col("rn") === 1)
+      .select(timestamp_micros(col("mk")).cast("timestamp_ntz").as("month"),
+        col("sk"))
+    val merge = udaf(new graft.functions.MGMergeAgg(8, 3))
+    monthly
+      .groupBy(date_trunc("quarter", col("month"))
+        .cast("timestamp_ntz").as("quarter"))
+      .agg(merge(col("sk")).as("top"))
+      .select(col("quarter"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("quarter"), (col("pos") + 1).cast("long").as("rank"),
+        col("kv._1").as("priority"), col("kv._2").as("n_orders"))
+      .orderBy(col("quarter"), col("rank"))
+  }
+
   case class CdcState(micros: Long, seq: Long, op: String, bal: Double)
 
   /** Streaming CDC upsert — the streaming twin of `cdc_read_mor`: the
