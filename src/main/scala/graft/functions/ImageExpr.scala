@@ -138,6 +138,15 @@ object ImageCodec {
     val raster = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
+    // 64-bit contract ENFORCED, not assumed: bit k = y·(w−1)+x wraps
+    // mod 64 under Scala's shift once (w−1)·h > 64, silently aliasing
+    // bits while the oracle's equivalent shift yields 0 — the two
+    // would diverge exactly on out-of-fixture inputs. Production
+    // prepends the resize-to-9×8 step ((9−1)·8 = 64 pairs exactly);
+    // until an image lands here pre-resized, oversize fails loudly.
+    require((w - 1).toLong * h <= 64L,
+      s"dhash needs (width-1)*height <= 64 bit pairs, got ${w}x$h = " +
+        s"${(w - 1).toLong * h}; resize to 9x8 first")
     val bands = raster.getNumBands
     def lum(x: Int, y: Int): Int = {
       var t = 0; var c = 0

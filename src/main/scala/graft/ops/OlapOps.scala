@@ -195,10 +195,22 @@ object OlapOps {
     * in FunctionsSpec where exactness is impossible. */
   def topkUnionRollup(s: SparkSession, d: String): DataFrame = {
     val build = udaf(new graft.functions.MGSketchAgg(8))
-    val merge = udaf(new graft.functions.MGMergeAgg(8, 3))
     val monthly = Tables.orders(s, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(build(col("o_orderpriority")).as("sk"))
+    topkGradeFromMonthly(monthly)
+  }
+
+  /** The quarter-merge + top-3 presentation tail of
+    * [[topkUnionRollup]], shared with the streaming twin
+    * (`stream_topk_rollup`) exactly like [[quantileGradeFromMonthly]]:
+    * `monthly` is any (month, sk) frame of serialized
+    * [[graft.functions.MGSketch]] bytes — batch groupBy or drained
+    * streaming state — and both graded forms run THIS one tail
+    * against the same oracle, so a drift in the presentation can
+    * never split them silently. */
+  private[graft] def topkGradeFromMonthly(monthly: DataFrame): DataFrame = {
+    val merge = udaf(new graft.functions.MGMergeAgg(8, 3))
     monthly
       .groupBy(date_trunc("quarter", col("month"))
         .cast("timestamp_ntz").as("quarter"))
@@ -222,6 +234,17 @@ object OlapOps {
     * integer ⌊(rank−1)·10/n⌋. Bucket row counts, min and max are then
     * exact values both engines agree on byte-for-byte. */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    // uniqueness precondition CHECKED, not commented (review finding):
+    // the composite key cents·2²⁴ + o_orderkey is injective only while
+    // o_orderkey < 2²⁴ (~TPC-H SF 3); past that, colliding keys make
+    // row_number engine-dependent and buckets silently diverge from
+    // the oracle. One single-column max over the scan the query reads
+    // anyway — fail loud, widen the shift to grow.
+    val maxKey = Tables.orders(s, d).agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    require(maxKey < 16777216L,
+      s"equidepthHistogram composite order key needs o_orderkey < 2^24" +
+        s", got max $maxKey: widen the 2^24 shift")
     val rows = Tables.orders(s, d)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("k",

@@ -790,6 +790,21 @@ object SimilarityOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1).map(_._2).toSeq
     val dim = sums.length
+    // FAIL-LOUD overflow guard on the stage-1 long arithmetic (review
+    // finding): the per-row scalar w = Σ(n·q_i − sums_i)·comp_i is
+    // plain Long math, bounded by dim · 2n·maxQ · quantScale with
+    // maxQ the actual max |q_i| of THIS corpus. Past ~7e4 rows at 64
+    // dims that bound crosses Long.MaxValue and the iteration would
+    // train a silently wrong component the spliced-constant oracle
+    // still replays consistently — corruption the grade cannot see.
+    // A larger corpus must widen stage 1 to DECIMAL like stage 2.
+    val maxQ = qe.select(max(aggregate(col("qv"), lit(0L),
+      (acc, x) => greatest(acc, abs(x))))).head().getLong(0)
+    require(BigInt(dim) * 2 * n * maxQ * quantScale <=
+      BigInt(Long.MaxValue),
+      s"pcaFit stage-1 long bound exceeded (n=$n, dim=$dim, " +
+        s"maxQ=$maxQ, scale=$quantScale): switch the projection " +
+        "stage to DECIMAL(38,0) before training at this size")
     var comp: Seq[Long] = Seq.fill(dim)(quantScale) // deterministic start
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     for (_ <- 1 to iters) {

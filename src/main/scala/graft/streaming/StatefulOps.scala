@@ -205,15 +205,9 @@ object StatefulOps {
       .filter(col("rn") === 1)
       .select(timestamp_micros(col("mk")).cast("timestamp_ntz").as("month"),
         col("sk"))
-    val merge = udaf(new graft.functions.MGMergeAgg(8, 3))
-    monthly
-      .groupBy(date_trunc("quarter", col("month"))
-        .cast("timestamp_ntz").as("quarter"))
-      .agg(merge(col("sk")).as("top"))
-      .select(col("quarter"), posexplode(col("top")).as(Seq("pos", "kv")))
-      .select(col("quarter"), (col("pos") + 1).cast("long").as("rank"),
-        col("kv._1").as("priority"), col("kv._2").as("n_orders"))
-      .orderBy(col("quarter"), col("rank"))
+    // SHARED quarter-merge + top-3 tail (the quantileGradeFromMonthly
+    // discipline): batch and stream grade through one definition
+    graft.ops.OlapOps.topkGradeFromMonthly(monthly)
   }
 
   case class CdcState(micros: Long, seq: Long, op: String, bal: Double)

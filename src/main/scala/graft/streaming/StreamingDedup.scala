@@ -63,6 +63,16 @@ object StreamingDedup {
       "stream_neardup_cand")
   }
 
+  /** Overflow arrivals observed by the LAST [[nearDupPairsOver]] run
+    * in this JVM — the streaming counterpart of the batch pass's
+    * `graft_lsh_bucket_overflow` observed metric (review finding:
+    * under overflow the streamed candidate set legitimately diverges
+    * from batch — first-arrivals kept vs smallest ids, overflowing
+    * doc still paired against members — and operators need an alarm
+    * the moment that equivalence contract stops holding, not a code
+    * comment saying the fixtures don't overflow). */
+  @volatile private[graft] var lastOverflowArrivals: Long = 0L
+
   /** Core, parameterized for tests: `docsStream` is any streaming
     * (doc_id, text, ...) frame (tests feed multi-file directories with
     * maxFilesPerTrigger=1 to force true cross-batch arrivals);
@@ -77,6 +87,11 @@ object StreamingDedup {
       .select(col("band"), col("bucket"), col("doc_id"))
       .as[(Int, Long, Long)]
 
+    // side metric, not control flow: accumulators are at-least-once
+    // under task retries, fine for an alarm that asks "did ANY bucket
+    // overflow", never for a graded value
+    val overflow = spark.sparkContext.longAccumulator(
+      "graft_stream_lsh_bucket_overflow")
     val cands = bands
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(
@@ -98,6 +113,7 @@ object StreamingDedup {
                 out += ((math.min(m, d), math.max(m, d)))
               }
               if (members.size < maxBucket) members = d :: members
+              else overflow.add(1L) // batch-equivalence contract broken
             }
             i += 1
           }
@@ -108,6 +124,12 @@ object StreamingDedup {
 
     val sink = StreamingSessions.runToCompletion(spark, cands, sinkName,
       mode = "update")
+    lastOverflowArrivals = overflow.value
+    if (lastOverflowArrivals > 0L)
+      System.err.println(s"[graft] WARN stream LSH bucket overflow: " +
+        s"$lastOverflowArrivals arrivals hit full buckets — streamed " +
+        "candidates may diverge from the batch pass (first-arrival " +
+        "retention); raise maxBucket or pre-dedup exact copies")
     // batch tail: a pair can surface from several bands (and several
     // batches) — dedup, then the SHARED exact-Jaccard verification
     graft.ops.DedupOps.verifyJaccard(sink.distinct(), corpus)

@@ -122,6 +122,64 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  // --- round-9 review pins ------------------------------------------
+
+  test("dhash refuses a raster with more than 64 bit pairs") {
+    // (10−1)·8 = 72 pairs: bit k would wrap mod 64 under Scala's
+    // shift while the oracle's shift yields 0 — must fail loudly
+    val img = new java.awt.image.BufferedImage(10, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.ImageCodec.dhashBoxed(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("resize to 9x8"))
+    // and the largest LEGAL raster still hashes: 9×8 = exactly 64 pairs
+    val ok = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ok, "png", bos2)
+    assert(graft.functions.ImageCodec.dhashBoxed(bos2.toByteArray) != null)
+  }
+
+  test("pcaFit fails loudly when stage-1 long arithmetic could overflow") {
+    // absurd quantScale pushes dim·2n·maxQ·quantScale past
+    // Long.MaxValue: the trainer must refuse rather than train a
+    // silently wrong component the spliced oracle would still replay
+    val e = intercept[IllegalArgumentException] {
+      ops.SimilarityOps.pcaFit(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        iters = 1, quantScale = 1000000000000L)
+    }
+    assert(e.getMessage.contains("DECIMAL"))
+  }
+
+  test("streaming LSH overflow arrivals are counted, not silent") {
+    // maxBucket=1: the second doc into any shared band bucket hits a
+    // full bucket — the batch-equivalence contract is broken and the
+    // side metric must say so (the batch pass's observed-metric twin)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    streaming.StreamingDedup.nearDupPairsOver(spark, stream, docs,
+      "test_neardup_overflow", maxBucket = 1).collect()
+    assert(streaming.StreamingDedup.lastOverflowArrivals > 0L,
+      "full-bucket arrivals must register on the overflow metric")
+    // and a non-overflowing run resets the alarm to zero
+    val stream2 = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    streaming.StreamingDedup.nearDupPairsOver(spark, stream2, docs,
+      "test_neardup_no_overflow").collect()
+    assert(streaming.StreamingDedup.lastOverflowArrivals === 0L)
+  }
+
   test("registerAll equals the per-file register fold") {
     val files = Seq(("01--AK--x.tab", "AK", 10), ("02--CA--y.tab", "CA", 20),
       ("03--NY--z.tab", "NY", 30))
