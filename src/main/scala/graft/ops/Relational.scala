@@ -392,6 +392,85 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  // --- AQE skew-join twin of saltedJoinParity (VERDICT r8 #1) ------
+
+  /** Deliberately SKEWED fact side for the AQE twin: every even
+    * orderkey is redirected to customer 1, so one join key carries
+    * half the fact table — the per-state file-size disparity of the
+    * reference (CA vs WY) as a join-key hot spot. Deterministic
+    * derivation (pure function of the row), so the DuckDB oracle
+    * replays the same skew. [[saltedJoinParity]] keeps the NATURAL
+    * keys: it grades that the salting rewrite preserves semantics;
+    * this frame exists to give the engine a real hot key to split. */
+  private[graft] def skewedOrders(s: SparkSession, d: String): DataFrame =
+    // fanOut matters here beyond CPU spreading: AQE splits a skewed
+    // reduce partition at MAP-OUTPUT boundaries
+    // (ShufflePartitionsUtil.createSkewPartitionSpecs groups map
+    // ranges), so a single-row-group local scan = ONE map task is
+    // atomically unsplittable no matter how skewed — probed: the rule
+    // found the 102 KB hot partition but createSkewPartitionSpecs
+    // returned None. At 100 TB the scan has thousands of map tasks
+    // and this is a no-op (fanOut's documented contract).
+    fanOut(Tables.orders(s, d).select(
+      when(col("o_orderkey") % 2 === 0, lit(1L))
+        .otherwise(col("o_custkey")).as("j_custkey"),
+      col("o_totalprice")))
+
+  /** Run `body` with AQE skew-join splitting armed for the small-SF
+    * regime, broadcast disabled (at 100 TB neither side broadcasts —
+    * the shuffle path is the one under test), restoring previous
+    * session values after — the [[withCbo]] scoping discipline.
+    * Thresholds: the defaults (256 MB / factor 5) are sized for
+    * production shuffles and can never trigger on test-SF partitions,
+    * so the scope arms factor 2 + 16 KB — the decision RULE is the
+    * engine's, only its scale constants are tuned to the fixture,
+    * exactly like shuffle.partitions=32 for local[32]. */
+  private[graft] def withSkewAqe[T](s: SparkSession)(body: => T): T = {
+    val settings = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed join with ZERO hand mitigation — no salt, no hints:
+    * the engine-credit half of the skew story. Callers wrap it in
+    * [[withSkewAqe]]; AQE detects the hot partition at runtime from
+    * map-output sizes and splits it across tasks
+    * (OptimizeSkewedJoin), which is the mechanism that handles
+    * MODERATE runtime skew at 100 TB without code changes — hand
+    * salting ([[saltedJoinParity]]) remains for the single-key-
+    * exceeds-an-executor regime AQE cannot split. Asserted in
+    * PlanInvariantsSpec: the executed plan must carry a skew=true
+    * join. */
+  private[graft] def skewAqeFrame(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    skewedOrders(s, d)
+      .join(c, col("j_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Graded AQE-skew query: identical semantics to the plain SQL
+    * replay of the skewed join (the [[saltedJoinParity]] parity
+    * contract — the mitigation must be invisible in results).
+    * Executed EAGERLY inside the conf scope (AQE reads its confs at
+    * action time — the [[regionalRevenueCbo]] discipline). */
+  def skewAqeParity(s: SparkSession, d: String): DataFrame =
+    withSkewAqe(s) { skewAqeFrame(s, d).localCheckpoint(true) }
+      .orderBy(col("c_mktsegment"))
+
   /** P8/P9: deterministic pagination — rows [100, 120) of the
     * o_orderkey total order, the batch analog of the reference's
     * --start/--resume.
@@ -538,6 +617,7 @@ object Relational {
     "join_supplier_stats" -> supplierStats,
     "join_shuffle_parity" -> shuffleJoinParity,
     "join_salted_parity" -> saltedJoinParity,
+    "join_skew_aqe_parity" -> skewAqeParity,
     "filter_range_slice" -> rangeSlice,
     "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
@@ -564,6 +644,17 @@ object Relational {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // plain SQL replay of the derived skew: AQE's runtime split (like
+    // the salt) must be invisible in results
+    "join_skew_aqe_parity" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1
+        |             ELSE o_custkey END AS j_custkey, o_totalprice
+        |      FROM orders) o
+        |JOIN customer c ON o.j_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "join_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer

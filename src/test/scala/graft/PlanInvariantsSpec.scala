@@ -219,6 +219,46 @@ class PlanInvariantsSpec extends AnyFunSuite {
         "and this test should be rethought")
   }
 
+  test("AQE splits the hot partition of the skewed join without salting") {
+    // VERDICT r8 #1, the engine-credit twin of join_salted_parity:
+    // under the armed scope, the UNSALTED skewed join's final adaptive
+    // plan must carry a skew-split join (SortMergeJoin/ShuffledHashJoin
+    // print `(skew=true)` once OptimizeSkewedJoin fires) with no hand
+    // mitigation anywhere in the plan. sf0.01: the hot partition needs
+    // real byte mass to clear the 16 KB threshold.
+    val sfSkew = "/root/testdata/sf0.01"
+    val split = ops.Relational.withSkewAqe(spark) {
+      val f = ops.Relational.skewAqeFrame(spark, sfSkew)
+      // collect(), not count(): count() builds a SEPARATE plan, which
+      // would leave THIS frame's AdaptiveSparkPlan un-finalized
+      f.collect()
+      f.queryExecution.executedPlan.toString
+    }
+    assert(split.contains("skew=true"),
+      "AQE did not mark the hot-key join as skew-split:\n" + split)
+    assert(!split.contains("__salt"), "no hand salting in the AQE twin")
+    // control: without the armed scope, production-sized thresholds
+    // (256 MB) can never trigger on test-SF partitions — proving the
+    // assertion above is the scope's doing, not a default behavior
+    // that would make it vacuous
+    val plain = {
+      val f = ops.Relational.skewAqeFrame(spark, sfSkew)
+      f.collect()
+      f.queryExecution.executedPlan.toString
+    }
+    assert(!plain.contains("skew=true"),
+      "default thresholds split at test SF — control is vacuous")
+    // and the mitigation is invisible in results: scoped and unscoped
+    // runs return identical rows (the parity contract the DuckDB
+    // oracle grades end-to-end)
+    val a = ops.Relational.skewAqeParity(spark, sfSkew).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = ops.Relational.skewAqeFrame(spark, sfSkew)
+      .orderBy(org.apache.spark.sql.functions.col("c_mktsegment")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === b)
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
