@@ -178,6 +178,81 @@ object OlapOps {
       .orderBy(col("quarter"))
   }
 
+  /** Mergeable set-INTERSECTION rollup (VERDICT r8 #3) — the overlap
+    * face of the stored-sketch family: quarter-over-quarter
+    * active-customer overlap ("customers active in BOTH quarters")
+    * answered from the SAME stored per-month HLL sketches as
+    * [[hllUnionRollup]], by inclusion–exclusion:
+    * |A∩B| = est(A) + est(B) − est(A∪B), with est(A∪B) one more
+    * sketch union (`hll_union`) over the |quarters|-row frame. Two
+    * levels of re-aggregation — months → quarters → quarter pairs —
+    * with raw data rescanned ZERO times on the sketch path; at
+    * 100 TB this answers any audience-overlap question from KB-sized
+    * sketch bytes stored next to the partitions.
+    *
+    * Grading (the [[quantileUnionRollup]] discipline): sketch
+    * estimates are merge-order-dependent, so graded columns are the
+    * EXACT per-quarter distincts, union, and overlap (one
+    * distinct + one self-join at the (quarter, custkey) grain —
+    * union derived by exact arithmetic nq_a + nq_b − overlap, no
+    * third aggregate), plus the tolerance boolean on the
+    * inclusion–exclusion estimate. The I-E error compounds THREE
+    * sketch errors and scales with |A∪B| (not the overlap), so the
+    * band is 10 % of the union + 50 — generous by design: the alarm
+    * must hold under any distributed merge order at every SF.
+    * Consecutive quarters pair on an integer quarter index
+    * (year·4 + quarter − 1) — no interval arithmetic to diverge
+    * between engines. */
+  def sketchOverlap(s: SparkSession, d: String): DataFrame = {
+    val qi = (c: Column) => (year(c) * 4 + quarter(c) - 1).cast("long")
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val quarterly = monthly
+      .groupBy(date_trunc("quarter", col("month"))
+        .cast("timestamp_ntz").as("quarter"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .withColumn("qi", qi(col("quarter")))
+      .localCheckpoint(true) // |quarters| rows; read 2× below
+    val est = quarterly.alias("a")
+      .join(quarterly.select((col("qi") - 1).as("qi"), col("sk").as("sk_b")),
+        Seq("qi"))
+      .select(col("quarter"),
+        (hll_sketch_estimate(col("sk")) +
+          hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk"), col("sk_b"))))
+          .as("est_overlap"))
+    val qc = Tables.orders(s, d)
+      .select(date_trunc("quarter", col("o_orderdate"))
+        .cast("timestamp_ntz").as("quarter"), col("o_custkey"))
+      .distinct()
+      .withColumn("qi", qi(col("quarter")))
+    val cnt = qc.groupBy(col("quarter"), col("qi"))
+      .agg(count(lit(1)).as("nq"))
+    val overlap = qc.alias("a")
+      .join(qc.select((col("qi") - 1).as("qi"),
+          col("o_custkey").as("b_custkey")).alias("b"),
+        col("a.qi") === col("b.qi") &&
+          col("a.o_custkey") === col("b_custkey"))
+      .groupBy(col("a.quarter").as("quarter"))
+      .agg(count(lit(1)).as("n_overlap"))
+    cnt.alias("c1")
+      .join(cnt.select((col("qi") - 1).as("qi"), col("nq").as("nq_next")),
+        Seq("qi"))
+      .join(overlap, Seq("quarter"), "left")
+      .join(broadcast(est), Seq("quarter"))
+      .select(col("quarter"), col("nq").as("n_q"), col("nq_next").as("n_next"),
+        (col("nq") + col("nq_next") -
+          coalesce(col("n_overlap"), lit(0L))).as("n_union"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (abs(col("est_overlap") -
+          coalesce(col("n_overlap"), lit(0L)).cast("double")) <=
+          (col("nq") + col("nq_next") -
+            coalesce(col("n_overlap"), lit(0L))).cast("double") * 0.1 + 50.0)
+          .as("within_tol"))
+      .orderBy(col("quarter"))
+  }
+
   /** Mergeable HEAVY-HITTERS re-aggregation — the third member of the
     * stored-sketch rollup family ([[hllUnionRollup]] distinct counts,
     * [[quantileUnionRollup]] percentiles): per-month Misra–Gries
@@ -526,6 +601,7 @@ object OlapOps {
     "agg_hll_union" -> hllUnionRollup,
     "agg_quantile_union" -> quantileUnionRollup,
     "agg_topk_union" -> topkUnionRollup,
+    "agg_sketch_overlap" -> sketchOverlap,
     "agg_sample_estimate" -> sampleEstimate,
     "agg_equidepth_histogram" -> equidepthHistogram,
     "profile_table" -> profileTable,
@@ -606,6 +682,30 @@ object OlapOps {
         |      ORDER BY n_orders DESC, priority) AS BIGINT) AS rank
         |  FROM counted) t
         |WHERE rank <= 3 ORDER BY quarter, rank""".stripMargin,
+    // exact per-quarter distincts / overlap / derived union; the
+    // inclusion-exclusion estimate is graded as the tolerance boolean
+    // (agg_hll_union pattern — TRUE is the asserted contract)
+    "agg_sketch_overlap" ->
+      """WITH qc AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+        |      AS quarter,
+        |    o_custkey,
+        |    year(date_trunc('quarter', o_orderdate)) * 4 +
+        |      quarter(date_trunc('quarter', o_orderdate)) - 1 AS qi
+        |  FROM orders),
+        |cnt AS (SELECT quarter, qi, COUNT(*) AS nq FROM qc GROUP BY 1, 2),
+        |ov AS (SELECT a.quarter AS quarter, COUNT(*) AS n_overlap
+        |       FROM qc a JOIN qc b ON a.o_custkey = b.o_custkey
+        |         AND b.qi = a.qi + 1
+        |       GROUP BY 1)
+        |SELECT c1.quarter AS quarter, c1.nq AS n_q, c2.nq AS n_next,
+        |  c1.nq + c2.nq - COALESCE(ov.n_overlap, 0) AS n_union,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  TRUE AS within_tol
+        |FROM cnt c1 JOIN cnt c2 ON c2.qi = c1.qi + 1
+        |LEFT JOIN ov ON ov.quarter = c1.quarter
+        |ORDER BY quarter""".stripMargin,
     // exact order statistics: ranks over the same unique composite
     // integer key, pure-integer decile assignment — both engines
     // agree byte-for-byte, no interpolation involved

@@ -623,6 +623,53 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll inclusion-exclusion overlap: sharded merge tracks direct and truth") {
+    // controlled known-overlap sets: A = [0, 8000), B = [4000, 12000)
+    // -> |A∩B| = 4000, |A∪B| = 12000. Each set is built BOTH directly
+    // (one sketch_agg) and as a 7-shard merge (per-shard sketch_agg
+    // then union_agg — the distributed stored-sketch path the graded
+    // query rides); the merge must answer like the direct build, and
+    // the I-E overlap estimate from merged sketches must track truth
+    // within the compounded-3-sketch band.
+    def sketches(lo: Long, hi: Long): (Array[Byte], Array[Byte]) = {
+      val df = spark.range(lo, hi)
+        .select(col("id"), (col("id") % 7).as("shard"))
+      val direct = df.agg(hll_sketch_agg(col("id")).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val merged = df.groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("id")).as("sk"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      (direct, merged)
+    }
+    def est(sk: Array[Byte]): Double = {
+      val row = spark.range(1).select(
+        hll_sketch_estimate(lit(sk))).head()
+      row.getLong(0).toDouble
+    }
+    val (aD, aM) = sketches(0, 8000)
+    val (bD, bM) = sketches(4000, 12000)
+    // merge answers like direct (within 2% of the true cardinality)
+    assert(math.abs(est(aM) - est(aD)) <= 160.0, "A: merge vs direct")
+    assert(math.abs(est(bM) - est(bD)) <= 160.0, "B: merge vs direct")
+    // I-E overlap from the MERGED sketches tracks the true 4000
+    val u = spark.range(1)
+      .select(hll_sketch_estimate(hll_union(lit(aM), lit(bM)))).head()
+      .getLong(0).toDouble
+    val overlapEst = est(aM) + est(bM) - u
+    assert(math.abs(overlapEst - 4000.0) <= 600.0,
+      s"I-E overlap $overlapEst drifted from truth 4000")
+    // and the graded query's own tolerance booleans hold at test SF
+    val rows = ops.OlapOps.sketchOverlap(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) - r.getLong(4) === r.getLong(3),
+        s"union arithmetic broken: $r")
+      assert(r.getBoolean(5), s"overlap estimate out of tolerance: $r")
+    }
+  }
+
   test("agg_quantile_union: re-aggregation equals direct within rank tolerance") {
     // the end-to-end contract the graded query bets on: monthly
     // sketches merged to quarters land within the rank band of the
