@@ -123,6 +123,33 @@ class DegenerateInputSpec extends AnyFunSuite {
       "symmetric 2-node graph must rank both nodes equally")
   }
 
+  test("triangle core: known graphs count exactly; empty graph survives") {
+    def sym(e: Seq[(Long, Long)]) =
+      (e ++ e.map(_.swap)).toDF("src", "dst")
+    // K4: 4 triangles, 6 edges, every node degree 3 -> 12 wedges,
+    // global cc = 3*4/12 = 1.0
+    val k4 = sym(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+    val r = ops.Analytics.trianglesOn(k4).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 6L, 12L, 4L)))
+    assert(r.getDouble(4) === 1.0)
+    // square (4-cycle): 4 wedges, zero triangles, cc 0
+    val sq = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val rs = ops.Analytics.trianglesOn(sq).head()
+    assert(rs.getLong(3) === 0L && rs.getLong(2) === 4L)
+    assert(rs.getDouble(4) === 0.0)
+    // hub star (one high-degree node): wedges but no triangles — the
+    // orientation must not blow up or miscount around the hub
+    val star = sym((2L to 9L).map(i => (1L, i)))
+    val rst = ops.Analytics.trianglesOn(star).head()
+    assert(rst.getLong(3) === 0L && rst.getLong(2) === 28L)
+    // empty graph: zeros and a NULL coefficient, no division crash
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val re = ops.Analytics.trianglesOn(empty).head()
+    assert(re.getLong(0) === 0L && re.getLong(3) === 0L && re.isNullAt(4))
+  }
+
   test("quantile grade tail survives an empty sketch frame") {
     import org.apache.spark.sql.functions.col
     val monthly = Seq.empty[(java.sql.Timestamp, Array[Byte])]

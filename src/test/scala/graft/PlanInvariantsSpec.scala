@@ -48,7 +48,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // the semantic ranker's query side is ONE row (vec_id = 0)
     // broadcast against the corpus scan — the sim_cosine_topk shape
     // at single-query degeneracy
-    "search_hybrid_rrf"
+    "search_hybrid_rrf",
+    // scalar join: the 1-row triangle-count aggregate broadcast
+    // against the 1-row degree-stats aggregate — two single-row
+    // builds, a map-side constant composition (corpus_mix rationale)
+    "graph_triangles"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
