@@ -90,11 +90,18 @@ object CdcOps {
 
   /** The merge itself: rank every record for a key, keep the winner
     * unless it is a delete. Balances pass through untouched (no float
-    * summation → bit-exact vs the oracle by construction). */
-  private def mergedSnapshot(s: SparkSession, d: String): DataFrame = {
+    * summation → bit-exact vs the oracle by construction).
+    * `cutMicros`, when set, truncates the change LOG at that
+    * position — the log is totally ordered by (chg_micros, seq), so a
+    * micros bound is a log prefix and the merge of the prefix IS the
+    * as-of-version snapshot. */
+  private def mergedSnapshot(s: SparkSession, d: String,
+      cutMicros: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(col("c_custkey"))
       .orderBy(col("pri").desc, col("chg_micros").desc, col("seq").desc)
-    baseRecords(s, d).unionByName(changeBatch(s, d))
+    val changes = cutMicros.foldLeft(changeBatch(s, d))(
+      (c, cut) => c.filter(col("chg_micros") < cut))
+    baseRecords(s, d).unionByName(changes)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") === "U")
       .select(col("c_custkey"), col("acctbal"),
@@ -104,6 +111,27 @@ object CdcOps {
   /** Merge-on-read: the snapshot computed at query time. */
   def readMergeOnRead(s: SparkSession, d: String): DataFrame =
     mergedSnapshot(s, d).orderBy(col("c_custkey"))
+
+  /** Epoch micros of 1997-01-01T00:00:00 — the graded version cut
+    * (mid-corpus at every SF: orders span 1992–1998). */
+  private[graft] val VersionCutMicros = 852076800000000L
+
+  /** TIME-TRAVEL read (VERDICT r8 #6): the snapshot AS OF a log
+    * version — the read every CDC consumer eventually asks for
+    * ("what did the table look like before yesterday's batch?").
+    * A version here is a position in the totally-ordered change log
+    * ((chg_micros, seq), unique by construction); reading as-of =
+    * merging exactly the log prefix up to the cut over the unchanged
+    * base snapshot, which is how MoR table formats implement time
+    * travel: keep the log, re-merge any prefix on demand — no
+    * history copies, no snapshot-per-version storage. The oracle
+    * replays the identical prefix cut sequentially. Scale: the cut
+    * predicate pushes into the log scan (at 100 TB the log is
+    * time-partitioned, so old versions read fewer partitions, not
+    * more), and the merge is the same single-exchange rank window as
+    * `cdc_read_mor`. */
+  def readVersion(s: SparkSession, d: String): DataFrame =
+    mergedSnapshot(s, d, Some(VersionCutMicros)).orderBy(col("c_custkey"))
 
   /** Copy-on-write: the same snapshot compacted once per corpus
     * snapshot (fingerprint covers the whole sf dir — the build reads
@@ -150,6 +178,7 @@ object CdcOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_read_mor" -> readMergeOnRead,
     "cdc_merge_apply" -> mergeApply,
+    "cdc_read_version" -> readVersion,
   )
 
   // Both implementations grade against the one statement of the MERGE
@@ -181,8 +210,13 @@ object CdcOps {
        |FROM ranked WHERE rn = 1 AND op = 'U'
        |ORDER BY c_custkey""".stripMargin
 
+  // the as-of oracle is the SAME merge statement over the log prefix:
+  // sequential replay cut at the version boundary
   val oracles: Map[String, String] = Map(
     "cdc_read_mor" -> mergeOracle,
     "cdc_merge_apply" -> mergeOracle,
+    "cdc_read_version" -> mergeOracle.replace(
+      "  FROM orders)",
+      "  FROM orders\n  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')"),
   )
 }

@@ -68,6 +68,38 @@ class CdcOpsSpec extends AnyFunSuite {
       assert(result(k) == ((v, "cdc")), s"update $k not applied") }
   }
 
+  test("as-of-version read: prefix merge agrees with an independent witness") {
+    // independent witness (the applyByJoin discipline): truncate the
+    // change log at the same cut, take latest-change-per-key by a
+    // groupBy max-struct (NOT the window the production path uses),
+    // and apply it through the shared winner-unless-delete rule
+    val cut = ops.CdcOps.VersionCutMicros
+    val latest = ops.CdcOps.changeBatch(spark, sf)
+      .filter(col("chg_micros") < cut)
+      .groupBy(col("c_custkey"))
+      .agg(max(struct(col("chg_micros"), col("seq"), col("op"),
+        col("acctbal"))).as("w"))
+      .select(col("c_custkey"), col("w.op").as("d_op"),
+        col("w.acctbal").as("d_bal"))
+    val witness = rows(ops.CdcOps.mergeLatestWithBase(
+      graft.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_acctbal")), latest))
+    val got = rows(ops.CdcOps.readVersion(spark, sf))
+    assert(got.nonEmpty && got == witness)
+    // the version read is a genuine prefix: it must differ from the
+    // log-end merge (post-cut changes exist at every SF) and agree
+    // with it on every key whose changes all precede the cut
+    val full = rows(ops.CdcOps.readMergeOnRead(spark, sf))
+    assert(got != full, "cut at 1997 must not equal the full-log merge")
+    val postCutKeys = ops.CdcOps.changeBatch(spark, sf)
+      .filter(col("chg_micros") >= cut)
+      .select(col("c_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filterNot(r => postCutKeys(r._1)) ==
+      full.filterNot(r => postCutKeys(r._1)),
+      "keys untouched after the cut must read identically at both versions")
+  }
+
   test("copy-on-write compaction builds once, then serves from the store") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc2").toString
     sys.props("graft.artifacts.dir") = dir
