@@ -62,6 +62,7 @@ object SparkEntry {
     "stream_dedup_neardup" -> (streaming.StreamingDedup.nearDupPairs _),
     "stream_quantile_rollup" -> (streaming.StatefulOps.quantileRollup _),
     "stream_topk_rollup" -> (streaming.StatefulOps.topkRollup _),
+    "stream_late_drop" -> (streaming.StreamingSessions.lateDrop _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
     // identical statement to the batch CDC forms: streamed per-key
@@ -83,6 +84,19 @@ object SparkEntry {
     "stream_hourly_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the OTHER half of the streaming contract: the engineered
+    // second-file arrivals (all pre-1996) land years past the
+    // watermark and are DROPPED — batch replay with the same cutoff
+    // predicate (see StreamingSessions.lateDrop)
+    "stream_late_drop" ->
+      """SELECT make_timestamp(CAST(floor(epoch(o_orderdate) / 2592000)
+        |    AS BIGINT) * 2592000 * 1000000) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // new session iff strictly more than the 30-min gap since the
     // user's previous event — session_window's empirically-verified
     // tie rule (exact-gap extends); session identity = running sum of

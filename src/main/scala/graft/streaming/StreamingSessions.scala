@@ -211,6 +211,91 @@ object StreamingSessions {
       .orderBy(col("tier"))
   }
 
+  /** WATERMARK LATE-DATA semantics as a graded operator (VERDICT r8
+    * #5): every other streaming twin grades equality with a
+    * full-corpus batch replay — this one grades the OTHER half of the
+    * streaming contract, that arrivals older than the watermark are
+    * DROPPED deterministically.
+    *
+    * Arrival order is engineered and content-addressed: the orders
+    * table split into three parquet files — the RECENT half
+    * (≥ 1996-01-01) first, an EMPTY spacer second, the older half
+    * LAST — with fixed modification times 60 s apart (the file
+    * source processes files in mod-time order; fixed epochs make the
+    * batch sequence a pure function of the corpus).
+    * `maxFilesPerTrigger=1` forces one file per micro-batch. The
+    * spacer batch exists because the late-events filter runs one
+    * batch BEHIND eviction (SPARK-40925, pinned empirically in the
+    * boundary spec): after it, BOTH filters stand at
+    * max(ts) − 30 d ≈ 2001-07, and every batch-2 row (all < 1996) is
+    * YEARS past both — the drop set is exactly the pre-1996 half,
+    * deterministic with margin, never grading the boundary
+    * microsecond. Hence the oracle: batch replay WITH THE CUTOFF
+    * PREDICATE — the 30-day rollup of orders
+    * `WHERE o_orderdate >= 1996-01-01`.
+    *
+    * UPDATE mode, not append: append holds a window back until the
+    * watermark passes it, which would withhold the final buckets
+    * forever on a finite source; update emits monotone running
+    * counts, so the final value per bucket is the max over emissions.
+    * Sums ride integer cents (the stateful-totals discipline).
+    * The grouping key is `window(ts, 30 days)` — the watermark rides
+    * the window struct's event-time metadata; a derived expression
+    * like date_trunc does NOT carry it, and an aggregation keyed on
+    * one silently accepts late rows (probed: 80 buckets emitted, zero
+    * drops). Epoch-aligned 30-day windows are integer arithmetic the
+    * oracle replays with make_timestamp.
+    * Scale: watermark state eviction is precisely what bounds a
+    * 100 TB stream's aggregation state; this query grades that the
+    * eviction contract is sharp, not approximate. */
+  def lateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1996-01-01 00:00:00").cast("timestamp")
+    val dir = graft.ArtifactStore.directory(spark, "late_arrival_orders",
+        s"$sfDir/orders.parquet", version = 2) { tmp =>
+      val o = graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+          mtimeMs: Long): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("late-stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = java.nio.file.Paths.get(tmp, name)
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      // fixed epochs → deterministic arrival order across rebuilds
+      writeOne(o.filter(col("ts") >= cut), "batch0_recent.parquet",
+        1000000000000L)
+      writeOne(o.filter(lit(false)), "batch1_spacer.parquet",
+        1000000060000L)
+      writeOne(o.filter(col("ts") < cut), "batch2_late.parquet",
+        1000000120000L)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val agg = src
+      .withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "30 days").as("w"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    runToCompletion(spark, agg, "stream_late_drop_sink", mode = "update")
+      .groupBy(col("w"))
+      .agg(max(col("n_orders")).as("n_orders"), max(col("cents")).as("cents"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        col("n_orders"),
+        (col("cents").cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Drive a streaming aggregation over the (finite) source to
     * completion into a memory sink; return the sink table.
     *

@@ -623,6 +623,79 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark boundary: late windows drop, open windows survive") {
+    // Empirical pins of Spark's late-data semantics (TieProbeSpec
+    // discipline — probed, then asserted), the rules stream_late_drop
+    // builds on:
+    //  1. the drop unit is the WINDOW, not the row;
+    //  2. the late-events filter runs one batch BEHIND eviction
+    //     (SPARK-40925): batch N drops with batch N-1's watermark —
+    //     so drops need a third batch to materialize;
+    //  3. a window is accepted only if its END is strictly greater
+    //     than the batch's EVICTION watermark; the window whose end
+    //     equals the late-events watermark is discarded by the
+    //     eviction-side filter WITHOUT appearing in the
+    //     numRowsDroppedByWatermark metric (only rule-2 drops count).
+    import java.nio.file.{Files => NF, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = NF.createTempDirectory("wm-boundary")
+    def writeFile(name: String, mtimeMs: Long,
+        rows: Seq[java.sql.Timestamp]): Unit = {
+      val stage = NF.createTempDirectory("wm-stage")
+      rows.toDF("ts").coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = NF.list(stage)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      NF.move(part, dest)
+      NF.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the late-events filter runs one batch BEHIND the eviction
+    // watermark (SPARK-40925: batch N drops with batch N-1's
+    // watermark, so data racing the watermark update isn't lost) —
+    // hence THREE batches: b0 sets the event-time high mark, b1 is
+    // the spacer batch that promotes it into the late-events filter,
+    // b2 carries the late probes
+    writeFile("b0.parquet", 1000000000000L, Seq(ts("2020-01-01 12:00:00")))
+    writeFile("b1.parquet", 1000000060000L, Seq(ts("2020-01-01 12:00:01")))
+    writeFile("b2.parquet", 1000000120000L, Seq(
+      ts("2020-01-01 11:40:01"), // window [11:40,11:45) — expired
+      ts("2020-01-01 11:44:59"), // same expired window
+      ts("2020-01-01 11:47:00"), // window [11:45,11:50), end == wm
+      ts("2020-01-01 11:51:00"), // window [11:50,11:55) — open
+      ts("2020-01-01 11:58:00"))) // window [11:55,12:00) — open
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("wm_boundary_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wm_boundary_sink")
+      .groupBy(col("w")).agg(max(col("n")).as("n"))
+      .select(col("w.start").cast("string").as("s"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch 2 ran with lateEvents wm = 11:50, eviction wm = 11:50:01:
+    // accepted = windows ending 11:55 and 12:00 (+ the 12:00 window's
+    // two on-time rows); [11:40,11:45) metric-dropped; [11:45,11:50)
+    // (end == lateEvents wm) silently discarded by the eviction filter
+    assert(got === Map(
+      "2020-01-01 12:00:00" -> 2L,
+      "2020-01-01 11:50:00" -> 1L,
+      "2020-01-01 11:55:00" -> 1L),
+      s"late-drop acceptance set changed: $got")
+    // only the strictly-late window's rows register on the metric
+    assert(q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum === 2L)
+  }
+
   test("hll inclusion-exclusion overlap: sharded merge tracks direct and truth") {
     // controlled known-overlap sets: A = [0, 8000), B = [4000, 12000)
     // -> |A∩B| = 4000, |A∪B| = 12000. Each set is built BOTH directly
