@@ -153,27 +153,29 @@ object OlapOps {
       .select(col("quarter"),
         element_at(col("est"), 1).as("approx_p50"),
         element_at(col("est"), 2).as("approx_p95"))
-    val exact = orders
-      .groupBy(quarterOf(col("o_orderdate")))
-      .agg(count(lit(1)).as("n_orders"),
-        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("exact_p50"),
-        round(percentile(col("o_totalprice"), lit(0.95)), 6).as("exact_p95"))
-    val ranks = orders
+    // ONE scan for exact percentiles AND the rank checks (r9 — was
+    // two full orders scans joined at the end): the |quarters|-row
+    // estimate frame broadcasts onto the scan, and both the exact
+    // order statistics and the approx-rank counts ride the same
+    // per-quarter aggregate. Identical output values.
+    orders
       .select(quarterOf(col("o_orderdate")), col("o_totalprice"))
       .join(broadcast(quarterly), Seq("quarter"))
       .groupBy(col("quarter"))
-      .agg(
+      .agg(count(lit(1)).as("n_orders"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 6).as("exact_p50"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 6).as("exact_p95"),
         (sum(when(col("o_totalprice") <= col("approx_p50"), 1L)
           .otherwise(0L)).cast("double") / count(lit(1))).as("r50"),
         (sum(when(col("o_totalprice") <= col("approx_p95"), 1L)
-          .otherwise(0L)).cast("double") / count(lit(1))).as("r95"),
-        count(lit(1)).cast("double").as("nq"))
-    exact.join(ranks, Seq("quarter"))
+          .otherwise(0L)).cast("double") / count(lit(1))).as("r95"))
       .select(col("quarter"), col("n_orders"),
         col("exact_p50"), col("exact_p95"),
-        (abs(col("r50") - 0.5) <= lit(0.02) + lit(2.0) / col("nq"))
+        (abs(col("r50") - 0.5) <=
+          lit(0.02) + lit(2.0) / col("n_orders").cast("double"))
           .as("p50_within_tol"),
-        (abs(col("r95") - 0.95) <= lit(0.02) + lit(2.0) / col("nq"))
+        (abs(col("r95") - 0.95) <=
+          lit(0.02) + lit(2.0) / col("n_orders").cast("double"))
           .as("p95_within_tol"))
       .orderBy(col("quarter"))
   }

@@ -57,19 +57,11 @@ object StatefulOps {
           Iterator.single(UserSummary(user, n, cents.toDouble / 100.0))
         })
 
-    // see StreamingSessions.runToCompletion: fewer state stores for
-    // the bounded local demo
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      summarized.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName("stream_user_totals")
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
-    spark.table("stream_user_totals")
+    // noDataBatch=false: a NoTimeout flatMapGroupsWithState has no
+    // timeouts to fire and update mode emits nothing without input —
+    // the trailing batch is provably a no-op here (r9 floor trim)
+    StreamingSessions.runToCompletion(spark, summarized.toDF(),
+        "stream_user_totals", mode = "update", noDataBatch = false)
       .orderBy(col("user_id"))
   }
 
@@ -137,8 +129,10 @@ object StatefulOps {
           Iterator.single((mk, next._2, next._1))
         })
       .toDF("mk", "seq", "sk")
+    // noDataBatch=false: NoTimeout sketch-fold state, update mode —
+    // the trailing batch is a no-op (r9 floor trim)
     val sink = StreamingSessions.runToCompletion(spark, sketches, sinkName,
-      mode = "update")
+      mode = "update", noDataBatch = false)
     import org.apache.spark.sql.expressions.Window
     val wLatest = Window.partitionBy(col("mk"))
       .orderBy(col("seq").desc)
@@ -196,7 +190,7 @@ object StatefulOps {
         })
       .toDF("mk", "seq", "sk")
     val sink = StreamingSessions.runToCompletion(spark, sketches,
-      "stream_topk_sketches", mode = "update")
+      "stream_topk_sketches", mode = "update", noDataBatch = false)
     import org.apache.spark.sql.expressions.Window
     val wLatest = Window.partitionBy(col("mk"))
       .orderBy(col("seq").desc)
@@ -271,23 +265,17 @@ object StatefulOps {
         })
       .toDF("c_custkey", "micros", "seq", "d_op", "d_bal")
 
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
-      upserts.writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName("stream_cdc_upserts")
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
+    // noDataBatch=false: NoTimeout custom state, update mode — the
+    // trailing batch is a no-op (r9 floor trim)
+    val sink = StreamingSessions.runToCompletion(spark, upserts,
+      "stream_cdc_upserts", mode = "update", noDataBatch = false)
 
     // batch tail: final state per key (last emission wins), merged
     // with the static base under the winner-unless-delete rule
     import org.apache.spark.sql.expressions.Window
     val wFinal = Window.partitionBy(col("c_custkey"))
       .orderBy(col("micros").desc, col("seq").desc)
-    val latest = spark.table("stream_cdc_upserts")
+    val latest = sink
       .withColumn("rn", row_number().over(wFinal))
       .filter(col("rn") === 1)
       .select(col("c_custkey"), col("d_op"), col("d_bal"))

@@ -122,8 +122,10 @@ object StreamingDedup {
         })
       .toDF("a_id", "b_id")
 
+    // noDataBatch=false: pairs emit eagerly from the NoTimeout fold —
+    // the trailing batch is a no-op (r9 floor trim)
     val sink = StreamingSessions.runToCompletion(spark, cands, sinkName,
-      mode = "update")
+      mode = "update", noDataBatch = false)
     lastOverflowArrivals = overflow.value
     if (lastOverflowArrivals > 0L)
       System.err.println(s"[graft] WARN stream LSH bucket overflow: " +
