@@ -346,6 +346,55 @@ object LayoutOps {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  // --------------------------------------- dynamic partition pruning
+
+  /** Orders hive-partitioned by order YEAR — the time-partitioned
+    * fact layout every warehouse ships (the reference's per-month
+    * vendor drops ARE this layout, one dir per load period). Built
+    * once per corpus snapshot; the partition value reads back as the
+    * directory's inferred int. */
+  private def yearPartitionedOrders(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.parquet(s, "orders_by_year", s"$d/orders.parquet",
+        version = 1, partitionColumns = Seq("o_year")) {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_year"))
+    }
+
+  /** DYNAMIC partition pruning engine credit (the CBO/AQE-twin
+    * pattern applied to partition elimination): the year-partitioned
+    * fact joined to a dim whose filter is only decidable at RUNTIME —
+    * "years whose urgent-order share exceeds 1/5", an exact integer
+    * rule (5·urgent > n, no float boundary) over data, NOT a function
+    * of the join key. That non-derivability is the point: any
+    * dim predicate expressible as f(year) gets propagated to the scan
+    * by constraint inference and prunes STATICALLY; a data-dependent
+    * predicate leaves the engine only one tool — build the dim,
+    * broadcast it, and inject `dynamicpruningexpression` into the
+    * fact scan's PartitionFilters so non-qualifying year directories
+    * are never listed or read (plan-asserted, with a static-layout
+    * control, in PlanInvariantsSpec). At 100 TB with thousands of
+    * daily partitions this is THE mechanism that keeps
+    * dim-filtered fact queries from scanning the whole table. The
+    * oracle replays the same HAVING-filtered join; the selected year
+    * set is an exact integer property of the corpus, split
+    * non-trivially at every shipped SF (margins +9/−1 at sf0.001). */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("dim_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("u"))
+      .filter(col("u") * 5 > col("n"))
+      .select(col("dim_year"))
+    yearPartitionedOrders(s, d)
+      .join(dim, col("o_year") === col("dim_year"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -354,9 +403,24 @@ object LayoutOps {
     "scd2_history" -> scd2History,
     "scd2_asof" -> scd2AsOf,
     "layout_inverted_lookup" -> invertedLookup,
+    "scan_dpp_prune" -> dppPrune,
   )
 
   val oracles: Map[String, String] = Map(
+    // the same HAVING-filtered join over the plain table: the
+    // partition layout + dynamic pruning must be invisible to results
+    "scan_dpp_prune" ->
+      """WITH dim AS (
+        |  SELECT year(o_orderdate) AS y FROM orders
+        |  GROUP BY 1
+        |  HAVING 5 * SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN 1 ELSE 0 END) > COUNT(*))
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN dim ON year(o_orderdate) = dim.y
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // direct corpus scan — the index must answer exactly what a full
     // text scan answers (dedup'd per-doc terms, so COUNT counts each
     // matched term once)

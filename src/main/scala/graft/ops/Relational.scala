@@ -471,6 +471,61 @@ object Relational {
     withSkewAqe(s) { skewAqeFrame(s, d).localCheckpoint(true) }
       .orderBy(col("c_mktsegment"))
 
+  // --- runtime Bloom-filter join (engine credit, r9) ---------------
+
+  /** Run `body` with Spark's RUNTIME Bloom-filter injection armed for
+    * the small-SF regime and broadcast disabled (at 100 TB neither
+    * side of a fact⋈fact broadcasts; runtime filters exist precisely
+    * for the shuffle-join case a broadcast would trivialize). The
+    * application-side scan threshold defaults to 10 GB — sized for
+    * production scans, unreachable at test SF — so the scope arms it
+    * at 0; the creation-side threshold and the decision rule stay the
+    * engine's. [[withSkewAqe]] scoping discipline. */
+  private[graft] def withRuntimeBloom[T](s: SparkSession)(body: => T): T = {
+    val settings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The brand-filtered part ⋈ lineitem revenue rollup with ZERO
+    * hand-written semi-join reduction — the engine-credit face of
+    * runtime row pruning, completing the family (CBO = statistics,
+    * AQE = skew, DPP = partitions, runtime Bloom = rows): Spark's
+    * InjectRuntimeFilter sees the selective dim filter
+    * (`p_brand = 'Brand#12'`, 1/25), builds a Bloom filter over the
+    * surviving join keys as a scalar subquery, and plants
+    * `might_contain(l_partkey)` on the PROBE side scan, so ~96 % of
+    * lineitem rows die at the scan instead of crossing the shuffle —
+    * the semi-join reduction a 100 TB fact⋈dim shuffle join lives
+    * by. Plan-asserted in PlanInvariantsSpec (with the unarmed
+    * control); the filter is a pure optimization, so the oracle is
+    * the plain SQL join. Executed eagerly inside the conf scope
+    * ([[regionalRevenueCbo]] discipline). */
+  private[graft] def runtimeBloomFrame(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  def runtimeBloomJoin(s: SparkSession, d: String): DataFrame =
+    withRuntimeBloom(s) { runtimeBloomFrame(s, d).localCheckpoint(true) }
+      .orderBy(col("p_type"))
+
   /** P8/P9: deterministic pagination — rows [100, 120) of the
     * o_orderkey total order, the batch analog of the reference's
     * --start/--resume.
@@ -618,6 +673,7 @@ object Relational {
     "join_shuffle_parity" -> shuffleJoinParity,
     "join_salted_parity" -> saltedJoinParity,
     "join_skew_aqe_parity" -> skewAqeParity,
+    "join_runtime_bloom" -> runtimeBloomJoin,
     "filter_range_slice" -> rangeSlice,
     "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
@@ -645,6 +701,14 @@ object Relational {
         |    AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // plain SQL join: the injected Bloom filter is a pure
+    // optimization and must be invisible in results
+    "join_runtime_bloom" ->
+      s"""SELECT p_type, COUNT(*) AS n_items,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#12'
+         |GROUP BY p_type ORDER BY p_type""".stripMargin,
     // plain SQL replay of the derived skew: AQE's runtime split (like
     // the salt) must be invisible in results
     "join_skew_aqe_parity" ->

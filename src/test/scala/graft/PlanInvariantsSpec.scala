@@ -263,6 +263,42 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("DPP injects a dynamic partition filter into the year layout scan") {
+    // the engine-credit partition-elimination twin: the dim filter
+    // (urgent-share > 1/5) is data-dependent, so the only route to
+    // pruning is the engine building the dim at runtime and planting
+    // a dynamicpruning expression in the fact scan's PartitionFilters
+    val sfDpp = "/root/testdata/sf0.01"
+    val df = ops.LayoutOps.dppPrune(spark, sfDpp)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("dynamicpruning"),
+      "no dynamicpruning expression in the partitioned scan:\n" + phys)
+    // and the results match the unpartitioned recompute (the oracle
+    // grades the same equality against DuckDB)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.size < 7,
+      s"year split must be non-trivial at sf0.01: $got")
+  }
+
+  test("runtime Bloom filter lands on the probe side under the armed scope") {
+    val sfB = "/root/testdata/sf0.01"
+    val armed = ops.Relational.withRuntimeBloom(spark) {
+      ops.Relational.runtimeBloomFrame(spark, sfB)
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(armed.contains("might_contain"),
+      "no Bloom probe in the armed optimized plan:\n" + armed)
+    assert(armed.contains("bloom_filter_agg"),
+      "no Bloom build in the armed optimized plan:\n" + armed)
+    // control: with production thresholds (10 GB application-side
+    // scan) the injection can never fire at test SF — the assertion
+    // above is the scope's doing, not a default
+    val plain = ops.Relational.runtimeBloomFrame(spark, sfB)
+      .queryExecution.optimizedPlan.toString
+    assert(!plain.contains("might_contain"),
+      "default thresholds injected at test SF — control is vacuous")
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
