@@ -112,6 +112,45 @@ object ArtifactStore {
       fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
     }
 
+  /** Serve-or-build for a BUCKETED table artifact: the data lives as
+    * a content-addressed parquet dir like [[parquet]], but bucketing
+    * is CATALOG metadata — Spark only trusts a bucket layout declared
+    * in a table's bucket spec (the bucket id rides each file's name;
+    * a plain `read.parquet` over the same files ignores it). So the
+    * build writes through `bucketBy(...).sortBy(...).saveAsTable`
+    * into the store's temp dir (then drops the external table —
+    * metadata only, the files and their bucket-id names survive the
+    * publish rename), and EVERY serve registers a session-local
+    * external table over the published dir with the matching
+    * CLUSTERED BY spec. A cold JVM over a warm store pays one DDL
+    * statement, never a rewrite — exactly a warehouse re-attaching a
+    * bucketed table to its storage. The builder's `version` must bump
+    * if key/buckets/schema change, same contract as [[parquet]]. */
+  def bucketedTable(spark: SparkSession, name: String, inputPath: String,
+      key: String, buckets: Int, version: Int = 1)
+      (build: => DataFrame): DataFrame = {
+    val df = build // analysis only until the write below runs
+    val table = s"graft_${name}_v${version}_${fingerprint(spark, inputPath)}"
+    if (!spark.catalog.tableExists(table)) {
+      val dir = directory(spark, name, inputPath, version) { tmp =>
+        // unique per racing builder: same-name temp tables would
+        // collide in the shared session catalog
+        val bt = table + "_build_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", tmp).saveAsTable(bt)
+        spark.sql(s"DROP TABLE `$bt`")
+      }
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS `$table` (${df.schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    }
+    spark.table(table)
+  }
+
   /** The shared serve-or-build protocol: compute the content address,
     * serve it if complete, else run `buildInto` against a temp sibling
     * (which must leave a `_SUCCESS` marker inside) and atomically

@@ -395,6 +395,58 @@ object LayoutOps {
       .orderBy(col("o_year"))
   }
 
+  // ------------------------------------------------ bucketed co-location
+
+  /** Buckets for the co-located join pair. Both sides MUST agree (or
+    * differ by an integer factor with bucket coalescing enabled) for
+    * exchange elimination; at 100 TB the count is sized so one bucket
+    * ≈ one shuffle-partition target (~128–256 MB), here it just has
+    * to exceed 1 so the layout is a real distribution. */
+  private val joinBuckets = 8
+
+  private def bucketedOrders(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.bucketedTable(s, "orders_bkt_orderkey",
+        s"$d/orders.parquet", "o_orderkey", joinBuckets) {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    }
+
+  private def bucketedLineitem(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.bucketedTable(s, "lineitem_bkt_orderkey",
+        s"$d/lineitem.parquet", "l_orderkey", joinBuckets) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    }
+
+  /** The join half of [[bucketedJoin]], exposed so the plan test can
+    * assert the exchange-free shape on exactly the frame the query
+    * runs. */
+  private[graft] def bucketedJoinFrame(s: SparkSession, d: String): DataFrame =
+    bucketedOrders(s, d).hint("merge")
+      .join(bucketedLineitem(s, d).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+
+  /** Bucketed CO-LOCATED join: both tables stored pre-hashed into the
+    * same bucket count on their join key, so the sort-merge join
+    * consumes each side's storage distribution directly — ZERO
+    * shuffle exchanges on either input (plan-asserted with an
+    * unbucketed control in PlanInvariantsSpec). This is the
+    * persistent form of what the reference bought with 51
+    * per-state tables (`load.ts:76-84`): pay the partitioning once at
+    * write time, then every future join on that key skips the
+    * exchange — at 100 TB the single biggest recurring cost in a
+    * fact⋈fact pipeline (DPP prunes partitions, runtime Bloom prunes
+    * rows; bucketing removes the shuffle itself). The merge hints pin
+    * the SMJ path at test SF where tiny sides would broadcast and
+    * bypass the layout; at production scale SMJ is the planner's own
+    * choice. Only the final single-exchange rollup shuffles. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame =
+    bucketedJoinFrame(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -404,9 +456,17 @@ object LayoutOps {
     "scd2_asof" -> scd2AsOf,
     "layout_inverted_lookup" -> invertedLookup,
     "scan_dpp_prune" -> dppPrune,
+    "layout_bucketed_join" -> bucketedJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    // plain SQL join over the unbucketed tables: the bucket layout
+    // (and the exchange elimination it buys) must be invisible
+    "layout_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same HAVING-filtered join over the plain table: the
     // partition layout + dynamic pruning must be invisible to results
     "scan_dpp_prune" ->

@@ -299,6 +299,32 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "default thresholds injected at test SF — control is vacuous")
   }
 
+  test("bucketed co-located join plans with zero input exchanges") {
+    import org.apache.spark.sql.functions.col
+    // the layout pays the hash distribution at write time; the join
+    // must consume it — no Exchange on either SMJ input
+    val joined = ops.LayoutOps.bucketedJoinFrame(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+    // control: the identical merge-hinted join over the PLAIN parquet
+    // shuffles both sides — the elimination is the bucket layout's
+    // doing, not a planner default at this SF
+    val control = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).hint("merge")
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey")).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(control.contains("Exchange hashpartitioning"),
+      "control join planned without exchanges — assertion vacuous:\n" +
+        control.take(1200))
+    // and the layout serves, not rebuilds: a second plan of the same
+    // frame must not add artifact builds
+    val before = ArtifactStore.builds
+    ops.LayoutOps.bucketedJoinFrame(spark, sf).queryExecution.executedPlan
+    assert(ArtifactStore.builds === before, "bucketed tables rebuilt on re-plan")
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
