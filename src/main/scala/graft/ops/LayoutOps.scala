@@ -447,6 +447,64 @@ object LayoutOps {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  /** The graded point-lookup keys: three literal order keys (the
+    * corpus generator deals o_orderkey densely from 0 at every shipped
+    * SF, so all three exist everywhere) chosen to hash into a STRICT
+    * subset of the [[joinBuckets]] buckets — the pruning assertion is
+    * non-trivial. */
+  private val BucketLookupKeys = Seq(7L, 42L, 1001L)
+
+  /** Run `body` with auto-disabling of bucketed scans OFF: by default
+    * the `DisableUnnecessaryBucketedScan` planner rule turns the
+    * bucketed read back into a plain scan when no downstream operator
+    * consumes the hash distribution — which ALSO discards the bucket
+    * SET computed from the filter, i.e. the pruning this query exists
+    * to exercise (the rule optimizes for split parallelism, blind to
+    * the listing cost that dominates a point read at 100 TB). Scoped
+    * save/restore, the `Relational.withSkewAqe` discipline. */
+  private[graft] def withBucketedScan[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
+  /** The scan half of [[bucketPrune]], exposed so the plan test can
+    * assert the SelectedBucketsCount on exactly the frame the query
+    * runs. Callers wrap it in [[withBucketedScan]]. */
+  private[graft] def bucketPruneFrame(s: SparkSession, d: String): DataFrame =
+    bucketedOrders(s, d)
+      .filter(col("o_orderkey").isInCollection(BucketLookupKeys))
+
+  /** BUCKET PRUNING on the co-located layout — the second dividend of
+    * [[bucketedJoin]]'s write-time hash distribution: an equality/IN
+    * predicate on the bucket column lets the planner compute each
+    * literal's bucket id with the same hash the writer used and list
+    * ONLY those buckets' files (FileSourceScanExec's
+    * SelectedBucketsCount, plan-asserted with an unbucketed control in
+    * PlanInvariantsSpec). Min/max row-group stats can't serve this
+    * lookup — a hash-distributed column's per-file [min,max] spans
+    * the whole domain — so bucket arithmetic is the only thing
+    * standing between a point read and a full-table listing. At 100 TB
+    * with ~10⁵ files per table this is the difference between touching
+    * 3/N buckets and scanning everything: the same one-partition-read
+    * the reference gets from its per-state tables when a single state
+    * is queried (`load.ts:76-84`), here by hash instead of by value.
+    * The bucket layout must be invisible in results: the oracle is the
+    * same IN-lookup on the plain table. */
+  def bucketPrune(s: SparkSession, d: String): DataFrame =
+    withBucketedScan(s) {
+      // executed eagerly inside the conf scope (the planner reads the
+      // conf at planning time — the Relational engine-credit pattern);
+      // the result is a literal-keyed point lookup, driver-row-sized
+      bucketPruneFrame(s, d).localCheckpoint(true)
+    }
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -457,6 +515,7 @@ object LayoutOps {
     "layout_inverted_lookup" -> invertedLookup,
     "scan_dpp_prune" -> dppPrune,
     "layout_bucketed_join" -> bucketedJoin,
+    "scan_bucket_prune" -> bucketPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,6 +526,12 @@ object LayoutOps {
          |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same IN-lookup on the plain table: the bucket layout (and
+    // the file pruning it buys) must be invisible in results
+    "scan_bucket_prune" ->
+      s"""SELECT o_orderkey, o_orderpriority FROM orders
+         |WHERE o_orderkey IN (${BucketLookupKeys.mkString(", ")})
+         |ORDER BY o_orderkey""".stripMargin,
     // the same HAVING-filtered join over the plain table: the
     // partition layout + dynamic pruning must be invisible to results
     "scan_dpp_prune" ->

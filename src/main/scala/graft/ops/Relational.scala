@@ -526,6 +526,58 @@ object Relational {
     withRuntimeBloom(s) { runtimeBloomFrame(s, d).localCheckpoint(true) }
       .orderBy(col("p_type"))
 
+  // --- AQE partition coalescing (engine credit, r9) ----------------
+
+  /** Run `body` with AQE's post-shuffle partition coalescing armed in
+    * its SIZE-TARGET regime: `parallelismFirst=false` makes the rule
+    * honor `advisoryPartitionSizeInBytes` — the production setting
+    * (Spark's own docs recommend it on busy clusters); the default
+    * `true` fills local parallelism instead, a dev convenience that
+    * under-sizes reducers at scale. [[withSkewAqe]] scoping
+    * discipline: previous session values restored after. */
+  private[graft] def withCoalesceAqe[T](s: SparkSession)(body: => T): T = {
+    val settings = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** A rollup whose static 32 shuffle partitions each carry a few KB —
+    * the shape that leaves 31 near-empty reduce tasks without AQE.
+    * Exposed unsorted for the plan test ([[skewAqeFrame]] pattern). */
+  private[graft] def coalesceAqeFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  /** AQE partition-COALESCING engine credit, completing the adaptive
+    * family (CBO = statistics, skew AQE = hot keys, DPP = partitions,
+    * runtime Bloom = rows; this = reducer COUNT): the engine observes
+    * actual map-output sizes at the shuffle boundary and merges
+    * under-filled reduce partitions up to the advisory size, so
+    * reducer count tracks DATA VOLUME, not the static
+    * `shuffle.partitions` guess. At 100 TB this is the mechanism that
+    * lets one cluster-wide partition setting serve both a 2 TB and a
+    * 2 GB stage without hand-tuning — the inverse problem of skew
+    * (too few bytes per task, not too many). Plan-asserted in
+    * PlanInvariantsSpec: the final adaptive plan's shuffle read must
+    * be `AQEShuffleRead coalesced`, with a coalescing-disabled
+    * control. Coalescing is a pure optimization, so the oracle is the
+    * plain SQL rollup. Executed eagerly inside the conf scope (AQE
+    * reads its confs at action time — [[regionalRevenueCbo]]
+    * discipline). */
+  def aqeCoalesce(s: SparkSession, d: String): DataFrame =
+    withCoalesceAqe(s) { coalesceAqeFrame(s, d).localCheckpoint(true) }
+      .orderBy(col("o_orderpriority"))
+
   /** P8/P9: deterministic pagination — rows [100, 120) of the
     * o_orderkey total order, the batch analog of the reference's
     * --start/--resume.
@@ -674,6 +726,7 @@ object Relational {
     "join_salted_parity" -> saltedJoinParity,
     "join_skew_aqe_parity" -> skewAqeParity,
     "join_runtime_bloom" -> runtimeBloomJoin,
+    "agg_aqe_coalesce" -> aqeCoalesce,
     "filter_range_slice" -> rangeSlice,
     "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
@@ -701,6 +754,13 @@ object Relational {
         |    AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // plain SQL rollup: the reducer-count coalescing is a pure
+    // optimization and must be invisible in results
+    "agg_aqe_coalesce" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // plain SQL join: the injected Bloom filter is a pure
     // optimization and must be invisible in results
     "join_runtime_bloom" ->

@@ -325,6 +325,61 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(ArtifactStore.builds === before, "bucketed tables rebuilt on re-plan")
   }
 
+  test("bucket pruning selects a strict subset of buckets for the IN lookup") {
+    import org.apache.spark.sql.functions.col
+    // the IN predicate's literals hash to specific buckets; the scan
+    // must list ONLY those buckets' files (SelectedBucketsCount n/8
+    // with n < 8 in the FileSourceScanExec metadata)
+    val plan = ops.LayoutOps.withBucketedScan(spark) {
+      ops.LayoutOps.bucketPruneFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+    }
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan)
+    assert(m.isDefined, "no SelectedBucketsCount in the bucketed scan:\n" +
+      plan.take(1200))
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"lookup read every bucket (${m.get.group(1)}/${m.get.group(2)}) — " +
+        "pruning never fired")
+    // control: the same lookup over the PLAIN parquet table has no
+    // bucket metadata to prune with
+    val control = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isInCollection(Seq(7L, 42L, 1001L)))
+      .queryExecution.executedPlan.toString
+    assert(!control.contains("SelectedBucketsCount"),
+      "plain scan reports bucket pruning — control is vacuous")
+  }
+
+  test("AQE coalesces the under-filled shuffle partitions of the rollup") {
+    // under the size-target scope the final adaptive plan must read
+    // the 32-partition shuffle through a coalesced AQEShuffleRead —
+    // reducer count tracking bytes, not the static setting
+    val armed = ops.Relational.withCoalesceAqe(spark) {
+      val f = ops.Relational.coalesceAqeFrame(spark, sf)
+      // collect(), not count(): count() builds a SEPARATE plan, which
+      // would leave THIS frame's AdaptiveSparkPlan un-finalized
+      f.collect()
+      f.queryExecution.executedPlan.toString
+    }
+    assert(armed.contains("AQEShuffleRead coalesced"),
+      "AQE did not coalesce the rollup's shuffle read:\n" + armed)
+    // control: with the rule disabled the read keeps every static
+    // partition — proving the coalesce is the rule's doing
+    val off = Seq("spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = off.map(k => k -> spark.conf.getOption(k))
+    off.foreach(k => spark.conf.set(k, "false"))
+    val plain = try {
+      val f = ops.Relational.coalesceAqeFrame(spark, sf)
+      f.collect()
+      f.queryExecution.executedPlan.toString
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(!plain.contains("AQEShuffleRead coalesced"),
+      "shuffle read coalesced with the rule disabled — control is vacuous")
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
