@@ -254,6 +254,98 @@ object Analytics {
           .as("global_cc"))
   }
 
+  // ------------------------------------------ shortest paths (r9)
+
+  /** BFS depth bound. Hop histograms are overwhelmingly asked small
+    * ("what share of the graph is within k hops of the seeds") — and
+    * the bound is what keeps the oracle a finite CTE chain. */
+  private val BfsHops = 4
+  /** Seed-set size: the [[BfsSources]] lowest node ids — a pure,
+    * deterministic function of the corpus both engines compute. */
+  private val BfsSources = 5
+
+  /** Single-source(-set) shortest paths, completing the graph family
+    * (CC = reachability, PageRank = centrality, triangles = cohesion;
+    * this = DISTANCE): hop distance from the seed set over the part
+    * co-occurrence graph, reported as the BFS level histogram — one
+    * (dist, n_nodes) row per level, dist = −1 for nodes unreached
+    * within [[BfsHops]] hops. Like [[triangles]], a batch-maintenance
+    * summary: content-addressed, built once per corpus snapshot,
+    * served as a scan thereafter. */
+  def shortestPaths(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactStore.parquet(s, "graph_bfs_summary",
+        s"$d/lineitem.parquet") {
+      bfsOn(partEdges(s, d))
+    }
+
+  /** Core of [[shortestPaths]] over any symmetric (src, dst) edge
+    * frame — parameterized for known-graph tests ([[pagerankOn]]
+    * pattern). LEVEL-SYNCHRONOUS frontier BFS, the scale-correct
+    * formulation: each level joins only the NEWLY settled frontier
+    * against the adjacency (co-partitionable on node id at 100×) and
+    * anti-joins the settled set, so every node is expanded exactly
+    * once across the whole run — total work O(edges touched), where
+    * the naive re-expand-everything form pays levels × |settled| and
+    * quadratically re-walks hub neighborhoods. localCheckpoint per
+    * level keeps the lineage flat (the [[pagerankOn]] discipline).
+    * Distances are exact integers; the DuckDB oracle computes the
+    * same levels as a min-merge CTE chain — a deliberately DIFFERENT
+    * formulation (dense re-expansion) whose equality is the graded
+    * proof that frontier pruning loses nothing. */
+  private[graft] def bfsOn(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src")).distinct().localCheckpoint(true)
+    val seeds = nodes.orderBy(col("src")).limit(BfsSources)
+    var dist = seeds.select(col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to BfsHops) {
+      if (frontier.isEmpty) {
+        // settled set stopped growing — remaining levels are no-ops
+      } else {
+        val reached = frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+        val fresh = reached.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(h.toLong).as("dist"))
+          .localCheckpoint(true)
+        dist = dist.union(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+    }
+    nodes.join(dist, nodes("src") === dist("node"), "left")
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+
+  /** DuckDB replay of [[shortestPaths]]: dist_k = min over
+    * (dist_{k−1} ∪ one-hop expansion of dist_{k−1}) — the dense
+    * min-merge chain, bounded by |V| rows per level (never a path
+    * enumeration, which would detonate on cycles). */
+  private def bfsOracleSql: String = {
+    val levels = (1 to BfsHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.dst AS node, x.dist + 1 AS dist
+         |    FROM d${i - 1} x JOIN pairs p ON p.src = x.node) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey <> b.l_partkey),
+       |nodes AS (SELECT DISTINCT src FROM pairs),
+       |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM (SELECT src FROM nodes ORDER BY src LIMIT $BfsSources)),
+       |$levels
+       |SELECT COALESCE(d.dist, CAST(-1 AS BIGINT)) AS dist,
+       |  COUNT(*) AS n_nodes
+       |FROM nodes n LEFT JOIN d$BfsHops d ON d.node = n.src
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Multimodal frame sampling: every 5th frame index, with the frame
     * count derived from the REAL decoded dimensions (width·height of
     * the PNG, via the codegen'd decode expression) — the explode shape
@@ -315,11 +407,13 @@ object Analytics {
     "join_part_cooccurrence" -> partCooccurrence,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
+    "graph_shortest_paths" -> shortestPaths,
     "mm_frame_sample" -> frameSample,
   )
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_shortest_paths" -> bfsOracleSql,
     // ID-ordered 3-way self-join (a < b < c counts each triangle
     // once) — deliberately a DIFFERENT counting order than the
     // engine's degree orientation: the count must be invariant to it

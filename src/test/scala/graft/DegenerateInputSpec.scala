@@ -150,6 +150,34 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(re.getLong(0) === 0L && re.getLong(3) === 0L && re.isNullAt(4))
   }
 
+  test("bfs core: known graphs level exactly; empty graph survives") {
+    def sym(e: Seq[(Long, Long)]) =
+      (e ++ e.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4-5-6-7: seeds are the 5 lowest ids (1..5, all at
+    // dist 0); 6 is 1 hop from seed 5, 7 is 2 hops via 6 — histogram
+    // {0: 5, 1: 1, 2: 1}
+    val path = sym((1L to 6L).map(i => (i, i + 1)))
+    val got = ops.Analytics.bfsOn(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 5L), (1L, 1L), (2L, 1L)))
+    // two components: the 5 lowest ids (1, 2, 3, 10, 11) are all
+    // seeds, the far pair (20, 21) is unreachable -> dist -1
+    val split = sym(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)))
+    val g2 = ops.Analytics.bfsOn(split).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g2(-1L) === 2L, s"far pair must be unreached: $g2")
+    assert(g2(0L) === 5L, s"five seeds at dist 0: $g2")
+    // long path: node 10 is 5 hops from the nearest seed (5) — beyond
+    // the 4-hop bound, so it reports -1, not 5
+    val long = sym((1L to 9L).map(i => (i, i + 1)))
+    val g3 = ops.Analytics.bfsOn(long).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g3(-1L) === 1L && g3(4L) === 1L, s"4-hop cutoff: $g3")
+    // empty graph: empty histogram, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ops.Analytics.bfsOn(empty).count() === 0L)
+  }
+
   test("quantile grade tail survives an empty sketch frame") {
     import org.apache.spark.sql.functions.col
     val monthly = Seq.empty[(java.sql.Timestamp, Array[Byte])]
