@@ -447,6 +447,82 @@ object LayoutOps {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  // ------------------------------------------------------- compaction
+
+  /** Compaction target file size. Production: 128 MB–1 GB (sized to
+    * the scan's split target so one file ≈ one task); here small
+    * enough that the bin-packing math is exercised, not degenerate,
+    * at test SF. */
+  private val CompactTargetBytes = 4L * 1024 * 1024
+  /** Fragment count for the simulated incremental-ingest layout. */
+  private val FragmentParts = 48
+
+  /** Per-dir (parquet file count, total bytes) — driver-side listing,
+    * zero Spark jobs (the [[ArtifactStore.fingerprint]] cost class). */
+  private[graft] def dirStats(s: SparkSession, dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, false)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** The SMALL-FILES layout every incremental ingest produces: the
+    * fact slice written as [[FragmentParts]] tiny files (a streaming
+    * sink or frequent micro-batch append writes one file per
+    * partition per trigger — the reference's monthly per-state drops
+    * are this fragmentation at month granularity). Dir-returning so
+    * the compactor and the spec can account files and bytes. */
+  private[graft] def fragmentedDir(s: SparkSession, d: String): String =
+    ArtifactStore.directory(s, "lineitem_fragmented",
+        s"$d/lineitem.parquet") { tmp =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartition(FragmentParts)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Size-targeted COMPACTION of the fragmented layout (the OPTIMIZE /
+    * bin-pack maintenance job): output file count = ⌈bytes ∕ target⌉,
+    * derived from the actual listing, so the rewrite tracks data
+    * volume exactly the way AQE's advisory size right-sizes reducers.
+    * At 100 TB this job is what keeps scan task counts (and NameNode/
+    * object-store listing pressure) proportional to bytes instead of
+    * to trigger frequency — 10⁶ KB-sized files cost more to OPEN than
+    * to read. Chained content addresses: the compacted artifact's
+    * input fingerprint is the FRAGMENTED dir, so re-ingest invalidates
+    * both layers and a warm store serves without rewriting. */
+  private[graft] def compactedDir(s: SparkSession, d: String): String = {
+    val frag = fragmentedDir(s, d)
+    ArtifactStore.directory(s, "lineitem_compacted", frag) { tmp =>
+      val (_, bytes) = dirStats(s, frag)
+      val target = math.max(1L,
+        (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(frag).repartition(target)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Graded rollup over the COMPACTED layout: compaction is a pure
+    * storage rewrite, so the oracle is the same rollup on the plain
+    * table — results must be invisible to the file-count change
+    * (the spec asserts the layout facts: 48 fragments in, ⌈bytes ∕
+    * target⌉ files out, bytes ≈ preserved). */
+  def compaction(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactedDir(s, d))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
   /** The graded point-lookup keys: three literal order keys (the
     * corpus generator deals o_orderkey densely from 0 at every shipped
     * SF, so all three exist everywhere) chosen to hash into a STRICT
@@ -516,6 +592,7 @@ object LayoutOps {
     "scan_dpp_prune" -> dppPrune,
     "layout_bucketed_join" -> bucketedJoin,
     "scan_bucket_prune" -> bucketPrune,
+    "layout_compaction" -> compaction,
   )
 
   val oracles: Map[String, String] = Map(
@@ -526,6 +603,13 @@ object LayoutOps {
          |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same rollup on the plain table: a compaction that changes
+    // results is wrong, full stop
+    "layout_compaction" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  ${sql.dsum("l_quantity")} AS sum_qty,
+         |  ${sql.dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same IN-lookup on the plain table: the bucket layout (and
     // the file pruning it buys) must be invisible in results
     "scan_bucket_prune" ->

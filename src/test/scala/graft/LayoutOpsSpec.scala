@@ -190,4 +190,25 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(asOf.length == base,
       "every base key must have exactly one version live at the instant")
   }
+
+  test("compaction bin-packs the fragmented layout without changing rows") {
+    val frag = ops.LayoutOps.fragmentedDir(spark, sf)
+    val comp = ops.LayoutOps.compactedDir(spark, sf)
+    val (fFiles, fBytes) = ops.LayoutOps.dirStats(spark, frag)
+    val (cFiles, cBytes) = ops.LayoutOps.dirStats(spark, comp)
+    // the ingest fragmentation is real (one file per partition)...
+    assert(fFiles == 48L, s"expected 48 fragments, got $fFiles")
+    // ...and the compactor rewrote it to the size-derived target —
+    // at sf0.001 the slice is well under one 4 MB target file
+    assert(cFiles == math.max(1L, (fBytes + (4L << 20) - 1) / (4L << 20)),
+      s"file count must be ceil(bytes/target): $cFiles files, $fBytes bytes")
+    assert(cFiles < fFiles / 4,
+      s"compaction must collapse the file count ($fFiles -> $cFiles)")
+    // fewer files must not mean different data: same rows, and the
+    // parquet payload stays the same order of magnitude (per-file
+    // header/footer overhead is what compaction reclaims)
+    assert(spark.read.parquet(comp).count() ===
+      spark.read.parquet(frag).count())
+    assert(cBytes > 0L && cBytes < 2 * fBytes)
+  }
 }
