@@ -350,6 +350,59 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-based mixture weights — THE standard multi-source /
+    * multilingual LLM sampling recipe (upweight small sources,
+    * downweight giants): sampling share p_s ∝ n_s^α over per-source
+    * token counts, at α = 1/2 (temperature-2 mixing), which makes the
+    * power an integer square root and the whole computation EXACT —
+    * w_s = isqrt(n_s · 10⁸) (fixed-point ×10⁴ in the sqrt domain),
+    * integer sums, one final division per output float (round 9/6,
+    * the catalog's derived-float treatment). isqrt is floor(sqrt(x))
+    * computed in doubles then corrected onto the integer lattice
+    * (double sqrt is correctly rounded per IEEE 754, so the floor is
+    * off by at most ±1 — the two CASE arms pin it); valid while
+    * n_s·10⁸ stays exact in a double, i.e. n_s ≤ 9·10¹⁰ tokens per
+    * source, guarded fail-loud below (at 100 TB, bump the fixed-point
+    * scale down — the ADVICE r8 overflow discipline).
+    *
+    * `epochs` is the quantity operators actually read: how many times
+    * source s repeats in a T-token mixture, p_s·T ∕ n_s — the
+    * upsampling-factor table. One groupBy + a 1-row broadcast
+    * ([[corpusMixOn]] scalar-join shape); corpus-linear. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixOn(Tables.documents(s, d))
+
+  /** Core of [[temperatureMix]], parameterized for tests and reuse. */
+  def temperatureMixOn(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_s"))
+      // fail-loud bound for the fixed-point sqrt domain (see Scaladoc)
+      .withColumn("tokens_s",
+        when(col("tokens_s") <= lit(90000000000L), col("tokens_s"))
+          .otherwise(raise_error(lit(
+            "temperatureMix: per-source token count exceeds the 9e10 " +
+              "fixed-point sqrt bound — reduce the 1e8 scale"))))
+    val x = col("tokens_s") * lit(100000000L)
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val weighted = bySource.withColumn("w",
+      when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+        .when(s0 * s0 > x, s0 - 1)
+        .otherwise(s0))
+    val totals = weighted.agg(sum(col("w")).as("sum_w"),
+      sum(col("tokens_s")).as("total_tokens"))
+    weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        col("tokens_s").as("n_tokens"),
+        round(col("w").cast("double") / col("sum_w").cast("double"), 9)
+          .as("p_mix"),
+        round((col("w") * col("total_tokens")).cast("double") /
+          (col("sum_w") * col("tokens_s")).cast("double"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batching step that turns a cleaned corpus into training
     * sequences. Docs fill bins in doc_id order within each `source`
@@ -865,6 +918,7 @@ object TextOps {
     "text_repetition" -> repetition,
     "text_oov_rate" -> oovRate,
     "corpus_mix" -> corpusMix,
+    "corpus_temperature_mix" -> temperatureMix,
     "text_dup_ngrams" -> dupNgrams,
   )
 
@@ -1076,6 +1130,30 @@ object TextOps {
         |      AS DOUBLE) AS achieved_share
         |FROM rates r LEFT JOIN kept k USING (source)
         |ORDER BY r.source""".stripMargin,
+    // the same isqrt lattice correction, integer sums, and single
+    // final divisions — bit-equal across engines
+    "corpus_temperature_mix" ->
+      """WITH by_s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS tokens_s
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, tokens_s,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+        |         WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w
+        |  FROM (SELECT source, n_docs, tokens_s,
+        |      tokens_s * 100000000 AS x,
+        |      CAST(floor(sqrt(CAST(tokens_s * 100000000 AS DOUBLE)))
+        |        AS BIGINT) AS s0
+        |    FROM by_s) t),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(tokens_s) AS BIGINT) AS total_tokens FROM w)
+        |SELECT source, n_docs, tokens_s AS n_tokens,
+        |  round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 9) AS p_mix,
+        |  round(CAST(w * total_tokens AS DOUBLE) /
+        |    CAST(sum_w * tokens_s AS DOUBLE), 6) AS epochs
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
     "text_oov_rate" ->
       """WITH dt AS (
         |  SELECT doc_id, source, tok, COUNT(*) AS n_occ

@@ -178,6 +178,28 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(ops.Analytics.bfsOn(empty).count() === 0L)
   }
 
+  test("temperature mix: exact weights on perfect squares; empty survives") {
+    // token counts 4 and 9 -> w = sqrt(4e8) = 20000, sqrt(9e8) = 30000:
+    // p = 0.4 / 0.6 EXACTLY, epochs = 0.4*13/4 = 1.3 and 0.6*13/9
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c d e f g h i", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = ops.TextOps.temperatureMixOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === Seq(("s1", 4L, 0.4, 1.3), ("s2", 9L, 0.6, 0.866667)))
+    // a NON-square count exercises the isqrt lattice correction:
+    // isqrt(5e8) = 22360 (22360^2 = 499969600 <= 5e8 < 22361^2)
+    val ns = Seq((1L, "a b c d e", "s1")).toDF("doc_id", "text", "source")
+    val solo = ops.TextOps.temperatureMixOn(ns).collect()
+    assert(solo.head.getDouble(3) === 1.0 && solo.head.getDouble(4) === 1.0)
+    // empty corpus: empty mixture, no crash
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(ops.TextOps.temperatureMixOn(empty).count() === 0L)
+  }
+
   test("quantile grade tail survives an empty sketch frame") {
     import org.apache.spark.sql.functions.col
     val monthly = Seq.empty[(java.sql.Timestamp, Array[Byte])]

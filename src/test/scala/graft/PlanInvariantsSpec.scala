@@ -38,6 +38,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // SINGLE-ROW aggregate (global k / total_tokens) against a
     // per-source aggregate frame (|sources| rows, corpus-independent)
     "corpus_mix",
+    // same scalar-join shape: the 1-row (sum_w, total_tokens)
+    // aggregate broadcast against the per-source weight frame
+    "corpus_temperature_mix",
     // same scalar-join shape: the vocab-size V is a SINGLE-ROW
     // broadcast against the doc-bigram stream — a 1-row build side is
     // a map-side constant, not a pair join
