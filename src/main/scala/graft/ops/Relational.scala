@@ -578,6 +578,53 @@ object Relational {
     withCoalesceAqe(s) { coalesceAqeFrame(s, d).localCheckpoint(true) }
       .orderBy(col("o_orderpriority"))
 
+  // --- parquet aggregate pushdown (engine credit, r9) ---------------
+
+  /** Run `body` with parquet AGGREGATE pushdown armed: MIN/MAX/COUNT
+    * with no filter and no grouping are answered from row-group
+    * FOOTER statistics — zero data pages read. Two confs because the
+    * capability lives in the V2 datasource path only: parquet is
+    * removed from the V1 fallback list, and the pushdown itself is
+    * opt-in (`spark.sql.parquet.aggregatePushdown`, default false —
+    * footer stats can be absent/wrong for externally written files;
+    * ours are Spark-written). [[withSkewAqe]] scoping discipline. */
+  private[graft] def withAggPushdown[T](s: SparkSession)(body: => T): T = {
+    val settings = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The whole-table profile frame: global COUNT/MIN/MAX over orders.
+    * Exposed for the plan test ([[skewAqeFrame]] pattern). */
+  private[graft] def aggPushdownFrame(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n_orders"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+
+  /** Parquet FOOTER-STATS aggregate pushdown engine credit: the
+    * global COUNT/MIN/MAX profile is answered from row-group metadata
+    * — the scan's `PushedAggregation` list carries the aggregates and
+    * no data page is decoded (plan-asserted with an unarmed control
+    * in PlanInvariantsSpec). At 100 TB this turns the monitoring
+    * queries every pipeline runs constantly (row counts, key ranges,
+    * freshness checks — the reference's count-reconciliation class,
+    * `load.ts:330-352`) from full-table scans into pure metadata
+    * reads: ~10⁵ footer reads instead of 100 TB of pages. The
+    * pushdown is a pure optimization, so the oracle is the plain SQL
+    * aggregate. Executed eagerly inside the conf scope
+    * ([[regionalRevenueCbo]] discipline). */
+  def aggPushdown(s: SparkSession, d: String): DataFrame =
+    withAggPushdown(s) { aggPushdownFrame(s, d).localCheckpoint(true) }
+
   /** P8/P9: deterministic pagination — rows [100, 120) of the
     * o_orderkey total order, the batch analog of the reference's
     * --start/--resume.
@@ -727,6 +774,7 @@ object Relational {
     "join_skew_aqe_parity" -> skewAqeParity,
     "join_runtime_bloom" -> runtimeBloomJoin,
     "agg_aqe_coalesce" -> aqeCoalesce,
+    "scan_agg_pushdown" -> aggPushdown,
     "filter_range_slice" -> rangeSlice,
     "scan_row_counts" -> rowCounts,
     "agg_pricing_summary" -> pricingSummary,
@@ -754,6 +802,13 @@ object Relational {
         |    AS sum_price
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // plain SQL aggregate: answering from footer stats instead of
+    // data pages is a pure optimization, invisible in results
+    "scan_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
     // plain SQL rollup: the reducer-count coalescing is a pure
     // optimization and must be invisible in results
     "agg_aqe_coalesce" ->

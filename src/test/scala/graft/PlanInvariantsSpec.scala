@@ -383,6 +383,31 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "shuffle read coalesced with the rule disabled — control is vacuous")
   }
 
+  test("footer-stats pushdown answers the global profile without data pages") {
+    // armed: the V2 parquet scan's PushedAggregation list must carry
+    // the COUNT/MIN/MAX — the batch scan reads footers, not pages
+    val armed = ops.Relational.withAggPushdown(spark) {
+      ops.Relational.aggPushdownFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+    }
+    val m = """PushedAggregation: \[([^\]]+)\]""".r.findFirstMatchIn(armed)
+    assert(m.isDefined && m.get.group(1).contains("COUNT(*)") &&
+      m.get.group(1).contains("MIN(o_orderkey)"),
+      "no pushed aggregation in the armed scan:\n" + armed.take(1500))
+    // control: the default session plans a full aggregate over the
+    // scan — proving the metadata answer is the scope's doing
+    val plain = ops.Relational.aggPushdownFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!"""PushedAggregation: \[[^\]]+\]""".r.findFirstIn(plain).exists(
+        _.contains("COUNT")),
+      "default scan pushed aggregates — control is vacuous:\n" +
+        plain.take(800))
+    // and the optimization is invisible: armed and plain agree
+    val a = ops.Relational.aggPushdown(spark, sf).head()
+    val b = ops.Relational.aggPushdownFrame(spark, sf).head()
+    assert(a === b)
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
