@@ -447,6 +447,53 @@ object LayoutOps {
           .cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  // ------------------------------------------- nested schema pruning
+
+  /** The NESTED-RECORD layout every log/telemetry pipeline ships: the
+    * fact row packed into one deep struct (ids / measures / flags
+    * sub-records — at 100 TB these structs run hundreds of leaves).
+    * Built once per corpus snapshot; the point of the layout is what
+    * the SCAN does with it, below. */
+  private def nestedLineitem(s: SparkSession, d: String): DataFrame =
+    ArtifactStore.parquet(s, "lineitem_nested", s"$d/lineitem.parquet") {
+      Tables.lineitem(s, d).select(struct(
+        struct(col("l_orderkey").as("orderkey"),
+          col("l_partkey").as("partkey"),
+          col("l_suppkey").as("suppkey"),
+          col("l_linenumber").as("linenumber")).as("ids"),
+        struct(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"),
+          col("l_tax").as("tax")).as("qty"),
+        struct(col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus")).as("flags"))
+        .as("rec"))
+    }
+
+  /** The scan half of [[nestedPrune]], exposed for the plan test. */
+  private[graft] def nestedPruneFrame(s: SparkSession, d: String): DataFrame =
+    nestedLineitem(s, d)
+      .groupBy(col("rec.flags.returnflag").as("returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("rec.qty.quantity")).as("sum_qty"))
+
+  /** NESTED SCHEMA PRUNING engine credit: the rollup touches two
+    * LEAVES of the record struct, and the scan's ReadSchema must
+    * contain exactly those leaves — not the sibling sub-structs
+    * (plan-asserted in PlanInvariantsSpec: `returnflag` and `quantity`
+    * present, `orderkey`/`extendedprice` absent). Parquet stores
+    * struct leaves as independent column chunks, so pruning nested
+    * fields is the same I/O win as top-level column pruning — but it
+    * only happens if the optimizer rewrites the struct access into a
+    * pruned ReadSchema instead of materializing the whole record
+    * (`nestedSchemaPruning`, on by default since Spark 3). At 100 TB
+    * with 500-leaf telemetry structs this is the difference between
+    * reading 2 leaves and deserializing all 500 per row. The layout
+    * must be invisible in results: the oracle is the same rollup on
+    * the FLAT table. */
+  def nestedPrune(s: SparkSession, d: String): DataFrame =
+    nestedPruneFrame(s, d).orderBy(col("returnflag"))
+
   // ------------------------------------------------------- compaction
 
   /** Compaction target file size. Production: 128 MB–1 GB (sized to
@@ -593,6 +640,7 @@ object LayoutOps {
     "layout_bucketed_join" -> bucketedJoin,
     "scan_bucket_prune" -> bucketPrune,
     "layout_compaction" -> compaction,
+    "scan_nested_prune" -> nestedPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -603,6 +651,12 @@ object LayoutOps {
          |  ${sql.discountedSum("l_extendedprice", "l_discount")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same rollup on the FLAT table: the nested layout (and the
+    // leaf pruning it enables) must be invisible in results
+    "scan_nested_prune" ->
+      s"""SELECT l_returnflag AS returnflag, COUNT(*) AS n_items,
+         |  ${sql.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same rollup on the plain table: a compaction that changes
     // results is wrong, full stop
     "layout_compaction" ->

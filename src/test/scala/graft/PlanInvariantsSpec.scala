@@ -408,6 +408,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("nested schema pruning reads only the touched struct leaves") {
+    val plan = ops.LayoutOps.nestedPruneFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rs = """ReadSchema: ([^\n]+)""".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse("")
+    // the two touched leaves survive...
+    assert(rs.contains("returnflag") && rs.contains("quantity"),
+      "touched leaves missing from ReadSchema: " + rs)
+    // ...and the sibling leaves are PRUNED — the scan must not
+    // materialize the whole record struct
+    assert(!rs.contains("orderkey") && !rs.contains("extendedprice") &&
+      !rs.contains("linestatus"),
+      "untouched struct leaves in ReadSchema — nested pruning lost: " + rs)
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
