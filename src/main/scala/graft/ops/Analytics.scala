@@ -114,7 +114,15 @@ object Analytics {
     * the edges frame is the artifact and iterations co-partition
     * ranks with the adjacency on node id. */
   def pagerank(s: SparkSession, d: String): DataFrame =
-    pagerankOn(partEdges(s, d))
+    // like the triangle and BFS summaries: iterative centrality is a
+    // batch-maintenance job (5 chained join+agg rounds), so the rank
+    // table is content-addressed — built once per corpus snapshot,
+    // served as a scan thereafter; the scan re-applies the catalog's
+    // ORDER BY over the stored exact-integer ranks
+    graft.ArtifactStore.parquet(s, "graph_pagerank_summary",
+        s"$d/lineitem.parquet") {
+      pagerankOn(partEdges(s, d))
+    }.orderBy(col("rank").desc, col("part"))
 
   /** Core of [[pagerank]] over any symmetric (src, dst) edge frame —
     * parameterized for degenerate-input tests. */
