@@ -143,6 +143,73 @@ object EventOps {
         count(col("parsed.k")).as("n_parsed"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------ interval-overlap join
+
+  /** Bucket width for the interval-overlap reduction: wide enough
+    * that day-bounded spans explode into a handful of rows, narrow
+    * enough that a bucket's population stays far below the corpus. */
+  private val OvlBucketSec = 21600L // 6 h
+  /** Busy-day floor: spans built only from user-days with ≥ this many
+    * events, so the interval sets are the meaningful co-presence
+    * candidates, not every drive-by singleton. */
+  private val OvlMinEvents = 5
+
+  /** Per-(user, day) activity spans — the interval sets the overlap
+    * join consumes: [first event, last event] epoch seconds of each
+    * busy user-day. Day-bounded by construction, so only same-day
+    * spans can ever overlap. */
+  private def userDaySpans(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        unix_timestamp(min(col("ts"))).as("lo"),
+        unix_timestamp(max(col("ts"))).as("hi"))
+      .filter(col("n") >= OvlMinEvents)
+      .select(col("user_id"), col("lo"), col("hi"))
+
+  /** INTERVAL × INTERVAL overlap self-join — co-presence: user pairs
+    * whose busy-day activity spans intersect, ranked by total shared
+    * seconds. Completes the non-equi family next to point-in-interval
+    * ([[graft.ops.Relational.bandJoin]]) and as-of: a naive
+    * formulation is a θ-self-join (`a.lo <= b.hi AND b.lo <= a.hi`)
+    * that Spark plans as BroadcastNestedLoopJoin — O(n²) and
+    * forbidden here by the PlanInvariants walker. The standard
+    * distributed reduction instead: explode each span across the
+    * fixed-width time chunks it touches, EQUI-join on the chunk
+    * (hash, partitionable), keep exact-overlap survivors, and count
+    * each qualifying pair ONCE via chunk ownership — only the chunk
+    * containing the later start emits (that chunk lies inside both
+    * spans, so both sides exploded into it; every other shared chunk
+    * is suppressed). Overlap seconds are exact integer arithmetic on
+    * epoch seconds; the DuckDB oracle runs the direct θ-join (its
+    * IEJoin handles inequality joins natively) — the graded equality
+    * is the proof the bucketing reduction loses and double-counts
+    * nothing. At 100 TB chunk width tunes to the span distribution;
+    * skew in a hot chunk is the salted/AQE story like any hash
+    * join. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val spans = userDaySpans(s, d)
+    val exploded = spans.withColumn("bk",
+      explode(sequence((col("lo") / OvlBucketSec).cast("long"),
+        (col("hi") / OvlBucketSec).cast("long"))))
+    val a = exploded.select(col("user_id").as("user_a"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"), col("bk"))
+    val b = exploded.select(col("user_id").as("user_b"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("user_a") < col("user_b") &&
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+        (greatest(col("a_lo"), col("b_lo")) / OvlBucketSec).cast("long")
+          === col("bk"))
+      .select(col("user_a"), col("user_b"),
+        (least(col("a_hi"), col("b_hi")) -
+          greatest(col("a_lo"), col("b_lo"))).as("ovl"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"), sum(col("ovl")).as("overlap_sec"))
+      .orderBy(col("overlap_sec").desc, col("user_a"), col("user_b"))
+      .limit(20)
+  }
+
   /** Time-range window frame: per-user rolling 24 h event count/sum —
     * RANGE frames over epoch seconds (engine-portable numeric form). */
   def rangeFrame(s: SparkSession, d: String): DataFrame = {
@@ -294,12 +361,31 @@ object EventOps {
     // correctness contract, so both stay in the catalog
     "window_hourly_rollup" -> hourlyRollup,
     "sessionize_gap30m" -> sessionize,
+    "join_interval_overlap" -> intervalOverlap,
     "join_asof_orders" -> asofJoin,
     "join_asof_native" -> asofJoinNative,
     "join_asof_tolerance" -> asofJoinTolerance,
   )
 
   val oracles: Map[String, String] = Map(
+    // the DIRECT theta-self-join (DuckDB's IEJoin runs inequality
+    // joins natively): graded equality proves the engine's bucketed
+    // equi-join reduction loses and double-counts nothing
+    "join_interval_overlap" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS hi
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |  HAVING COUNT(*) >= 5)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  COUNT(*) AS n_overlaps,
+        |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS BIGINT)
+        |    AS overlap_sec
+        |FROM spans a JOIN spans b
+        |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY 1, 2
+        |ORDER BY overlap_sec DESC, user_a, user_b LIMIT 20""".stripMargin,
     // mirror of gapfillInterp stage for stage; the interpolation line
     // is the IDENTICAL IEEE expression tree (decimal endpoints cast to
     // double once, integer hour offsets, multiply then divide) so the
