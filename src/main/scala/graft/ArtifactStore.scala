@@ -131,23 +131,34 @@ object ArtifactStore {
       (build: => DataFrame): DataFrame = {
     val df = build // analysis only until the write below runs
     val table = s"graft_${name}_v${version}_${fingerprint(spark, inputPath)}"
-    if (!spark.catalog.tableExists(table)) {
-      val dir = directory(spark, name, inputPath, version) { tmp =>
-        // unique per racing builder: same-name temp tables would
-        // collide in the shared session catalog
-        val bt = table + "_build_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
-        df.write.mode("overwrite").format("parquet")
-          .bucketBy(buckets, key).sortBy(key)
-          .option("path", tmp).saveAsTable(bt)
-        spark.sql(s"DROP TABLE `$bt`")
-      }
+    // the FILES are authoritative, the catalog entry is derived:
+    // serve-or-build always goes through the store (honoring the
+    // current root and the _SUCCESS marker — a catalog-first check
+    // would serve a previous root's files into an isolated test run,
+    // or a dangling LOCATION after a store wipe; review finding)
+    val dir = directory(spark, name, inputPath, version) { tmp =>
+      // unique per racing builder: same-name temp tables would
+      // collide in the shared session catalog
+      val bt = table + "_build_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", tmp).saveAsTable(bt)
+      spark.sql(s"DROP TABLE `$bt`")
+    }
+    val stale = spark.catalog.tableExists(table) && {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      new org.apache.hadoop.fs.Path(loc).toUri.getPath !=
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    }
+    if (stale) spark.sql(s"DROP TABLE `$table`")
+    if (stale || !spark.catalog.tableExists(table))
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS `$table` (${df.schema.toDDL})
+        s"""CREATE TABLE `$table` (${df.schema.toDDL})
            |USING parquet
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
            |LOCATION '$dir'""".stripMargin)
-    }
     spark.table(table)
   }
 

@@ -284,7 +284,7 @@ object Analytics {
     graft.ArtifactStore.parquet(s, "graph_bfs_summary",
         s"$d/lineitem.parquet") {
       bfsOn(partEdges(s, d))
-    }
+    }.orderBy(col("dist")) // the scan re-applies the catalog's ORDER BY
 
   /** Core of [[shortestPaths]] over any symmetric (src, dst) edge
     * frame — parameterized for known-graph tests ([[pagerankOn]]

@@ -372,12 +372,12 @@ object EventOps {
     // joins natively): graded equality proves the engine's bucketed
     // equi-join reduction loses and double-counts nothing
     "join_interval_overlap" ->
-      """WITH spans AS (
+      s"""WITH spans AS (
         |  SELECT user_id,
         |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS lo,
         |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS hi
         |  FROM events GROUP BY user_id, CAST(ts AS DATE)
-        |  HAVING COUNT(*) >= 5)
+        |  HAVING COUNT(*) >= $OvlMinEvents)
         |SELECT a.user_id AS user_a, b.user_id AS user_b,
         |  COUNT(*) AS n_overlaps,
         |  CAST(SUM(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS BIGINT)

@@ -585,15 +585,9 @@ object LayoutOps {
     * to exercise (the rule optimizes for split parallelism, blind to
     * the listing cost that dominates a point read at 100 TB). Scoped
     * save/restore, the `Relational.withSkewAqe` discipline. */
-  private[graft] def withBucketedScan[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "false")
-    try body finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None => s.conf.unset(k)
-    }
-  }
+  private[graft] def withBucketedScan[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")(body)
 
   /** The scan half of [[bucketPrune]], exposed so the plan test can
     * assert the SelectedBucketsCount on exactly the frame the query

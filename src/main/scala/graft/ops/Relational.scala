@@ -425,22 +425,15 @@ object Relational {
     * so the scope arms factor 2 + 16 KB — the decision RULE is the
     * engine's, only its scale constants are tuned to the fixture,
     * exactly like shuffle.partitions=32 for local[32]. */
-  private[graft] def withSkewAqe[T](s: SparkSession)(body: => T): T = {
-    val settings = Seq(
+  private[graft] def withSkewAqe[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
-    settings.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")(body)
 
   /** The skewed join with ZERO hand mitigation — no salt, no hints:
     * the engine-credit half of the skew story. Callers wrap it in
@@ -481,19 +474,12 @@ object Relational {
     * production scans, unreachable at test SF — so the scope arms it
     * at 0; the creation-side threshold and the decision rule stay the
     * engine's. [[withSkewAqe]] scoping discipline. */
-  private[graft] def withRuntimeBloom[T](s: SparkSession)(body: => T): T = {
-    val settings = Seq(
+  private[graft] def withRuntimeBloom[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
-    settings.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")(body)
 
   /** The brand-filtered part ⋈ lineitem revenue rollup with ZERO
     * hand-written semi-join reduction — the engine-credit face of
@@ -535,19 +521,12 @@ object Relational {
     * `true` fills local parallelism instead, a dev convenience that
     * under-sizes reducers at scale. [[withSkewAqe]] scoping
     * discipline: previous session values restored after. */
-  private[graft] def withCoalesceAqe[T](s: SparkSession)(body: => T): T = {
-    val settings = Seq(
+  private[graft] def withCoalesceAqe[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
-    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
-    settings.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")(body)
 
   /** A rollup whose static 32 shuffle partitions each carry a few KB —
     * the shape that leaves 31 near-empty reduce tasks without AQE.
@@ -588,17 +567,10 @@ object Relational {
     * opt-in (`spark.sql.parquet.aggregatePushdown`, default false —
     * footer stats can be absent/wrong for externally written files;
     * ours are Spark-written). [[withSkewAqe]] scoping discipline. */
-  private[graft] def withAggPushdown[T](s: SparkSession)(body: => T): T = {
-    val settings = Seq(
+  private[graft] def withAggPushdown[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
       "spark.sql.parquet.aggregatePushdown" -> "true",
-      "spark.sql.sources.useV1SourceList" -> "")
-    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
-    settings.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
-  }
+      "spark.sql.sources.useV1SourceList" -> "")(body)
 
   /** The whole-table profile frame: global COUNT/MIN/MAX over orders.
     * Exposed for the plan test ([[skewAqeFrame]] pattern). */

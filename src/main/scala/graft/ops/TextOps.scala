@@ -363,7 +363,11 @@ object TextOps {
     * off by at most ±1 — the two CASE arms pin it); valid while
     * n_s·10⁸ stays exact in a double, i.e. n_s ≤ 9·10¹⁰ tokens per
     * source, guarded fail-loud below (at 100 TB, bump the fixed-point
-    * scale down — the ADVICE r8 overflow discipline).
+    * scale down — the ADVICE r8 overflow discipline). The `epochs`
+    * products are computed in DOUBLES on both engines (identical IEEE
+    * trees, so the grade stays bit-equal): the integer forms w·T and
+    * Σw·n_s overflow Long around a 30 B-token corpus, far inside the
+    * isqrt guard's domain.
     *
     * `epochs` is the quantity operators actually read: how many times
     * source s repeats in a T-token mixture, p_s·T ∕ n_s — the
@@ -398,8 +402,15 @@ object TextOps {
         col("tokens_s").as("n_tokens"),
         round(col("w").cast("double") / col("sum_w").cast("double"), 9)
           .as("p_mix"),
-        round((col("w") * col("total_tokens")).cast("double") /
-          (col("sum_w") * col("tokens_s")).cast("double"), 6).as("epochs"))
+        // cast BEFORE multiplying: the integer products w·T and
+        // Σw·n_s overflow Long around a 30 B-token corpus — far below
+        // the 9e10 isqrt guard (review finding). The double products
+        // are the identical IEEE tree in both engines, so the grade
+        // stays bit-equal at any scale; precision degrades gracefully
+        // past 2^53 instead of erroring/wrapping
+        round(col("w").cast("double") * col("total_tokens").cast("double") /
+          (col("sum_w").cast("double") * col("tokens_s").cast("double")), 6)
+          .as("epochs"))
       .orderBy(col("source"))
   }
 
@@ -1151,8 +1162,8 @@ object TextOps {
         |  CAST(SUM(tokens_s) AS BIGINT) AS total_tokens FROM w)
         |SELECT source, n_docs, tokens_s AS n_tokens,
         |  round(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE), 9) AS p_mix,
-        |  round(CAST(w * total_tokens AS DOUBLE) /
-        |    CAST(sum_w * tokens_s AS DOUBLE), 6) AS epochs
+        |  round(CAST(w AS DOUBLE) * CAST(total_tokens AS DOUBLE) /
+        |    (CAST(sum_w AS DOUBLE) * CAST(tokens_s AS DOUBLE)), 6) AS epochs
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
     "text_oov_rate" ->
       """WITH dt AS (

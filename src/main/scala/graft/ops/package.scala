@@ -37,6 +37,23 @@ package object ops {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Run `body` with the given session confs set, restoring each
+    * previous value (or unsetting) after — the engine-credit scoping
+    * idiom shared by every armed-feature query (CBO, AQE skew/
+    * coalesce, runtime Bloom, aggregate pushdown, bucketed scan) and
+    * their plan-test controls. Single-sourced so the restore
+    * semantics (capture via getOption, unset when previously absent)
+    * cannot drift between copies. */
+  def withConfs[T](s: org.apache.spark.sql.SparkSession,
+      settings: (String, String)*)(body: => T): T = {
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Exact sum of a 2-decimal double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(D18_2)).cast("double")
 

@@ -368,16 +368,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "AQE did not coalesce the rollup's shuffle read:\n" + armed)
     // control: with the rule disabled the read keeps every static
     // partition — proving the coalesce is the rule's doing
-    val off = Seq("spark.sql.adaptive.coalescePartitions.enabled")
-    val prev = off.map(k => k -> spark.conf.getOption(k))
-    off.foreach(k => spark.conf.set(k, "false"))
-    val plain = try {
+    val plain = ops.withConfs(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
       val f = ops.Relational.coalesceAqeFrame(spark, sf)
       f.collect()
       f.queryExecution.executedPlan.toString
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
     assert(!plain.contains("AQEShuffleRead coalesced"),
       "shuffle read coalesced with the rule disabled — control is vacuous")
