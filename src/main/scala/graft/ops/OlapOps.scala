@@ -596,6 +596,7 @@ object OlapOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_incremental_rollup" -> incrementalRollup,
     "view_incremental_join" -> incrementalJoinView,
+    "view_matview_rewrite" -> ((s, d) => graft.plans.Matview.viewRewrite(s, d)),
     "agg_countmin_freq" -> countMinFreq,
     "olap_pivot" -> pivotOrders,
     "olap_unpivot" -> unpivotOrders,
@@ -626,6 +627,15 @@ object OlapOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain rollup over the RAW table: the optimizer's swap onto
+    // the materialized summary must be invisible in results
+    "view_matview_rewrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // full recompute of the joined view: state+delta must be
     // indistinguishable from joining and aggregating everything
     "view_incremental_join" ->

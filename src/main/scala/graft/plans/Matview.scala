@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** MATERIALIZED-VIEW REWRITE — automatic query acceleration as a
+  * Catalyst optimizer rule (the custom-operator tier next to the
+  * as-of join's strategy + pushdown rule): a per-(returnflag,
+  * linestatus) rollup of lineitem is materialized once per corpus
+  * snapshot ([[graft.ArtifactStore]]), and [[MatviewRewrite]] rewrites
+  * any MATCHING aggregate over the RAW lineitem scan onto the summary
+  * — including COARSER group-bys (a subset of the view grain), with
+  * rollup compensation: COUNT(*) becomes Σn over the summary rows,
+  * SUM(CAST(x AS DECIMAL)) becomes a re-aggregated Σ of the stored
+  * partial sums cast back to the original result type. The user's
+  * query text does not change; the optimizer proves containment and
+  * swaps the 100 TB scan for the |grain|-row summary — the
+  * warehouse-killer feature every BI layer reimplements by hand.
+  *
+  * Matching is deliberately STRUCTURAL and guarded: the aggregate
+  * child must be the lineitem parquet relation under pure
+  * column-pruning projections, every grouping expression must be a
+  * grain attribute, and every aggregate function in the output must
+  * be one of the supported forms (COUNT(1), SUM of a decimal-cast
+  * covered column) — one unsupported corner and the rule declines,
+  * leaving the plan untouched (an MV rewrite that changes results is
+  * wrong, full stop; the DuckDB oracle grades exactly that). Output
+  * attributes keep their original exprIds/names/types, so parents are
+  * oblivious to the swap.
+  *
+  * Injection is SCOPED per query ([[Matview.withRewrite]] — the
+  * conf-scope discipline applied to `experimental.extraOptimizations`)
+  * so the rest of the catalog plans exactly as written.
+  */
+case class MatviewRewrite(mvDir: String) extends Rule[LogicalPlan] {
+
+  private val grain = Seq("l_returnflag", "l_linestatus")
+  /** source column -> stored partial-sum column */
+  private val sums = Map("l_quantity" -> "sq", "l_extendedprice" -> "sp")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(ge, ae, child, _)
+        if baseIsLineitem(child) &&
+          ge.forall {
+            case a: AttributeReference => grain.contains(a.name)
+            case _ => false
+          } && ae.forall(supported) =>
+      rewrite(agg)
+  }
+
+  /** The child must be the RAW lineitem parquet relation under pure
+    * column-pruning projections (plain attribute lists only — any
+    * computed projection means the aggregate no longer reads base
+    * columns and the containment proof below would be unsound). */
+  @annotation.tailrec
+  private def baseIsLineitem(p: LogicalPlan): Boolean = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      baseIsLineitem(c)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.getName == "lineitem.parquet")
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** A grouping attribute, or any expression whose embedded aggregate
+    * functions are ALL compensatable from the summary. */
+  private def supported(ne: NamedExpression): Boolean = ne match {
+    case a: AttributeReference => grain.contains(a.name)
+    case _ =>
+      val aes = ne.collect { case ae: AggregateExpression => ae }
+      aes.nonEmpty && aes.forall {
+        case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
+          true
+        case AggregateExpression(Sum(Cast(a: AttributeReference, _, _, _),
+            _), _, false, _, _) => sums.contains(a.name)
+        case _ => false
+      }
+  }
+
+  private def rewrite(agg: Aggregate): LogicalPlan = {
+    val mv = SparkSession.active.read.parquet(mvDir).queryExecution.analyzed
+    def mvAttr(name: String): AttributeReference =
+      mv.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }.getOrElse(throw new IllegalStateException(
+        s"materialized view at $mvDir lacks column $name"))
+
+    val newGroup = agg.groupingExpressions.map {
+      case a: AttributeReference => mvAttr(a.name)
+      case other => other // unreachable under the match guard
+    }
+    val newAggs = agg.aggregateExpressions.map {
+      // grouping attr: same exprId/name over the view's column
+      case a: AttributeReference =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case ne =>
+        ne.transform {
+          case ae @ AggregateExpression(
+              Count(Seq(Literal(1, _))), _, false, _, _) =>
+            // COUNT(*) = Σ partial counts; Coalesce pins the original
+            // non-nullable LongType through the nullable Sum
+            Coalesce(Seq(
+              Cast(Sum(mvAttr("n")).toAggregateExpression(), LongType),
+              Literal(0L)))
+          case ae @ AggregateExpression(
+              Sum(Cast(a: AttributeReference, _, _, _), _), _, false, _, _) =>
+            // SUM(decimal) = re-aggregated Σ of stored partials, cast
+            // back to the original widened-decimal result type (the
+            // value is exact either way; the type must not change
+            // under the parents' feet)
+            Cast(Sum(mvAttr(sums(a.name))).toAggregateExpression(),
+              ae.dataType)
+        }.asInstanceOf[NamedExpression]
+    }
+    Aggregate(newGroup, newAggs, mv)
+  }
+}
+
+/** Build + scoped-injection surface for the lineitem rollup MV. */
+object Matview {
+
+  /** The summary artifact: exact partial aggregates at the view grain
+    * — COUNT plus decimal partial sums, one row per (returnflag,
+    * linestatus). Built once per corpus snapshot; ~|grain| rows. */
+  def mvDir(s: SparkSession, d: String): String = {
+    graft.ArtifactStore.parquet(s, "lineitem_rollup_mv",
+        s"$d/lineitem.parquet") {
+      graft.Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(graft.ops.D18_2)).as("sq"),
+          sum(col("l_extendedprice").cast(graft.ops.D18_2)).as("sp"))
+    }
+    // the rule needs the directory, not the frame: recompute the
+    // address the store just served/built
+    s"${graft.ArtifactStore.root}/lineitem_rollup_mv/v1-" +
+      graft.ArtifactStore.fingerprint(s, s"$d/lineitem.parquet")
+  }
+
+  /** Run `body` with the rewrite rule injected, removing it after —
+    * the conf-scope discipline applied to extraOptimizations, so only
+    * the scoped query is eligible for the swap. */
+  def withRewrite[T](s: SparkSession, dir: String)(body: => T): T = {
+    val rule = MatviewRewrite(dir)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ rule
+    try body finally s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filterNot(_ == rule)
+  }
+
+  /** Graded query: a COARSER rollup than the view grain (returnflag
+    * only — exercises the containment + re-aggregation path, not a
+    * column-for-column copy), written against the RAW table through
+    * the normal API. The rule must prove the rewrite; the oracle is
+    * the plain SQL rollup over lineitem — an MV swap that changes
+    * results is wrong, full stop. Executed eagerly inside the scope
+    * (the engine-credit discipline). */
+  def viewRewrite(s: SparkSession, d: String): DataFrame = {
+    val dir = mvDir(s, d)
+    withRewrite(s, dir) { rewriteFrame(s, d).localCheckpoint(true) }
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The frame under grade, exposed unsorted for the plan test. */
+  private[graft] def rewriteFrame(s: SparkSession, d: String): DataFrame =
+    graft.Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.ops.dsum(col("l_quantity")).as("sum_qty"),
+        graft.ops.dsum(col("l_extendedprice")).as("sum_price"))
+}

@@ -418,6 +418,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "untouched struct leaves in ReadSchema — nested pruning lost: " + rs)
   }
 
+  test("matview rule swaps the rollup onto the summary with compensation") {
+    val dir = plans.Matview.mvDir(spark, sf)
+    // armed: the optimizer must prove containment and replace the raw
+    // lineitem scan with the |grain|-row summary — the coarser
+    // group-by exercises the re-aggregation path, not a column copy
+    // executedPlan, not optimizedPlan: the logical Relation node
+    // prints no path — the FileScan's Location is the witness
+    val armed = plans.Matview.withRewrite(spark, dir) {
+      plans.Matview.rewriteFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+    }
+    assert(armed.contains("lineitem_rollup_mv"),
+      "rewrite did not swap in the materialized view:\n" + armed.take(1200))
+    assert(!armed.contains("lineitem.parquet"),
+      "raw lineitem scan survived the rewrite:\n" + armed.take(1200))
+    // control: without the rule the same frame reads the raw table
+    val plain = plans.Matview.rewriteFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plain.contains("lineitem.parquet") &&
+      !plain.contains("lineitem_rollup_mv"),
+      "unscoped frame should read the raw table — control is vacuous")
+    // and the swap is invisible: armed and plain agree row for row
+    import org.apache.spark.sql.functions.col
+    val a = plans.Matview.withRewrite(spark, dir) {
+      plans.Matview.rewriteFrame(spark, sf).localCheckpoint(true)
+    }.orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val b = plans.Matview.rewriteFrame(spark, sf)
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(a === b)
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
