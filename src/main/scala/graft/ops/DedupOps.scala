@@ -664,6 +664,58 @@ object DedupOps {
       SimilarityOps.thresholdJoinOn(emb, 0.3).select(col("a_id"), col("b_id")))
   }
 
+  // ------------------------------------------------ containment (r9)
+
+  /** Document-frequency cutoff for the containment inverted join:
+    * shingles shared by more than this many docs carry no
+    * discriminative signal and would quadratically dominate the
+    * shingle-keyed self-join (a stopword shingle's df² pair mass is
+    * the hot key of this workload). The cutoff is part of the graded
+    * SEMANTICS — containment is measured over kept shingles — so the
+    * oracle applies the identical rule. */
+  private val ContainMaxDf = 50L
+
+  /** CONTAINMENT detection — the ASYMMETRIC near-dup primitive every
+    * symmetric measure misses: |A∩B| ∕ |A| ≥ 0.9 flags A as
+    * (near-)contained in B — truncated copies, quoted excerpts,
+    * doc-in-doc concatenations — where Jaccard divides by the UNION
+    * and scores a small-doc-inside-big-doc pair near zero (Broder's
+    * containment vs resemblance distinction). Pipeline: distinct char
+    * shingles per doc ([[shingles]]), df-cutoff, shingle-keyed
+    * inverted self-join (sub-quadratic: Σ df² with df ≤ cutoff,
+    * never all-pairs), pair-intersection counts, and an INTEGER
+    * threshold test 10·|A∩B| ≥ 9·|A| — no float division anywhere.
+    * Proper containments require |A| < |B|; exact-dup pairs
+    * (|A| = |B|) are emitted once under the id tie-break. At 100 TB
+    * the same inverted join runs banded (the minhashLsh discipline);
+    * this exact form IS the oracle-gradable semantics. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOn(Tables.documents(s, d))
+
+  /** Core of [[containment]], parameterized for tests and reuse. */
+  def containmentOn(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"))).as("sh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainMaxDf).select(col("sh"))
+    val kept = sh.join(rare, Seq("sh"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    kept.select(col("sh"), col("doc_id").as("a_id"))
+      .join(kept.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")),
+        Seq("b_id"))
+      .filter(col("inter") * 10L >= col("n_a") * 9L &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("a_id") < col("b_id"))))
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("inter"), col("n_a"), col("n_b"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Clustering + keep-rule shared by [[semantic]] (exact pairs) and
     * [[semanticLsh]] (LSH candidate pairs): connected components over
     * the pair graph, singletons keep themselves, min-id per cluster
@@ -1089,6 +1141,7 @@ object DedupOps {
     "dedup_bloom_incremental" -> bloomIncremental,
     "split_leakage_safe" -> leakageSafeSplit,
     "dedup_first_wins" -> firstWins,
+    "dedup_containment" -> containment,
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
     "dedup_canonical_quality" -> canonicalByQuality,
@@ -1424,6 +1477,27 @@ object DedupOps {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    // the identical pipeline — same shingle grammar, same df cutoff
+    // (part of the graded semantics), same integer threshold test
+    "dedup_containment" ->
+      s"""WITH shx AS (
+         |  SELECT doc_id, unnest(${shinglesSql.format("text", "text")}) AS s
+         |  FROM documents),
+         |rare AS (SELECT s FROM shx GROUP BY s
+         |         HAVING COUNT(*) <= $ContainMaxDf),
+         |kept AS (SELECT shx.doc_id, shx.s FROM shx JOIN rare USING (s)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         |ix AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id AS contained_id, b_id AS container_id,
+         |  inter, sa.n AS n_a, sb.n AS n_b
+         |FROM ix JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE inter * 10 >= sa.n * 9
+         |  AND (sa.n < sb.n OR (sa.n = sb.n AND a_id < b_id))
+         |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_clusters_lsh" -> clustersLshOracleSql,

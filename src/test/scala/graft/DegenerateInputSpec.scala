@@ -178,6 +178,32 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(ops.Analytics.bfsOn(empty).count() === 0L)
   }
 
+  test("containment: prefix-in-doc caught where symmetric Jaccard scores low") {
+    import org.apache.spark.sql.functions.col
+    val big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8)
+      .trim
+    val prefix = big.substring(0, 120) // every shingle anchor lands inside
+    val other = "unrelated words that share no character shingles with " +
+      "either document in this tiny corpus whatsoever"
+    val docs = Seq((1L, big), (2L, prefix), (3L, other))
+      .toDF("doc_id", "text")
+    val got = ops.DedupOps.containmentOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the prefix is contained in the full doc; the asymmetric measure
+    // divides by |A| and flags it — Jaccard divides by the union and
+    // scores the same pair low (that is the primitive's point)
+    assert(got === Seq((2L, 1L)), s"got $got")
+    val jac = docs.filter(col("doc_id") < 3L)
+      .agg(org.apache.spark.sql.functions.collect_list(
+        ops.DedupOps.shingles(col("text")))).head.getSeq[Seq[String]](0)
+    val (a, b) = (jac(0).toSet, jac(1).toSet)
+    val j = (a & b).size.toDouble / (a | b).size
+    assert(j < 0.5, s"fixture not asymmetric enough: jaccard $j")
+    // empty corpus survives
+    assert(ops.DedupOps.containmentOn(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0L)
+  }
+
   test("temperature mix: exact weights on perfect squares; empty survives") {
     // token counts 4 and 9 -> w = sqrt(4e8) = 20000, sqrt(9e8) = 30000:
     // p = 0.4 / 0.6 EXACTLY, epochs = 0.4*13/4 = 1.3 and 0.6*13/9
