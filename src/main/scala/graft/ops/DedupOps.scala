@@ -690,7 +690,14 @@ object DedupOps {
     * the same inverted join runs banded (the minhashLsh discipline);
     * this exact form IS the oracle-gradable semantics. */
   def containment(s: SparkSession, d: String): DataFrame =
-    containmentOn(Tables.documents(s, d))
+    // like the cluster map and the winnow fingerprints: the pair
+    // table is a per-corpus-snapshot derived artifact — the inverted
+    // join is paid once at ingest, every consumer serves the stored
+    // pairs; the scan re-applies the catalog's ORDER BY
+    graft.ArtifactStore.parquet(s, "containment_pairs",
+        s"$d/documents.parquet") {
+      containmentOn(Tables.documents(s, d))
+    }.orderBy(col("contained_id"), col("container_id"))
 
   /** Core of [[containment]], parameterized for tests and reuse. */
   def containmentOn(docs: DataFrame): DataFrame = {
