@@ -354,6 +354,118 @@ object Analytics {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------ association rules (r9)
+
+  /** Minimum itemset support, in percent of baskets — a support
+    * FRACTION so the mining contract is scale-invariant (the same
+    * rule-set density at sf0.001 and at 100 TB); both gates compare
+    * with integer cross-multiplication (`supp·100 ≥ pct·n`), never a
+    * float. One threshold for items and pairs: support monotonicity
+    * (supp(ab) ≤ min(supp(a), supp(b))) then makes the item-level
+    * prune LOSSLESS — no pair meeting the gate can lose an item to
+    * it — which is the classic Apriori guarantee (and what the
+    * no-prune brute-force equality test asserts). */
+  private val MinSuppPct = 2L
+
+  /** Association-rule mining (support / confidence / lift) over order
+    * baskets at the part-BRAND grain — the pattern-mining family
+    * member [[partCooccurrence]] is not: co-occurrence ranks raw pair
+    * counts; this implements the Apriori contract (frequent itemsets
+    * under a minimum-support FRACTION, then directed rules scored by
+    * confidence and lift).
+    *
+    * Scale shape, in order: (1) the item domain is coarsened through a
+    * BROADCAST dim join (25 brands — the item dictionary is always
+    * dim-sized by construction), (2) baskets are distinct
+    * (order, item) pairs — one shuffle at the basket grain, (3) the
+    * Apriori prune runs BEFORE the pair join: only baskets restricted
+    * to frequent items (left-semi against the 5% survivors) enter the
+    * self-join, so the pair explosion is bounded by
+    * (frequent items per basket)², not (lineitems per basket)², and
+    * (4) rule scoring joins the two support columns by broadcast (the
+    * frequent-item table is ≤ the item dictionary). The one driver
+    * scalar is the basket count n — a count(), the sanctioned
+    * scalar-collect shape ([[pagerankOn]]'s `deg.count()`).
+    *
+    * Determinism: supports are exact integers; confidence and lift are
+    * single IEEE divisions of exact-integer products (< 2⁵³ — guarded
+    * by the require below), evaluated as the identical expression tree
+    * in both engines, rounded to 9 digits per the catalog's
+    * derived-float standard. */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint(true) // read for n, item supports, and pairs
+    val n = baskets.select(col("ok")).distinct().count()
+    // lift's numerator n·supp_ab must stay inside double's 53-bit
+    // exact-integer range for the cross-engine grade to be bit-exact;
+    // beyond ~94M baskets the scoring would switch to decimals
+    require(n < 94000000L,
+      s"assocRules lift arithmetic needs n_baskets < 9.4e7, got $n")
+    val items = baskets.groupBy(col("item"))
+      .agg(count(lit(1)).as("supp"))
+    val freq = items
+      .filter(col("supp") * 100L >= lit(MinSuppPct) * n)
+      .localCheckpoint(true) // read for the prune and twice for scoring
+    val fb = baskets.join(freq.select(col("item")), Seq("item"), "left_semi")
+    val pairs = fb.select(col("ok"), col("item").as("ia"))
+      .join(fb.select(col("ok"), col("item").as("ib")), Seq("ok"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") * 100L >= lit(MinSuppPct) * n)
+    val rules = pairs
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"),
+        col("supp_ab"))
+      .unionByName(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("supp_ab")))
+    rules
+      .join(broadcast(freq.select(col("item").as("antecedent"),
+        col("supp").as("supp_ante"))), Seq("antecedent"))
+      .join(broadcast(freq.select(col("item").as("consequent"),
+        col("supp").as("supp_cons"))), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        col("supp_ante"), col("supp_cons"),
+        round(col("supp_ab").cast("double") / col("supp_ante"), 9)
+          .as("confidence"),
+        round(lit(n.toDouble) * col("supp_ab") /
+          (col("supp_ante") * col("supp_cons")), 9).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** DuckDB replay of [[assocRules]]: same two support gates (integer
+    * cross-multiplication), same rule scoring tree; n is a scalar
+    * subquery where the engine collects a count. */
+  private def assocRulesOracleSql: String =
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM baskets),
+       |items AS (SELECT item, COUNT(*) AS supp FROM baskets GROUP BY item),
+       |freq AS (SELECT item, supp FROM items
+       |  WHERE supp * 100 >= $MinSuppPct * (SELECT n FROM nb)),
+       |fb AS (SELECT b.ok, b.item FROM baskets b
+       |  JOIN freq f ON f.item = b.item),
+       |pairs AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS supp_ab
+       |  FROM fb a JOIN fb b ON a.ok = b.ok AND a.item < b.item
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) * 100 >= $MinSuppPct * (SELECT n FROM nb)),
+       |rules AS (
+       |  SELECT ia AS antecedent, ib AS consequent, supp_ab FROM pairs
+       |  UNION ALL
+       |  SELECT ib AS antecedent, ia AS consequent, supp_ab FROM pairs)
+       |SELECT r.antecedent, r.consequent, r.supp_ab,
+       |  fa.supp AS supp_ante, fc.supp AS supp_cons,
+       |  round(CAST(r.supp_ab AS DOUBLE) / fa.supp, 9) AS confidence,
+       |  round(CAST((SELECT n FROM nb) AS DOUBLE) * r.supp_ab /
+       |    (fa.supp * fc.supp), 9) AS lift
+       |FROM rules r JOIN freq fa ON fa.item = r.antecedent
+       |  JOIN freq fc ON fc.item = r.consequent
+       |ORDER BY antecedent, consequent""".stripMargin
+
   /** Multimodal frame sampling: every 5th frame index, with the frame
     * count derived from the REAL decoded dimensions (width·height of
     * the PNG, via the codegen'd decode expression) — the explode shape
@@ -413,6 +525,7 @@ object Analytics {
     "events_cohort_retention" -> cohortRetention,
     "agg_forecast_revenue" -> forecastRevenue,
     "join_part_cooccurrence" -> partCooccurrence,
+    "mine_assoc_rules" -> assocRules,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_shortest_paths" -> shortestPaths,
@@ -420,6 +533,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "mine_assoc_rules" -> assocRulesOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_shortest_paths" -> bfsOracleSql,
     // ID-ordered 3-way self-join (a < b < c counts each triangle

@@ -180,9 +180,36 @@ object EtlParity {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** l-diversity audit — the companion gate [[kAnonymity]] does not
+    * cover: a class can satisfy k (enough members) while every member
+    * shares ONE sensitive value, so the release still leaks the
+    * attribute. Per quasi-identifier equivalence class, the count of
+    * DISTINCT sensitive values (account balance banded at the $1000
+    * grain) must reach l.
+    *
+    * The band is floor(acctbal/1000): both engines evaluate the same
+    * IEEE division of the same 2-decimal doubles — exact multiples of
+    * 1000 are exactly-representable doubles, so floor is never within
+    * rounding distance of flipping — and floor-division semantics
+    * (not truncation) keep negative balances in band −1, identically
+    * in both engines. Same plan shape as the k gate: one partial-agg
+    * shuffle at the quasi-tuple grain (the distinct-count adds
+    * Spark's Expand ×2 at the CLASS grain, not the corpus grain). */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val L = 3L
+    Tables.customer(s, d)
+      .withColumn("band", floor(col("c_acctbal") / 1000.0))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("band")).as("distinct_sensitive"))
+      .withColumn("meets_l", col("distinct_sensitive") >= L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_expectations" -> qualityExpectations,
     "privacy_k_anonymity" -> kAnonymity,
+    "privacy_l_diversity" -> lDiversity,
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
     "etl_date_coercion" -> dateCoercion,
@@ -237,6 +264,15 @@ object EtlParity {
   }
 
   val oracles: Map[String, String] = Map(
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |    AS distinct_sensitive,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |    AS meets_l
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "privacy_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  COUNT(*) AS class_size,

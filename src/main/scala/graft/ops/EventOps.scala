@@ -347,7 +347,80 @@ object EventOps {
           .getField("value").as("close"))
       .orderBy(col("hour"), col("event_type"))
 
+  // ------------------------------------- Markov transitions (r9)
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the SEQUENCE-mining family member (what follows
+    * what), distinct from the co-occurrence/itemset families (what
+    * appears together): for every (from → to) event-type pair, the
+    * transition count and the row-normalized transition probability.
+    *
+    * One shuffle on `user_id` (the sessionizer's partitioning), lag
+    * within the partition under the total order (ts, event_id) —
+    * event_id is unique, so the successor relation is deterministic
+    * even under timestamp ties. The normalization window partitions
+    * by `from_type` over the ALREADY-AGGREGATED matrix (|types|²
+    * rows, never the event grain), so no global or event-sized window
+    * exists in the plan. Counts are exact integers; each probability
+    * is one IEEE division of two exact longs, rounded to 9 digits
+    * (the catalog's derived-float standard). */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val matrix = Tables.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    matrix
+      .withColumn("p_trans",
+        round(col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 9))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // --------------------------------------- decayed trending (r9)
+
+  /** Decay horizon in days: an event `age` days before the corpus
+    * max date weighs 2^(H−age); anything older than H weighs 0. */
+  private val DecayHorizonDays = 30
+
+  /** Exponentially time-decayed popularity per event type — the
+    * trending/recency-scoring operator every feed and "hot items"
+    * dashboard runs, in pure INTEGER arithmetic: half-life decay with
+    * the weight 2^(H−age_days) as an exact power-of-two long, summed
+    * as longs, so the score hash-matches the DuckDB replay with no
+    * float anywhere (the usual exp(−λ·age) formulation is
+    * order-dependent double summation — ungradeable).
+    *
+    * The corpus max date and row count come from one aggregate
+    * collected as driver scalars (the sanctioned scalar shape); the
+    * row count feeds the overflow require — beyond ~8.6e9 events the
+    * weighted sum could exceed a long and the accumulator would move
+    * to DECIMAL(38,0). One scan + one partial-agg shuffle at the
+    * |event types| grain. */
+  def decayedTrend(s: SparkSession, d: String): DataFrame = {
+    val h = DecayHorizonDays
+    val head = Tables.events(s, d)
+      .agg(max(to_date(col("ts"))).as("maxd"), count(lit(1)).as("n"))
+      .head()
+    val maxDay = head.getDate(0)
+    require(head.getLong(1) < (Long.MaxValue >> (h + 1)),
+      s"decayedTrend long accumulator needs n_events < 2^${62 - h}: " +
+        "switch the score sum to DECIMAL(38,0)")
+    Tables.events(s, d)
+      .withColumn("age", datediff(lit(maxDay), to_date(col("ts"))))
+      .withColumn("w", when(col("age") <= h,
+          expr(s"shiftleft(cast(1 as bigint), $h - age)"))
+        .otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_transitions" -> markovTransitions,
+    "events_decayed_trend" -> decayedTrend,
     "events_gapfill" -> gapfillInterp,
     "events_resample_ohlc" -> resampleOhlc,
     "json_extract" -> jsonExtract,
@@ -368,6 +441,35 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag chain under the same (ts, event_id) total order; the
+    // probability is the identical two-long division rounded to 9
+    "events_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+        |  FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) /
+        |    SUM(n_trans) OVER (PARTITION BY from_type), 9) AS p_trans
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    // same power-of-two integer weights off the same scalar max date
+    // (here a scalar subquery where the engine collects an aggregate)
+    "events_decayed_trend" ->
+      s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+         |w AS (SELECT event_type,
+         |  CASE WHEN date_diff('day', CAST(ts AS DATE),
+         |      (SELECT maxd FROM mx)) <= $DecayHorizonDays
+         |    THEN CAST(1 AS BIGINT) << ($DecayHorizonDays -
+         |      date_diff('day', CAST(ts AS DATE), (SELECT maxd FROM mx)))
+         |    ELSE CAST(0 AS BIGINT) END AS w
+         |  FROM events)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(w) AS BIGINT) AS decayed_score
+         |FROM w GROUP BY event_type
+         |ORDER BY decayed_score DESC, event_type""".stripMargin,
     // the DIRECT theta-self-join (DuckDB's IEJoin runs inequality
     // joins natively): graded equality proves the engine's bucketed
     // equi-join reduction loses and double-counts nothing

@@ -1036,6 +1036,100 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.keySet.forall(p => p._1 < p._2))
   }
 
+  test("assoc rules: Apriori prune is lossless vs the no-prune brute pass") {
+    import spark.implicits._
+    val got = ops.Analytics.assocRules(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // brute: ALL brand pairs counted with no item-level prune, gated
+    // only at the pair threshold — equality proves monotonicity made
+    // the item prune lossless
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct().cache()
+    val n = baskets.select("ok").distinct().count()
+    val brutePairs = baskets.as("x").join(baskets.as("y"),
+        col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("supp"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .filter { case (_, supp) => supp * 100L >= 2L * n }.toMap
+    baskets.unpersist()
+    assert(brutePairs.nonEmpty, "fixture produced no frequent pairs")
+    val gotPairs = got.keySet.filter(p => p._1 < p._2)
+    assert(gotPairs == brutePairs.keySet,
+      s"missed ${(brutePairs.keySet -- gotPairs).size} / " +
+        s"invented ${(gotPairs -- brutePairs.keySet).size} frequent pairs")
+    // each rule's scoring re-derives from its own support columns, and
+    // the reverse direction exists with the same pair support
+    got.foreach { case ((a, c), (ab, sa, sc, conf, lift)) =>
+      assert(got((c, a))._1 === ab, s"rule ($a,$c) missing its reverse")
+      assert(ab <= math.min(sa, sc), "support monotonicity violated")
+      assert(conf === (ab.toDouble / sa * 1e9).round / 1e9)
+      assert(lift === (n.toDouble * ab / (sa * sc) * 1e9).round / 1e9)
+    }
+  }
+
+  test("markov transitions: mass conservation and row-normalized rows") {
+    val rows = ops.EventOps.markovTransitions(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(total === expected,
+      "every event except each user's first must be a transition")
+    // per-row probability re-derives; per-from_type mass sums to ~1
+    // (9-digit rounding slack × fan-out)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (_, rs) =>
+      val rowTotal = rs.map(_.getLong(2)).sum
+      rs.foreach(r => assert(r.getDouble(3) ===
+        (r.getLong(2).toDouble / rowTotal * 1e9).round / 1e9))
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-8 * rs.size)
+    }
+  }
+
+  test("decayed trend: scores equal the brute power-of-two recompute") {
+    val got = ops.EventOps.decayedTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val maxd = evs.map(_._2).max
+    val brute = evs.groupBy(_._1).map { case (t, rs) =>
+      t -> (rs.length.toLong, rs.map { case (_, dt) =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(dt, maxd)
+        if (age <= 30) 1L << (30 - age) else 0L
+      }.sum)
+    }
+    assert(got == brute)
+    // recency dominates: one event today outweighs any horizon-old one
+    assert((1L << 30) > (1L << 0) * 29)
+  }
+
+  test("l-diversity: class accounting and the floor-band semantics") {
+    val rows = ops.EtlParity.lDiversity(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.customer(spark, sf).count(), "classes must partition the table")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2),
+        "distinct sensitive values outside [1, class_size]")
+      assert(r.getBoolean(4) === (r.getLong(3) >= 3L))
+    }
+    // floor division (not truncation): negative balances band at -1,
+    // identically to the oracle's floor()
+    import spark.implicits._
+    val bands = Seq(-994.28, -0.01, 0.0, 999.99, 1000.0, 9997.41)
+      .toDF("c_acctbal")
+      .select(floor(col("c_acctbal") / 1000.0).as("band"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bands === Seq(-1L, -1L, 0L, 0L, 1L, 9L))
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
