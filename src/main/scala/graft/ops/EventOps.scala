@@ -42,6 +42,26 @@ object EventOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** X6 (sliding): hour-long windows advancing every 30 minutes —
+    * the OVERLAPPING-window member the tumbling [[hourlyRollup]] is
+    * not; every event lands in exactly size/slide = 2 windows. The
+    * engine's native `window()` generator does the fan-out (a
+    * codegen'd projection that emits one row per covering window
+    * BEFORE the partial aggregate, so map-side combine still bounds
+    * the shuffle at the |windows|×|types| grain — the row
+    * multiplication is a constant 2, never data-dependent). Windows
+    * are epoch-aligned to multiples of the slide, which is what the
+    * oracle replays arithmetically: the two covering starts are
+    * floor(ts/slide)·slide and that minus one slide. Counts exact;
+    * value sums take the exact-decimal route ([[hourlyRollup]]). */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** X6 (sessions): gap>30min starts a new session. lag + cumulative
     * sum of session-start markers — the standard batch sessionizer. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
@@ -433,6 +453,7 @@ object EventOps {
     // window-state machinery; identical output IS the streaming twin's
     // correctness contract, so both stay in the catalog
     "window_hourly_rollup" -> hourlyRollup,
+    "events_sliding_window" -> slidingWindow,
     "sessionize_gap30m" -> sessionize,
     "join_interval_overlap" -> intervalOverlap,
     "join_asof_orders" -> asofJoin,
@@ -597,6 +618,21 @@ object EventOps {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
          |  COUNT(*) AS n, ${sql.dsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the two covering epoch-aligned starts, derived arithmetically —
+    // equality proves the engine's window() fan-out assigns every
+    // event to exactly the slide-aligned [start, start+1h) pair
+    "events_sliding_window" ->
+      s"""WITH w AS (SELECT event_type, value,
+         |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+         |      AS s1
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, value, s1 AS win_start FROM w
+         |  UNION ALL
+         |  SELECT event_type, value, s1 - INTERVAL 30 MINUTE FROM w)
+         |SELECT win_start, event_type, COUNT(*) AS n,
+         |  ${sql.dsum("value")} AS sum_value
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize_gap30m" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

@@ -1130,6 +1130,101 @@ class OpsSpec extends AnyFunSuite {
     assert(bands === Seq(-1L, -1L, 0L, 0L, 1L, 9L))
   }
 
+  test("sliding window: 2x fan-out, slide alignment, brute recount") {
+    val rows = ops.EventOps.slidingWindow(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === 2 * nEvents,
+      "every event must land in exactly size/slide = 2 windows")
+    // starts align to 30-minute epoch multiples
+    rows.foreach { r =>
+      val t = r.getAs[java.time.LocalDateTime](0)
+      assert(t.getSecond === 0 && t.getNano === 0 &&
+        (t.getMinute === 0 || t.getMinute === 30),
+        s"window start $t not slide-aligned")
+    }
+    // brute recount: each (window, type) count equals the number of
+    // events of that type with start <= ts < start + 1h
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1)))
+    rows.foreach { r =>
+      val (s0, t) = (r.getAs[java.time.LocalDateTime](0), r.getString(1))
+      val e0 = s0.plusHours(1)
+      val expect = evs.count { case (typ, ts) =>
+        typ == t && !ts.isBefore(s0) && ts.isBefore(e0) }
+      assert(r.getLong(2) === expect.toLong, s"window $s0 type $t")
+    }
+  }
+
+  test("label propagation: deterministic sync LPA on a known graph") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4:
+    // three argmax/min-tie iterations settle each triangle on its
+    // min label (hand-traced: 1->2->1, then stable 1 / 3)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = ops.Analytics.lpaOn(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (3L, 3L)))
+  }
+
+  test("label propagation: fixture communities conserve the node set") {
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    val li = edges
+    val pairs = li.select(col("ok"), col("l_partkey").as("src"))
+      .join(li.select(col("ok"), col("l_partkey").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val nNodes = pairs.select(col("src")).distinct().count()
+    val got = ops.Analytics.labelPropagation(spark, sf).collect()
+    assert(got.length <= 20)
+    assert(got.map(_.getLong(1)).sum <= nNodes,
+      "top-20 community sizes cannot exceed the node count")
+    assert(got.map(_.getLong(1)).forall(_ >= 1L))
+    // ordered by size desc then label
+    val sizes = got.map(r => (-r.getLong(1), r.getLong(0))).toSeq
+    assert(sizes === sizes.sorted)
+  }
+
+  test("rfm: quartile balance, orientation, exact metric re-derive") {
+    val rows = ops.Analytics.rfmScores(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.length.toLong === nCust,
+      "one row per customer that has orders")
+    rows.foreach { r =>
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getLong(i) >= 1L && r.getLong(i) <= 4L))
+      assert(r.getString(8) ===
+        s"${r.getLong(5)}${r.getLong(6)}${r.getLong(7)}")
+    }
+    // SQL-standard ntile balance inside every nation: bucket sizes
+    // differ by at most one, for each of the three scores
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      Seq(5, 6, 7).foreach { i =>
+        val sizes = rs.groupBy(_.getLong(i)).view.mapValues(_.length)
+        assert(sizes.values.max - sizes.values.min <= 1)
+      }
+    }
+    // orientation: within a nation, a 4-scored monetary row's spend
+    // is >= any 1-scored row's spend
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val top = rs.filter(_.getLong(7) == 4L).map(_.getDouble(4))
+      val bot = rs.filter(_.getLong(7) == 1L).map(_.getDouble(4))
+      if (top.nonEmpty && bot.nonEmpty) assert(top.min >= bot.max)
+    }
+    // exact metric re-derive for the smallest custkey
+    val ck = rows.map(_.getLong(1)).min
+    val o = Tables.orders(spark, sf).filter(col("o_custkey") === ck)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast(ops.D18_2)))
+      .head()
+    val row = rows.find(_.getLong(1) == ck).get
+    assert(row.getLong(3) === o.getLong(0))
+    assert(row.getDouble(4) === o.getDecimal(1).doubleValue())
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
