@@ -394,13 +394,20 @@ object Analytics {
     * in both engines, rounded to 9 digits per the catalog's
     * derived-float standard. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-      .distinct()
-      .localCheckpoint(true) // read for n, item supports, and pairs
+    // the distinct brand-basket table is a corpus-snapshot derivative
+    // read three times here (n, item supports, pair join) — content-
+    // addressed in the artifact store like [[partEdges]], so the
+    // mining passes below run over a compact scan instead of
+    // re-deriving the join+distinct each read
+    val baskets = graft.ArtifactStore.parquet(s, "brand_baskets",
+        s"$d/lineitem.parquet") {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+    }
     val n = baskets.select(col("ok")).distinct().count()
     // lift's numerator n·supp_ab must stay inside double's 53-bit
     // exact-integer range for the cross-engine grade to be bit-exact;
