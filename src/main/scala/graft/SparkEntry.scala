@@ -63,11 +63,15 @@ object SparkEntry {
     "stream_quantile_rollup" -> (streaming.StatefulOps.quantileRollup _),
     "stream_topk_rollup" -> (streaming.StatefulOps.topkRollup _),
     "stream_late_drop" -> (streaming.StreamingSessions.lateDrop _),
+    "stream_sliding_window" -> (streaming.StreamingSessions.slidingCounts _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
     // identical statement to the batch CDC forms: streamed per-key
     // state + static base must reproduce the batch MERGE exactly
     "stream_cdc_upsert" -> ops.CdcOps.mergeOracle,
+    // identical statement to the batch sliding rollup: streamed
+    // overlapping-window state must reproduce the batch fan-out
+    "stream_sliding_window" -> ops.EventOps.oracles("events_sliding_window"),
     // identical statement to the batch MinHash-LSH: cross-batch
     // band-bucket state + the shared verify tail must reproduce the
     // batch candidate set exactly (no bucket overflows at fixture

@@ -93,6 +93,30 @@ object StreamingSessions {
         col("event_type"), col("n"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Sliding 1 h windows advancing every 30 min — the streaming twin
+    * of the batch `events_sliding_window`, and the OVERLAPPING-window
+    * member of the streaming family ([[hourlyCounts]] is tumbling):
+    * the window-state machinery holds size/slide = 2 open windows per
+    * (window, type) key, the watermark bounds how long each stays
+    * open, and every event updates both covering windows' state.
+    * Grades against the batch query's own oracle — identical output
+    * IS the twin's correctness contract (the stream_hourly pattern).
+    * Value sums take the exact-decimal route so the streamed
+    * partial-aggregation order cannot perturb the hash. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToCompletion(spark,
+      eventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.ops.dsum(col("value")).as("sum_value")),
+      // COMPLETE mode, like stream_hourly: the trailing no-data batch
+      // would only re-emit identical rows — skip it
+      "stream_sliding", noDataBatch = false)
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
   /** Streaming deduplication: stateful `dropDuplicates` on
     * (user_id, event_type) over the event stream — each key's FIRST
     * arrival passes, every later duplicate is dropped at the operator,

@@ -182,6 +182,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stream.toSet === batch.toSet)
   }
 
+  test("streaming sliding rollup matches the batch overlapping windows") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3))
+    val stream = streaming.StreamingSessions.slidingCounts(spark, sf)
+      .collect().map(key).toSet
+    val batch = ops.EventOps.slidingWindow(spark, sf)
+      .collect().map(key).toSet
+    assert(stream === batch)
+  }
+
   test("streaming dedup distinct-user counts match batch COUNT(DISTINCT)") {
     val sf = "/root/testdata/sf0.001"
     val stream = streaming.StreamingSessions.distinctUsers(spark, sf)
