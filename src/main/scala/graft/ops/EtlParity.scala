@@ -206,10 +206,43 @@ object EtlParity {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** Differentially-private counts (ε = 1, sensitivity 1) — the
+    * RELEASE side of the privacy family ([[kAnonymity]] and
+    * [[lDiversity]] audit; this perturbs): per equivalence class,
+    * count + Laplace(1) noise via the inverse CDF,
+    * noise = −sgn(u−½)·ln(1−2|u−½|).
+    *
+    * Real DP draws u from a CSPRNG; a GRADEABLE engine needs a
+    * deterministic draw, so u comes from the catalog's md5 route
+    * (`sample_systematic`): the first 48 md5 bits of the class key,
+    * centered to (h+½)/2⁴⁸ so u ∈ (0,1) strictly — ln(0) is
+    * unreachable by construction. Everything up to the ln is EXACT in
+    * double (h+½ has ≤49 significant bits; /2⁴⁸ is a power-of-two
+    * scale; 1−2|u−½| is representable at ≤53 bits), so both engines
+    * hand ln the identical argument; the final 6-digit round absorbs
+    * the one step that is only correctly-rounded-ish per libm (the
+    * z-score/sqrt precedent). One partial-agg shuffle; the noise is a
+    * narrow per-row map over class-grain rows. */
+  def dpCount(s: SparkSession, d: String): DataFrame = {
+    val u = (col("h").cast("double") + lit(0.5)) / lit(281474976710656.0)
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("tc"))
+      .withColumn("h", conv(substring(md5(concat(
+          col("c_nationkey").cast("string"), lit("|"),
+          col("c_mktsegment"))), 1, 12), 16, 10).cast("long"))
+      .withColumn("noisy_count", round(
+        col("tc") + when(u < 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+          log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("noisy_count"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_expectations" -> qualityExpectations,
     "privacy_k_anonymity" -> kAnonymity,
     "privacy_l_diversity" -> lDiversity,
+    "privacy_dp_count" -> dpCount,
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
     "etl_date_coercion" -> dateCoercion,
@@ -264,6 +297,21 @@ object EtlParity {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical noise tree: same 48-bit md5 draw, same centered
+    // uniform, same inverse-CDF expression, same final 6-digit round
+    "privacy_dp_count" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS tc
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (SELECT *, ('0x' || substr(md5(
+        |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+        |    1, 12))::BIGINT AS hv FROM c),
+        |u AS (SELECT *, (CAST(hv AS DOUBLE) + 0.5) / 281474976710656.0
+        |  AS uu FROM h)
+        |SELECT c_nationkey, c_mktsegment,
+        |  round(tc + (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END) *
+        |    ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_count
+        |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "privacy_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  COUNT(*) AS class_size,

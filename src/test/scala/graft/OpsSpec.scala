@@ -1225,6 +1225,35 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getDouble(4) === o.getDecimal(1).doubleValue())
   }
 
+  test("dp count: noise re-derives from the md5 draw, bounded, centered") {
+    val rows = ops.EtlParity.dpCount(spark, sf).collect()
+    val truth = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("tc")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.length === truth.size)
+    rows.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val tc = truth(key)
+      // JVM re-derivation of the identical inverse-CDF tree
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        281474976710656.0
+      val noise = (if (u < 0.5) 1.0 else -1.0) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expect = BigDecimal(tc + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect, s"class $key")
+      // Laplace(1) tail: 48-bit draw bounds |noise| by 49·ln2 < 34
+      assert(math.abs(r.getDouble(2) - tc) < 34.0)
+    }
+    // the mechanism actually perturbs: not all noises are zero
+    assert(rows.exists(r =>
+      math.abs(r.getDouble(2) - truth((r.getInt(0), r.getString(1)))) > 1e-6))
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

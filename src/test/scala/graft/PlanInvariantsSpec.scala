@@ -453,6 +453,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("window_topn_per_group gets the engine's WindowGroupLimit pushdown") {
+    // rank-filter top-n must NOT sort whole partitions: Spark's
+    // WindowGroupLimit keeps only the per-group top k on the map side
+    // BEFORE the window exchange (partial) and again after (final) —
+    // the engine-credit analog of the hand-built TopKAggregator path
+    val phys = physicalPlans.find(_._1 == "window_topn_per_group").get._2
+    assert(phys.contains("WindowGroupLimit"),
+      "expected the rank filter to trigger WindowGroupLimit pushdown")
+  }
+
   test("no Scala UDF in any registered query's physical plan") {
     // round 4 closed the last two query-path closure UDFs (bloom
     // probe, count-min estimate) and moved the load path's geohash to
