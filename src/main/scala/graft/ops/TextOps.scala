@@ -910,7 +910,58 @@ object TextOps {
   private[graft] val generatedOracleKeys: Set[String] =
     Set("text_bpe_train", "text_bpe_apply")
 
+  /** Zipf-law fit over per-source token frequencies — the power-law
+    * corpus diagnostic (natural text fits ln f ≈ c − s·ln r with
+    * s ≈ 1; corrupted or machine-generated corpora don't): OLS slope
+    * and R² of ln(freq) against ln(rank) over each source's top-200
+    * token ranks.
+    *
+    * Determinism without decimal gymnastics: both lns are computed on
+    * EXACT integers (rank, freq) and immediately fixed-pointed at
+    * 6 digits (`round(ln·10⁶)` → long), so every OLS moment is an
+    * exact integer sum — order-free, overflow-checked by range
+    * (|x|≤ln 200·10⁶, |y|≤ln(corpus)·10⁶; all five sums and the
+    * cross-terms n·Sxy, Sx·Sy sit < 2⁶³ through 10¹⁰-token corpora).
+    * The two final divisions cast identical longs to identical
+    * doubles in both engines; round 6 absorbs the libm ln ULP (the
+    * [[EtlParity.dpCount]]/z-score precedent). The slope is
+    * scale-invariant (the 10⁶ factors cancel), so fixed-pointing
+    * costs nothing but the harmless 1e-6 quantization of each ln.
+    *
+    * Scale shape: explode → (source, token) partial-agg shuffle →
+    * rank window PARTITIONED by source over the VOCAB grain (never
+    * the token grain; at 100× the top-200 cut would ride the
+    * TopKAggregator instead of a full vocab sort — the
+    * `sample_bottomk_per_group` path) → per-source moment agg. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq").desc, col("token"))
+    val m = Tables.documents(s, d)
+      .select(col("source"), explode(tokensNonEmpty(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 200)
+      .select(col("source"),
+        round(log(col("rank").cast("double")) * 1e6, 0).cast("long").as("xi"),
+        round(log(col("freq").cast("double")) * 1e6, 0).cast("long").as("yi"))
+    val a = m.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+      sum(col("xi") * col("yi")).as("sxy"),
+      sum(col("xi") * col("xi")).as("sxx"),
+      sum(col("yi") * col("yi")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    a.select(col("source"), col("n").as("n_ranks"),
+        round(num.cast("double") / denx.cast("double"), 6).as("zipf_slope"),
+        round(num.cast("double") * num.cast("double") /
+          (denx.cast("double") * deny.cast("double")), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit" -> zipfFit,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
     "text_tfidf_topk" -> tfidfTopk,
@@ -937,6 +988,37 @@ object TextOps {
     staticOracles ++ bpeGeneratedOracle ++ bpeApplyGeneratedOracle
 
   private val staticOracles: Map[String, String] = Map(
+    // identical fixed-point moment chain: ln on the same exact
+    // integers, the same 10^6 round, exact long sums, two identical
+    // double divisions rounded 6
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, COUNT(*) AS freq
+        |  FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, token, freq, row_number() OVER (
+        |    PARTITION BY source ORDER BY freq DESC, token) AS rank
+        |  FROM tf),
+        |m AS (SELECT source,
+        |    CAST(round(ln(rank) * 1e6) AS BIGINT) AS xi,
+        |    CAST(round(ln(freq) * 1e6) AS BIGINT) AS yi
+        |  FROM rk WHERE rank <= 200),
+        |agg AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+        |    CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+        |    CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+        |    CAST(SUM(yi * yi) AS BIGINT) AS syy
+        |  FROM m GROUP BY 1)
+        |SELECT source, n AS n_ranks,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) *
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |     CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM agg ORDER BY source""".stripMargin,
     "text_tfidf_topk" ->
       // same integer-exact idf: bit length of the integer quotient
       // (// is DuckDB's floor division), ties broken by term

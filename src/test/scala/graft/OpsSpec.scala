@@ -1254,6 +1254,34 @@ class OpsSpec extends AnyFunSuite {
       math.abs(r.getDouble(2) - truth((r.getInt(0), r.getString(1)))) > 1e-6))
   }
 
+  test("zipf fit: negative power-law slope, r2 sane, brute re-derive") {
+    val rows = ops.TextOps.zipfFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, "token frequencies must decay with rank")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // brute OLS for one source from the raw frequencies
+    val src = rows.head.getString(0)
+    val freqs = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(ops.TextOps.tokensNonEmpty(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }.take(200)
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6)) }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val expect = BigDecimal(slope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(2) === expect)
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
