@@ -181,7 +181,46 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** The WAV corpus: one deterministic tiny RIFF/WAVE clip per
+    * document id ([[graft.functions.AudioCodec.encodeWav]]),
+    * materialized once per corpus snapshot — the [[pngTable]]
+    * discipline for the audio modality. */
+  private def wavTable(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactStore.parquet(s, "wav_media", s"$d/documents.parquet") {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.functions.AudioCodec.encodeWav(id))))
+        .toDF("media_id", "blob")
+    }
+
+  /** Real container parse as a Column: [[graft.functions.AudioMeta]]. */
+  private def audioMeta(blob: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.AudioMeta(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** Audio feature extraction over a binary PCM column: every blob's
+    * RIFF/WAVE container re-parsed inside the codegen'd expression
+    * (magic checks, chunk walk, s16le scan), yielding integer-exact
+    * energy / peak / zero-crossings — the audio analog of
+    * [[decodeFeatures]], graded by the same generator-formula-replay
+    * contract (PCM is lossless; the oracle recomputes the features
+    * from the sample formula, so any header-write, chunk-walk, or
+    * byte-order bug fails the hash gate). Narrow per-row map; the
+    * only exchange is the output ORDER BY. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    wavTable(s, d)
+      .withColumn("m", audioMeta(col("blob")))
+      .select(col("media_id"),
+        col("m").getField("n_samples").as("n_samples"),
+        col("m").getField("energy").as("energy"),
+        col("m").getField("peak").as("peak"),
+        col("m").getField("zero_crossings").as("zero_crossings"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_features" -> audioFeatures,
     "mm_blob_stats" -> blobStats,
     "mm_chunk_dedup" -> chunkDedup,
     "mm_resize" -> resizePlan,
@@ -191,6 +230,24 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sample-generator replay: sv = (id·31 + i·7919) mod 2¹⁶ −
+    // 2¹⁵ over n = (id mod 5 + 2)·256 samples — energy/peak exact
+    // integers, zero-crossings from the lag sign flip
+    "mm_audio_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST((doc_id % 5 + 2) * 256 AS BIGINT) AS n FROM documents),
+        |i AS (SELECT media_id, n, unnest(range(0, n)) AS ii FROM m),
+        |sm AS (SELECT media_id, n, ii,
+        |    ((media_id * 31 + ii * 7919) % 65536) - 32768 AS sv FROM i),
+        |z AS (SELECT media_id, n, sv,
+        |    lag(sv) OVER (PARTITION BY media_id ORDER BY ii) AS pv
+        |  FROM sm)
+        |SELECT media_id, CAST(n AS INT) AS n_samples,
+        |  CAST(SUM(sv * sv) AS BIGINT) AS energy,
+        |  CAST(MAX(abs(sv)) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((sv >= 0) <> (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     // every BIT re-derived from the pixel generator: band-sum
     // luminance l = Σ_c (id·w_c + 7x + 13y) mod 256 (gray = band 0
     // only), bit k = y·(w−1)+x set iff l(x+1) > l(x)

@@ -342,6 +342,35 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio codec: WAV encode/parse round-trips the sample formula") {
+    import graft.functions.AudioCodec
+    for (id <- Seq(3L, 10L)) {
+      val m = AudioCodec.decode(AudioCodec.encodeWav(id))
+      val n = AudioCodec.sampleCount(id)
+      val samples = (0 until n).map(i => AudioCodec.sampleValue(id, i))
+      assert(m.nSamples === n)
+      assert(m.energy === samples.map(s => s.toLong * s).sum)
+      assert(m.peak === samples.map(math.abs).max)
+      assert(m.zeroCrossings === samples.sliding(2).count {
+        case Seq(a, b) => (a >= 0) != (b >= 0) })
+    }
+  }
+
+  test("audio codec: malformed containers yield NULL, not an exception") {
+    import graft.functions.AudioCodec
+    val good = AudioCodec.encodeWav(5L)
+    assert(AudioCodec.decode(null) == null)
+    assert(AudioCodec.decode("RIFFjunk".getBytes("UTF-8")) == null)
+    assert(AudioCodec.decode(good.take(30)) == null) // truncated header
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(AudioCodec.decode(badMagic) == null)
+    val stereo = good.clone(); stereo(22) = 2 // fmt channel count
+    assert(AudioCodec.decode(stereo) == null)
+    // a declared chunk length past the buffer must not throw
+    val lying = good.clone(); lying(40) = -1; lying(41) = -1
+    assert(AudioCodec.decode(lying) == null)
+  }
+
   test("image codec: undecodable bytes yield NULL, not an exception") {
     import graft.functions.ImageCodec
     assert(ImageCodec.decode("not a png".getBytes("UTF-8")) == null)
