@@ -593,7 +593,31 @@ object OlapOps {
       .orderBy(col("n_name"))
   }
 
+  /** Bitwise-aggregate rollup — the BITMAP-index aggregation class
+    * (bit_or/bit_and/bit_xor are the only standard aggregates the
+    * catalog didn't exercise): each customer contributes a one-hot
+    * long mask for its nation bucket; per market segment, bit_or is
+    * the exact presence BITMAP (which buckets appear at all), bit_and
+    * the common-to-all test, bit_xor the parity fingerprint, and
+    * bit_count(or) the distinct-bucket count read straight off the
+    * bitmap — the roaring-bitmap mechanic in its 64-bit degenerate
+    * form. All exact integers; bitwise ops are associative and
+    * commutative, so partial aggregation (map-side combine) is
+    * lossless and partition-order-free by construction. */
+  def bitmaskRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("mask",
+        expr("shiftleft(cast(1 as bigint), cast(c_nationkey % 16 as int))"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("bit_or(mask)").as("buckets_present"),
+        expr("bit_and(mask)").as("buckets_common"),
+        expr("bit_xor(mask)").as("buckets_parity"),
+        expr("cast(bit_count(bit_or(mask)) as bigint)").as("n_buckets"))
+      .orderBy(col("c_mktsegment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmask_rollup" -> bitmaskRollup,
     "agg_incremental_rollup" -> incrementalRollup,
     "view_incremental_join" -> incrementalJoinView,
     "view_matview_rewrite" -> ((s, d) => graft.plans.Matview.viewRewrite(s, d)),
@@ -618,6 +642,17 @@ object OlapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical one-hot masks through the same bitwise aggregates
+    "agg_bitmask_rollup" ->
+      """WITH m AS (SELECT c_mktsegment,
+        |    (CAST(1 AS BIGINT) << CAST(c_nationkey % 16 AS INT)) AS mask
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(bit_or(mask) AS BIGINT) AS buckets_present,
+        |  CAST(bit_and(mask) AS BIGINT) AS buckets_common,
+        |  CAST(bit_xor(mask) AS BIGINT) AS buckets_parity,
+        |  CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_buckets
+        |FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // full-table recompute: the incremental state+delta serve must be
     // indistinguishable from aggregating everything from scratch
     "agg_incremental_rollup" ->

@@ -736,7 +736,33 @@ object Relational {
       .orderBy(col("side"))
   }
 
+  /** Relational DIVISION (the textbook "for-all" operator): customers
+    * whose orders span EVERY priority class present in the corpus —
+    * x ÷ y where x = (custkey, priority) and y = the priority domain.
+    * Division is the one classic relational-algebra operator with no
+    * direct SQL keyword; the standard reduction is the distinct-count
+    * equality below (the double-NOT-EXISTS form is its worst-case
+    * plan — two correlated anti-joins — where this is ONE partial-agg
+    * shuffle at the customer grain).
+    *
+    * The divisor cardinality is a driver scalar off a dictionary-
+    * sized aggregate (the sanctioned shape); at 100 TB the priority
+    * domain is still 5 values — divisors are dictionary-sized by
+    * construction or division is the wrong operator. */
+  def relationalDivision(s: SparkSession, d: String): DataFrame = {
+    val universe = Tables.orders(s, d)
+      .agg(countDistinct(col("o_orderpriority"))).head().getLong(0)
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_priorities") === universe)
+      .select(col("o_custkey"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_relational_division" -> relationalDivision,
     "join_range_bands" -> priceBands,
     "sample_bottomk_per_group" -> ((s, d) => bottomKSample(s, d)),
     "join_full_outer" -> fullOuter,
@@ -768,6 +794,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same distinct-count-equality reduction; the divisor cardinality
+    // is a scalar subquery where the engine collects a scalar
+    "join_relational_division" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderpriority) =
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
     "join_salted_parity" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -1282,6 +1282,44 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) === expect)
   }
 
+  test("relational division: returned set IS the for-all set") {
+    val got = ops.Relational.relationalDivision(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val universe = perCust.values.reduce(_ ++ _)
+    val expect = perCust.filter(_._2 == universe).keySet
+    assert(got.keySet === expect,
+      "division must return exactly the customers spanning the domain")
+    assert(universe.size >= 2, "fixture divisor domain degenerate")
+    // n_orders re-derives
+    val counts = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (ck, n) => assert(n === counts(ck)) }
+  }
+
+  test("bitmask rollup: bitmaps re-derive from one-hot folds") {
+    val got = ops.OlapOps.bitmaskRollup(spark, sf).collect()
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_nationkey")).collect()
+      .map(r => (r.getString(0), 1L << (r.getInt(1) % 16)))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val masks = rows(r.getString(0)).map(_._2)
+      assert(r.getLong(1) === masks.length.toLong)
+      assert(r.getLong(2) === masks.reduce(_ | _))
+      assert(r.getLong(3) === masks.reduce(_ & _))
+      assert(r.getLong(4) === masks.reduce(_ ^ _))
+      assert(r.getLong(5) ===
+        java.lang.Long.bitCount(masks.reduce(_ | _)).toLong)
+      // the bitmap read: distinct buckets via popcount equals the set
+      assert(r.getLong(5) === masks.toSet.size.toLong)
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
