@@ -960,7 +960,62 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** The fixed two-term probe query for [[bm25Topk]] — corpus-common
+    * tokens, so tf and length normalization both matter. */
+  private[graft] val Bm25Query = Seq("merge", "window")
+
+  /** BM25 top-10 retrieval (k1 = 1.2, b = 0.75, Lucene idf) — the
+    * lexical-ranking half of search ([[tfidfTopk]] scores terms
+    * WITHIN a doc; this ranks DOCS for a query; `search_hybrid_rrf`
+    * fuses rankers downstream). Score:
+    * Σ_t ln((N−df+½)/(df+½)+1) · tf(k1+1)/(tf + k1(1−b + b·len·N/ΣL)).
+    *
+    * Determinism: every input (tf, df, len, N, ΣL) is an exact
+    * integer; length normalization is written as len·N/ΣL — a single
+    * division of exact-integer doubles, never a pre-divided avgdl —
+    * and the whole scoring tree is the IDENTICAL expression in both
+    * engines, rounded to 6 at the end (the ln ULP discipline). Ranks
+    * tie-break on doc_id.
+    *
+    * Scale shape: the term filter prunes the exploded token stream
+    * BEFORE its only shuffle (a (doc, term) partial agg); df is a
+    * |query|-row broadcast; N and ΣL are one dictionary-free driver
+    * scalar pair; the cut is TakeOrdered. At 100× the token explode
+    * is replaced by the inverted-index read (`layout_inverted_lookup`)
+    * — the postings already carry (doc, tf, len). */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val head = Tables.documents(s, d)
+      .select(size(tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
+    val (nDocs, sumLen) = (head.getLong(0), head.getLong(1))
+    val tf = Tables.documents(s, d)
+      // materialize the token array ONCE per row, then size/explode
+      // reference the materialized column — the naive single-select
+      // form splits the string twice per row
+      .select(col("doc_id"), tokensNonEmpty(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("len"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("len") * nDocs).cast("double") / lit(sumLen.toDouble))
+    tf.join(broadcast(dfT), Seq("term"))
+      .withColumn("part_score",
+        idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(round(sum(col("part_score")), 6).as("score"),
+        sum(col("tf")).as("tf_total"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("len"), col("tf_total"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25_topk" -> bm25Topk,
     "text_zipf_fit" -> zipfFit,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
@@ -988,6 +1043,32 @@ object TextOps {
     staticOracles ++ bpeGeneratedOracle ++ bpeApplyGeneratedOracle
 
   private val staticOracles: Map[String, String] = Map(
+    // the identical scoring tree on the same exact integers; the
+    // two-addend per-doc sum is order-free (IEEE addition is
+    // commutative), so no pre-round is needed at |query| = 2
+    "search_bm25_topk" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS nd,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS suml FROM base),
+         |tf AS (SELECT doc_id, len(toks) AS len, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
+         |  WHERE term IN (${Bm25Query.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.len, t.tf,
+         |    ln((CAST((SELECT nd FROM n) AS DOUBLE) - df + 0.5) /
+         |        (df + 0.5) + 1.0) *
+         |      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
+         |        CAST(t.len * (SELECT nd FROM n) AS DOUBLE) /
+         |        CAST((SELECT suml FROM n) AS DOUBLE))) AS ps
+         |  FROM tf t JOIN dfq USING (term))
+         |SELECT doc_id, CAST(len AS INT) AS len,
+         |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+         |  round(SUM(ps), 6) AS score
+         |FROM sc GROUP BY doc_id, len
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // identical fixed-point moment chain: ln on the same exact
     // integers, the same 10^6 round, exact long sums, two identical
     // double divisions rounded 6

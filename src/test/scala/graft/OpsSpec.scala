@@ -1320,6 +1320,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: scores re-derive from raw counts, ranking is by score") {
+    val got = ops.TextOps.bm25Topk(spark, sf).collect()
+    assert(got.length === 10)
+    // brute BM25 from the raw corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), ops.TextOps.tokensNonEmpty(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val n = docs.length.toLong
+    val sumLen = docs.map(_._2.length.toLong).sum
+    val dfm = ops.TextOps.Bm25Query.map(q =>
+      q -> docs.count(_._2.contains(q)).toLong).toMap
+    def score(toks: Seq[String]): Double = {
+      val len = toks.length
+      val s = ops.TextOps.Bm25Query.map { q =>
+        val tf = toks.count(_ == q)
+        if (tf == 0) 0.0
+        else math.log((n.toDouble - dfm(q) + 0.5) / (dfm(q) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+            (len.toLong * n).toDouble / sumLen.toDouble))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = docs.map { case (id, t) => (id, score(t)) }
+      .filter(_._2 > 0.0).sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.map(r => (r.getLong(0), r.getDouble(3))).toSeq === brute.toSeq)
+    // scores strictly ordered (desc) up to doc_id tie-break
+    val scores = got.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
