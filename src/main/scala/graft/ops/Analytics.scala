@@ -688,7 +688,74 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  // ------------------------------- Benford / autocorrelation (r9)
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-numbers screen: naturally-occurring amounts put
+    * digit d first with probability log₁₀(1+1/d); a synthetic or
+    * tampered column doesn't. Output is the per-digit table
+    * (exact counts, observed vs expected share, signed deviation) —
+    * deliberately NOT a single chi-square scalar, because the 9-term
+    * float sum would be partition-order-dependent; per-digit rows
+    * keep every float a single identical-tree computation
+    * (round-9 discipline), and max-deviation readouts are order-free
+    * downstream.
+    *
+    * The first digit comes from the DECIMAL truncated by floor()
+    * then rendered as a string — NEVER a bare cast-to-int (DuckDB
+    * ROUNDS decimal→int where the JVM truncates) and never a
+    * log₁₀-of-value bucket (a float boundary). One scan, one
+    * 9-row aggregate. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.orders(s, d).count()
+    Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("obs_share",
+        round(col("n_obs").cast("double") / lit(n.toDouble), 9))
+      .withColumn("exp_share",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 9))
+      .withColumn("dev", round(col("n_obs").cast("double") / lit(n.toDouble)
+        - log10(lit(1.0) + lit(1.0) / col("digit")), 9))
+      .orderBy(col("digit"))
+  }
+
+  /** Lag-1 autocorrelation of the hourly event series, per type —
+    * the seasonality/burstiness probe every time-series monitor runs
+    * first. Pearson r over consecutive-hour count pairs, computed
+    * from EXACT INTEGER moments (hourly counts are ints; all five
+    * sums fit longs through ~10⁹-count hours), so the only float
+    * steps are the final single-expression r (identical tree both
+    * engines, round 9 — the [[corrLinreg]] discipline with cleaner
+    * inputs). The lag pairs come from a window over the
+    * ALREADY-AGGREGATED hourly grain, partitioned by type. */
+  def autocorrHourly(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val pairs = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", lag(col("y"), 1).over(byType))
+      .filter(col("x").isNotNull)
+    val m = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(col("event_type"), col("n").as("n_pairs"),
+        round(num / den, 9).as("autocorr_lag1"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_benford_digits" -> benfordDigits,
+    "stat_autocorr_hourly" -> autocorrHourly,
     "stat_corr_linreg" -> corrLinreg,
     "events_funnel" -> funnel,
     "events_cohort_retention" -> cohortRetention,
@@ -704,6 +771,41 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // same floor-then-string first digit (never a rounding cast),
+    // same single-tree shares; n is a scalar subquery
+    "stat_benford_digits" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS c FROM orders)
+        |SELECT digit, COUNT(*) AS n_obs,
+        |  round(CAST(COUNT(*) AS DOUBLE) /
+        |    CAST((SELECT c FROM n) AS DOUBLE), 9) AS obs_share,
+        |  round(log10(1.0 + 1.0 / digit), 9) AS exp_share,
+        |  round(CAST(COUNT(*) AS DOUBLE) /
+        |      CAST((SELECT c FROM n) AS DOUBLE)
+        |    - log10(1.0 + 1.0 / digit), 9) AS dev
+        |FROM d GROUP BY digit ORDER BY digit""".stripMargin,
+    // same exact-integer moments off the same hourly lag pairs
+    "stat_autocorr_hourly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY hour) AS x
+        |  FROM h),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+        |    AS autocorr_lag1
+        |FROM m ORDER BY event_type""".stripMargin,
     "mine_assoc_rules" -> assocRulesOracleSql,
     "window_rfm_scores" -> rfmOracleSql,
     "graph_label_propagation" -> lpaOracleSql,

@@ -1350,6 +1350,50 @@ class OpsSpec extends AnyFunSuite {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("benford: digit accounting, share math, truncation semantics") {
+    val rows = ops.Analytics.benfordDigits(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "digits must partition orders")
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    rows.foreach { r =>
+      val obs = r.getLong(1).toDouble / n
+      assert(r.getDouble(2) ===
+        BigDecimal(obs).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val exp = math.log10(1.0 + 1.0 / r.getInt(0))
+      assert(r.getDouble(3) ===
+        BigDecimal(exp).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(4) === BigDecimal(obs - exp)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // shares sum to ~1 and expected Benford mass is exactly log10(10)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-8)
+  }
+
+  test("autocorr: exact-moment r matches brute Pearson on lag pairs") {
+    val got = ops.Analytics.autocorrHourly(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, rs) =>
+      val ys = rs.sortBy(_._2.toString).map(_._3)
+      val pairs = ys.sliding(2).map { case Array(a, b) => (a, b) }.toArray
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (sxy, sxx, syy) = (pairs.map(p => p._1 * p._2).sum,
+        pairs.map(p => p._1 * p._1).sum, pairs.map(p => p._2 * p._2).sum)
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(got(t)._1 === n)
+      assert(got(t)._2 === BigDecimal(r)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, s"type $t")
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
