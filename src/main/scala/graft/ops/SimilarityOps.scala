@@ -1107,7 +1107,17 @@ object SimilarityOps {
     val recon = concat((0 until 8).map(mi =>
       element_at(typedLit(model.codebooks(mi).map(_._2)),
         col(s"c$mi") + 1)): _*)
-    val coded = e.select(col("vec_id") +: codeCols: _*)
+    // the 8-subspace code assignment is THE PQ index — in production
+    // it is a stored structure, not a per-query computation, so it
+    // gets the content-addressed artifact treatment (codes are a pure
+    // function of the corpus: the trained codebooks are themselves
+    // corpus-deterministic). Reconstruction stays at read time (a
+    // dictionary lookup); only the expensive 256-way × 8 scoring scan
+    // is amortized.
+    val coded = graft.ArtifactStore.parquet(s, "pq_codes",
+        s"$d/embeddings.parquet") {
+      e.select(col("vec_id") +: codeCols: _*)
+    }
       .withColumn("rv", recon)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -682,17 +682,28 @@ object TextOps {
     * Jaccard is 0); emitting them would need a sources×sources cross
     * join for rows that carry no signal. */
   def corpusOverlap(s: SparkSession, d: String): DataFrame =
-    corpusOverlapOn(Tables.documents(s, d))
+    // the (source, source) shingle-count matrix is a corpus-snapshot
+    // derivative (the shingle explode dominates its cost) — content-
+    // addressed like the pair tables; the Jaccard tail stays live
+    overlapFromCounts(graft.ArtifactStore.parquet(s,
+      "source_overlap_counts", s"$d/documents.parquet") {
+      overlapCountsOn(Tables.documents(s, d))
+    })
 
   /** Core of [[corpusOverlap]], parameterized for tests and reuse. */
-  def corpusOverlapOn(docs: DataFrame): DataFrame = {
+  def corpusOverlapOn(docs: DataFrame): DataFrame =
+    overlapFromCounts(overlapCountsOn(docs).localCheckpoint())
+
+  /** The (source_a, source_b | null, n) shingle-count matrix: null
+    * source_b rows carry each source's distinct-shingle total. */
+  private def overlapCountsOn(docs: DataFrame): DataFrame = {
     val srcSets = docs.select(col("source"),
         explode(DedupOps.shingles(col("text"))).as("sh"))
       .distinct()
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
     // per shingle: [(a, null) for each member] ++ [(a, b) for i<j]
-    val counts = srcSets.select(explode(flatten(transform(col("ss"),
+    srcSets.select(explode(flatten(transform(col("ss"),
         (a, i) => concat(
           array(struct(a.as("source_a"),
             lit(null).cast("string").as("source_b"))),
@@ -701,7 +712,9 @@ object TextOps {
       .groupBy(col("p.source_a").as("source_a"),
         col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+  }
+
+  private def overlapFromCounts(counts: DataFrame): DataFrame = {
     val sizes = counts.filter(col("source_b").isNull)
       .select(col("source_a").as("source"), col("n").as("n_sh"))
     counts.filter(col("source_b").isNotNull)
