@@ -42,11 +42,13 @@ class ArtifactStoreSpec extends AnyFunSuite {
       ops.SimilarityOps.clearPqMemoryCache()
       val before = ArtifactStore.builds
       val first = ops.SimilarityOps.pqTopk(spark, sf).collect().toSeq
-      assert(ArtifactStore.builds === before + 1, "first call must build")
+      // two artifacts on a cold store: the trained codebooks AND the
+      // corpus code assignment (the PQ index proper)
+      assert(ArtifactStore.builds === before + 2, "first call must build")
       ops.SimilarityOps.clearPqMemoryCache()
       val second = ops.SimilarityOps.pqTopk(spark, sf).collect().toSeq
-      assert(ArtifactStore.builds === before + 1,
-        "second call must serve the stored codebooks, not retrain")
+      assert(ArtifactStore.builds === before + 2,
+        "second call must serve stored codebooks AND codes, not retrain")
       assert(first === second)
     } finally sys.props.remove("graft.artifacts.dir")
   }

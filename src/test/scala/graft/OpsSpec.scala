@@ -1394,6 +1394,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: peel trajectory on a known graph, monotone on fixture") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant chain 3-7-8: peel 1 drops node 8
+    // (deg 1), peel 2 drops 7 (its only surviving edge was to 8's
+    // side), peels 3-4 hold the triangle — hand-traced (1,4) (2,3)
+    // (3,3) (4,3)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 7L), (7L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = ops.Analytics.kcoreOn(edges).orderBy(col("peel")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((1, 4L), (2, 3L), (3, 3L), (4, 3L)))
+    // fixture trajectory is monotone non-increasing (peeling only
+    // removes)
+    val traj = ops.Analytics.kcore(spark, sf).collect().map(_.getLong(1))
+    assert(traj.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
