@@ -238,7 +238,42 @@ object EtlParity {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** Winsorization audit — the robust-stats cleanup every feature
+    * pipeline runs before a mean can be trusted: per market (nation),
+    * cap balances at the EXACT interpolated p05/p95 (the
+    * `agg_percentiles` ↔ quantile_cont parity), count what each tail
+    * capped, and report the winsorized mean WITHOUT ever summing
+    * capped doubles row-by-row: the middle mass is an exact DECIMAL
+    * sum, the two tails contribute n_tail·cap as single products, and
+    * the three addends combine in one fixed left-associated
+    * expression — so no partition-order float accumulation exists
+    * anywhere. Caps are a 25-row broadcast; one conditional-agg
+    * shuffle at the group grain. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val caps = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(percentile(col("c_acctbal"), lit(0.05)).as("p05"),
+        percentile(col("c_acctbal"), lit(0.95)).as("p95"))
+    Tables.customer(s, d)
+      .join(broadcast(caps), Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"), col("p05"), col("p95"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_acctbal") < col("p05"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("c_acctbal") > col("p95"), 1L).otherwise(0L))
+          .as("n_high"),
+        sum(when(col("c_acctbal") >= col("p05") &&
+            col("c_acctbal") <= col("p95"), col("c_acctbal").cast(D18_2)))
+          .cast("double").as("mid_sum"))
+      .select(col("c_nationkey"), col("n"), col("n_low"), col("n_high"),
+        round(col("p05"), 9).as("p05"), round(col("p95"), 9).as("p95"),
+        round((col("mid_sum") + col("n_low") * col("p05") +
+          col("n_high") * col("p95")) / col("n"), 9).as("winsorized_mean"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_winsorize" -> winsorize,
     "quality_expectations" -> qualityExpectations,
     "privacy_k_anonymity" -> kAnonymity,
     "privacy_l_diversity" -> lDiversity,
@@ -297,6 +332,28 @@ object EtlParity {
   }
 
   val oracles: Map[String, String] = Map(
+    // same caps (quantile_cont = the engine's exact interpolated
+    // percentile), same decimal middle mass, same fixed-order
+    // three-addend mean tree
+    "etl_winsorize" ->
+      """WITH caps AS (SELECT c_nationkey,
+        |    quantile_cont(c_acctbal, 0.05) AS p05,
+        |    quantile_cont(c_acctbal, 0.95) AS p95
+        |  FROM customer GROUP BY 1)
+        |SELECT c.c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN c_acctbal < p05 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN c_acctbal > p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  round(p05, 9) AS p05, round(p95, 9) AS p95,
+        |  round((CAST(SUM(CASE WHEN c_acctbal >= p05 AND c_acctbal <= p95
+        |      THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    + SUM(CASE WHEN c_acctbal < p05 THEN 1 ELSE 0 END) * p05
+        |    + SUM(CASE WHEN c_acctbal > p95 THEN 1 ELSE 0 END) * p95)
+        |    / COUNT(*), 9) AS winsorized_mean
+        |FROM customer c JOIN caps ON caps.c_nationkey = c.c_nationkey
+        |GROUP BY c.c_nationkey, p05, p95
+        |ORDER BY c.c_nationkey""".stripMargin,
     // identical noise tree: same 48-bit md5 draw, same centered
     // uniform, same inverse-CDF expression, same final 6-digit round
     "privacy_dp_count" ->

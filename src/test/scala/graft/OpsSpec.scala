@@ -1411,6 +1411,28 @@ class OpsSpec extends AnyFunSuite {
     assert(traj.sliding(2).forall { case Array(a, b) => b <= a })
   }
 
+  test("winsorize: caps bound the mean, tails and middle re-derive") {
+    val rows = ops.EtlParity.winsorize(spark, sf).collect()
+    val bals = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_acctbal")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val vs = bals(r.getInt(0)).map(_._2)
+      assert(r.getLong(1) === vs.length.toLong)
+      val (p05, p95) = (r.getDouble(4), r.getDouble(5))
+      assert(r.getLong(2) === vs.count(_ < p05).toLong)
+      assert(r.getLong(3) === vs.count(_ > p95).toLong)
+      // winsorized mean sits inside the cap interval and between
+      // 5th/95th by construction
+      assert(r.getDouble(6) >= p05 && r.getDouble(6) <= p95)
+      // capping never moves the mean across the raw extremes
+      assert(r.getDouble(6) >= vs.min && r.getDouble(6) <= vs.max)
+      // ~5% per tail (interpolated caps: at most ceil(5%)+1)
+      assert(r.getLong(2) <= vs.length / 20 + 1)
+      assert(r.getLong(3) <= vs.length / 20 + 1)
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
