@@ -414,6 +414,65 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Epoch materialization plan — the step BETWEEN
+    * [[temperatureMixOn]] (which says source s should repeat
+    * `epochs_s` times in the mixture) and training: how many FULL
+    * copies of each source to emit, plus WHICH documents form the
+    * fractional copy. Full copies are floor(epochs) (floor of the
+    * identical double tree — identical cross-engine); the fraction
+    * becomes a deterministic md5-systematic document subset: doc d
+    * joins the extra copy iff its 48-bit md5 value < floor(frac·2⁴⁸)
+    * (an exact long threshold from an identical double) — the
+    * `sample_systematic` mechanism, so the SAME documents are chosen
+    * on every engine and every rerun, and the plan's token accounting
+    * (full·tokens_s + Σ extra tokens) is exact long arithmetic.
+    * One stats shuffle + one broadcast-filtered doc scan. */
+  def epochPlan(s: SparkSession, d: String): DataFrame =
+    epochPlanOn(Tables.documents(s, d))
+
+  /** Core of [[epochPlan]], parameterized for tests and reuse. */
+  def epochPlanOn(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val stats = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_s"))
+    val x = col("tokens_s") * lit(100000000L)
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val weighted = stats.withColumn("w",
+      when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+        .when(s0 * s0 > x, s0 - 1)
+        .otherwise(s0))
+    val totals = weighted.agg(sum(col("w")).as("sum_w"),
+      sum(col("tokens_s")).as("total_tokens"))
+    val epochsD = col("w").cast("double") *
+      col("total_tokens").cast("double") /
+      (col("sum_w").cast("double") * col("tokens_s").cast("double"))
+    val plan = weighted.crossJoin(broadcast(totals))
+      .withColumn("full_copies", floor(epochsD).cast("long"))
+      .withColumn("thresh", floor((epochsD - floor(epochsD)) *
+        lit(281474976710656.0)).cast("long"))
+      .select(col("source"), col("n_docs"), col("tokens_s"),
+        col("full_copies"), col("thresh"))
+    val extras = perDoc
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .join(broadcast(plan.select(col("source"), col("thresh"))),
+        Seq("source"))
+      .filter(col("h") < col("thresh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_extra_docs"),
+        sum(col("n_tokens")).as("extra_tokens"))
+    plan.join(extras, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("tokens_s").as("n_tokens"), col("full_copies"),
+        coalesce(col("n_extra_docs"), lit(0L)).as("n_extra_docs"),
+        coalesce(col("extra_tokens"), lit(0L)).as("extra_tokens"),
+        (col("full_copies") * col("tokens_s") +
+          coalesce(col("extra_tokens"), lit(0L))).as("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the batching step that turns a cleaned corpus into training
     * sequences. Docs fill bins in doc_id order within each `source`
@@ -1049,6 +1108,7 @@ object TextOps {
     "text_oov_rate" -> oovRate,
     "corpus_mix" -> corpusMix,
     "corpus_temperature_mix" -> temperatureMix,
+    "corpus_epoch_plan" -> epochPlan,
     "text_dup_ngrams" -> dupNgrams,
   )
 
@@ -1341,6 +1401,48 @@ object TextOps {
         |  round(CAST(w AS DOUBLE) * CAST(total_tokens AS DOUBLE) /
         |    (CAST(sum_w AS DOUBLE) * CAST(tokens_s AS DOUBLE)), 6) AS epochs
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
+    // the temperature-weight chain extended with the same floor /
+    // 2^48-threshold / md5-subset arithmetic
+    "corpus_epoch_plan" ->
+      """WITH docs0 AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |by_s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_s
+        |  FROM docs0 GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, tokens_s,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+        |         WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS w
+        |  FROM (SELECT source, n_docs, tokens_s,
+        |      tokens_s * 100000000 AS x,
+        |      CAST(floor(sqrt(CAST(tokens_s * 100000000 AS DOUBLE)))
+        |        AS BIGINT) AS s0
+        |    FROM by_s) t),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(tokens_s) AS BIGINT) AS total_tokens FROM w),
+        |plan AS (SELECT source, n_docs, tokens_s,
+        |    CAST(floor(ep) AS BIGINT) AS full_copies,
+        |    CAST(floor((ep - floor(ep)) * 281474976710656.0) AS BIGINT)
+        |      AS thresh
+        |  FROM (SELECT w.source, w.n_docs, w.tokens_s,
+        |      CAST(w AS DOUBLE) * CAST(total_tokens AS DOUBLE) /
+        |        (CAST(sum_w AS DOUBLE) * CAST(tokens_s AS DOUBLE)) AS ep
+        |    FROM w CROSS JOIN tot) t),
+        |ex AS (SELECT d.source, COUNT(*) AS n_extra_docs,
+        |    CAST(SUM(d.n_tokens) AS BIGINT) AS extra_tokens
+        |  FROM docs0 d JOIN plan p ON p.source = d.source
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT < p.thresh
+        |  GROUP BY d.source)
+        |SELECT p.source, p.n_docs, p.tokens_s AS n_tokens,
+        |  p.full_copies,
+        |  COALESCE(ex.n_extra_docs, 0) AS n_extra_docs,
+        |  COALESCE(ex.extra_tokens, 0) AS extra_tokens,
+        |  p.full_copies * p.tokens_s + COALESCE(ex.extra_tokens, 0)
+        |    AS planned_tokens
+        |FROM plan p LEFT JOIN ex ON ex.source = p.source
+        |ORDER BY p.source""".stripMargin,
     "text_oov_rate" ->
       """WITH dt AS (
         |  SELECT doc_id, source, tok, COUNT(*) AS n_occ

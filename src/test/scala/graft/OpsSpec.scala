@@ -1433,6 +1433,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch plan: accounting identities and mixture fidelity") {
+    val plan = ops.TextOps.epochPlan(spark, sf).collect()
+    val mix = ops.TextOps.temperatureMix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap // epochs
+    plan.foreach { r =>
+      val (src, nDocs, nTok) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (full, nEx, exTok, planned) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(full === math.floor(mix(src)).toLong,
+        "full copies must be floor(epochs)")
+      assert(nEx <= nDocs && exTok <= nTok)
+      assert(planned === full * nTok + exTok)
+      // the fractional subset tracks the fractional epoch mass:
+      // md5-systematic selection is uniform, so extra/total token
+      // share approximates frac within a loose band on 500+ docs
+      val frac = mix(src) - math.floor(mix(src))
+      assert(math.abs(exTok.toDouble / nTok - frac) < 0.25,
+        s"$src frac=$frac got=${exTok.toDouble / nTok}")
+      // planned tokens approximate epochs * corpus share
+      assert(math.abs(planned.toDouble / nTok - mix(src)) < 0.25)
+    }
+    // rerun determinism: the SAME docs are selected
+    val again = ops.TextOps.epochPlan(spark, sf).collect()
+    assert(plan.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
