@@ -438,7 +438,46 @@ object EventOps {
       .orderBy(col("decayed_score").desc, col("event_type"))
   }
 
+  /** CUSUM change-point detection over the hourly series, per event
+    * type — the level-shift locator every monitoring stack runs after
+    * [[anomaly]] flags THAT something moved: WHERE it moved. The
+    * classic statistic argmax_i |Σ_{j≤i}(x_j − x̄)| is a rational mean
+    * away from integer; cross-multiplying by m (the hour count) makes
+    * the deviation m·prefix_i − i·total an EXACT long (counts ≤ 2⁶³/m²
+    * — comfortably true for hourly grains), so the argmax, its
+    * tie-break (earliest hour), and the reported magnitude are all
+    * integer-deterministic; the only float is the final normalized
+    * magnitude dev/(m·total), one identical division rounded 9.
+    *
+    * All windows run at the AGGREGATED hourly grain partitioned by
+    * type (≤ hours·types rows), never the event grain. */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("prefix", sum(col("x")).over(cum))
+      .withColumn("i", row_number().over(byType).cast("long"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("total"))
+    val dev = hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", col("m") * col("prefix") - col("i") * col("total"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("dev")).desc, col("hour"))
+    dev.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("m").as("n_hours"),
+        col("hour").as("change_hour"), abs(col("dev")).as("max_abs_dev"),
+        round(abs(col("dev")).cast("double") /
+          (col("m") * col("total")).cast("double"), 9).as("rel_shift"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> changepoint,
     "events_markov_transitions" -> markovTransitions,
     "events_decayed_trend" -> decayedTrend,
     "events_gapfill" -> gapfillInterp,
@@ -462,6 +501,32 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same cross-multiplied integer CUSUM; row_number tie-break
+    // (|dev| desc, hour) identical
+    "events_changepoint" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, hour, x,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS prefix,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour) AS BIGINT) AS i
+        |  FROM h),
+        |st AS (SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS total
+        |  FROM h GROUP BY 1),
+        |d AS (SELECT c.event_type, c.hour, st.m, st.total,
+        |    st.m * c.prefix - c.i * st.total AS dev
+        |  FROM c JOIN st USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(dev) DESC, hour) AS rn FROM d)
+        |SELECT event_type, m AS n_hours, hour AS change_hour,
+        |  CAST(abs(dev) AS BIGINT) AS max_abs_dev,
+        |  round(CAST(abs(dev) AS DOUBLE) / CAST(m * total AS DOUBLE), 9)
+        |    AS rel_shift
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // same lag chain under the same (ts, event_id) total order; the
     // probability is the identical two-long division rounded to 9
     "events_markov_transitions" ->

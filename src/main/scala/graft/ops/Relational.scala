@@ -761,7 +761,37 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE order days per
+    * customer — the continuity/streak operator (active-streak,
+    * uptime-run, sensor-gap analyses are all this shape). The classic
+    * reduction: within a customer, day − row_number(day) is constant
+    * exactly along a consecutive run, so grouping on that anchor
+    * materializes the islands without any self-join or recursion.
+    * Day arithmetic is integer (days since epoch via datediff from a
+    * fixed date); windows partition on the customer key over that
+    * customer's DISTINCT days (basket-bounded). Two partial-agg
+    * shuffles on the same key — co-partitioned at 100×. */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    val days = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("anchor",
+        col("day") - row_number().over(byCust).cast("long"))
+      .groupBy(col("o_custkey"), col("anchor"))
+      .agg(count(lit(1)).as("run_len"))
+    islands.groupBy(col("o_custkey"))
+      .agg(sum(col("run_len")).as("n_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_run"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_gaps_islands" -> gapsIslands,
     "join_relational_division" -> relationalDivision,
     "join_range_bands" -> priceBands,
     "sample_bottomk_per_group" -> ((s, d) => bottomKSample(s, d)),
@@ -794,6 +824,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // same day - row_number anchor; DuckDB date_diff('day', ...)
+    // equals Spark datediff on the same DATE values
+    "window_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT o_custkey,
+        |    date_diff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders),
+        |anch AS (SELECT o_custkey, day,
+        |    day - row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY day) AS anchor
+        |  FROM days),
+        |runs AS (SELECT o_custkey, anchor, COUNT(*) AS run_len
+        |  FROM anch GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(SUM(run_len) AS BIGINT) AS n_days,
+        |  COUNT(*) AS n_islands,
+        |  CAST(MAX(run_len) AS BIGINT) AS longest_run
+        |FROM runs GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // same distinct-count-equality reduction; the divisor cardinality
     // is a scalar subquery where the engine collects a scalar
     "join_relational_division" ->

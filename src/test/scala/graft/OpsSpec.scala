@@ -1459,6 +1459,55 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("changepoint: argmax CUSUM re-derives from brute integer scan") {
+    val got = ops.EventOps.changepoint(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+      .toMap
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (t, rs) =>
+      val xs = rs.sortBy(_._2.toString)
+      val m = xs.length.toLong
+      val total = xs.map(_._3).sum
+      var prefix = 0L
+      val devs = xs.zipWithIndex.map { case ((_, h, x), i) =>
+        prefix += x; (h, math.abs(m * prefix - (i + 1) * total))
+      }
+      val bestDev = devs.map(_._2).max
+      val bestHour = devs.filter(_._2 == bestDev).map(_._1)
+        .minBy(_.toString) // earliest hour on ties
+      assert(got(t)._1 === m)
+      assert(got(t)._3 === bestDev, s"type $t")
+      assert(got(t)._2 === bestHour, s"type $t")
+    }
+  }
+
+  test("gaps-islands: runs re-derive from brute consecutive-day scan") {
+    val got = ops.Relational.gapsIslands(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val days = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    days.groupBy(_._1).foreach { case (ck, rs) =>
+      val ds = rs.map(_._2).sorted
+      // brute: split on non-consecutive neighbors
+      val lens = scala.collection.mutable.ArrayBuffer(1L)
+      for (i <- 1 until ds.length)
+        if (ds(i) == ds(i - 1) + 1) lens(lens.length - 1) += 1
+        else lens += 1L
+      assert(got(ck)._1 === ds.length.toLong)
+      assert(got(ck)._2 === lens.length.toLong, s"cust $ck")
+      assert(got(ck)._3 === lens.max, s"cust $ck")
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
