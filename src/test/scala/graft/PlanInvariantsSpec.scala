@@ -38,6 +38,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // SINGLE-ROW aggregate (global k / total_tokens) against a
     // per-source aggregate frame (|sources| rows, corpus-independent)
     "corpus_mix",
+    "corpus_epoch_plan",    // same single-row totals broadcast as
+                            // corpus_temperature_mix (its plan step)
     // same scalar-join shape: the 1-row (sum_w, total_tokens)
     // aggregate broadcast against the per-source weight frame
     "corpus_temperature_mix",
