@@ -695,6 +695,42 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  // ----------------------------------- sequential patterns (r9)
+
+  /** Sequential-pattern mining (2-item sequences, ANY gap): for every
+    * ordered event-type pair (a, b), how many users saw their FIRST a
+    * strictly before their first b — the PrefixSpan-family question
+    * [[ops.EventOps.markovTransitions]] (adjacent-step grain) does
+    * not answer, and the one onboarding/funnel designers actually
+    * ask ("does signup precede purchase, ever?").
+    *
+    * First occurrences are min(struct(ts, event_id)) per (user,
+    * type) — event_id unique makes the order total, so "before" is
+    * tie-free and deterministic. The self-join runs at the (user,
+    * type) FIRSTS grain (≤ |types| rows per user — basket-bounded,
+    * never the event grain); direction share normalizes within the
+    * unordered pair via a window over the |types|² aggregated matrix.
+    * Counts exact; the share is one two-long division rounded 9. */
+  def seqPatterns(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+    val sup = firsts.as("x").join(firsts.as("y"), Seq("user_id"))
+      .filter(col("x.event_type") =!= col("y.event_type") &&
+        col("x.f") < col("y.f"))
+      .groupBy(col("x.event_type").as("first_type"),
+        col("y.event_type").as("then_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val pairW = Window.partitionBy(
+      least(col("first_type"), col("then_type")),
+      greatest(col("first_type"), col("then_type")))
+    sup
+      .withColumn("direction_share",
+        round(col("n_users").cast("double") /
+          sum(col("n_users")).over(pairW), 9))
+      .orderBy(col("first_type"), col("then_type"))
+  }
+
   // ------------------------------------------------ k-core (r9)
 
   private val KcoreK = 2
@@ -844,6 +880,7 @@ object Analytics {
     "agg_forecast_revenue" -> forecastRevenue,
     "join_part_cooccurrence" -> partCooccurrence,
     "mine_assoc_rules" -> assocRules,
+    "mine_seq_patterns" -> seqPatterns,
     "window_rfm_scores" -> rfmScores,
     "graph_label_propagation" -> labelPropagation,
     "graph_kcore" -> kcore,
@@ -890,6 +927,24 @@ object Analytics {
         |    AS autocorr_lag1
         |FROM m ORDER BY event_type""".stripMargin,
     "mine_assoc_rules" -> assocRulesOracleSql,
+    // same (ts, event_id) total order on firsts; row comparison
+    // (ts, id) < (ts2, id2) is the identical lexicographic test
+    "mine_seq_patterns" ->
+      """WITH firsts AS (
+        |  SELECT user_id, event_type,
+        |    MIN(ROW(ts, event_id)) AS f
+        |  FROM events GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT x.event_type AS first_type, y.event_type AS then_type,
+        |    COUNT(*) AS n_users
+        |  FROM firsts x JOIN firsts y ON x.user_id = y.user_id
+        |    AND x.event_type <> y.event_type AND x.f < y.f
+        |  GROUP BY 1, 2)
+        |SELECT first_type, then_type, n_users,
+        |  round(CAST(n_users AS DOUBLE) / SUM(n_users) OVER (
+        |    PARTITION BY least(first_type, then_type),
+        |      greatest(first_type, then_type)), 9) AS direction_share
+        |FROM sup ORDER BY first_type, then_type""".stripMargin,
     "window_rfm_scores" -> rfmOracleSql,
     "graph_label_propagation" -> lpaOracleSql,
     "graph_kcore" -> kcoreOracleSql,

@@ -1508,6 +1508,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seq patterns: direction accounting against brute firsts scan") {
+    val got = ops.Analytics.seqPatterns(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute: first (ts, event_id) per (user, type), count a-before-b
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2[String, Long]
+    val firsts = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getAs[java.time.LocalDateTime](2).toString, r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byUser = firsts.toSeq.map { case ((u, t), f) => (u, t, f) }
+      .groupBy(_._1)
+    val brute = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    byUser.values.foreach { ts =>
+      for (a <- ts; b <- ts if a._2 != b._2 && ord.lt(a._3, b._3))
+        brute.update((a._2, b._2), brute((a._2, b._2)) + 1L)
+    }
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (k, (n, share)) =>
+      assert(n === brute(k), s"pair $k")
+      val total = brute(k) + brute((k._2, k._1))
+      assert(share ===
+        (n.toDouble / total * 1e9).round / 1e9, s"pair $k")
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
