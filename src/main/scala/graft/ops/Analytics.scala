@@ -695,6 +695,64 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  // ------------------------------- multivariate OLS (r9)
+
+  /** Two-feature linear regression with intercept,
+    * price ~ b0 + b1·quantity + b2·discount per return flag — the
+    * MULTIVARIATE member of the regression family ([[corrLinreg]] is
+    * single-feature). Closed-form normal equations solved by
+    * Cramer's rule on the 3×3 moment matrix: all nine moments are
+    * EXACT decimal sums (the corrLinreg discipline), cast to double
+    * once, and every determinant is the IDENTICAL fixed
+    * parenthesization in both engines; betas round 6. One partial-agg
+    * shuffle; the solve is scalar math per group. */
+  def linregMulti(s: SparkSession, d: String): DataFrame =
+    linregMultiOn(Tables.lineitem(s, d))
+
+  /** Core of [[linregMulti]], parameterized for planted-data tests. */
+  private[graft] def linregMultiOn(li: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast(D18_2)
+    val dc = col("l_discount").cast(D3_2)
+    val y = col("l_extendedprice").cast(D18_2)
+    val m = li
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("s1"),
+        sum(dc.cast(D18_2)).cast("double").as("s2"),
+        sum(y).cast("double").as("sy"),
+        sum(q * q).cast("double").as("s11"),
+        sum(q * dc).cast("double").as("s12"),
+        sum(dc * dc).cast("double").as("s22"),
+        sum(q * y).cast("double").as("s1y"),
+        sum(dc * y).cast("double").as("s2y"))
+    val nD = col("n").cast("double")
+    // X'X = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]];
+    // X'y = [sy, s1y, s2y]. Cramer with FIXED parenthesization.
+    def det3(a11: Column, a12: Column, a13: Column,
+        a21: Column, a22: Column, a23: Column,
+        a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val dd = det3(nD, col("s1"), col("s2"),
+      col("s1"), col("s11"), col("s12"),
+      col("s2"), col("s12"), col("s22"))
+    val d0 = det3(col("sy"), col("s1"), col("s2"),
+      col("s1y"), col("s11"), col("s12"),
+      col("s2y"), col("s12"), col("s22"))
+    val d1 = det3(nD, col("sy"), col("s2"),
+      col("s1"), col("s1y"), col("s12"),
+      col("s2"), col("s2y"), col("s22"))
+    val d2 = det3(nD, col("s1"), col("sy"),
+      col("s1"), col("s11"), col("s1y"),
+      col("s2"), col("s12"), col("s2y"))
+    m.select(col("l_returnflag"), col("n"),
+        round(d0 / dd, 6).as("b0"),
+        round(d1 / dd, 6).as("b1_quantity"),
+        round(d2 / dd, 6).as("b2_discount"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ----------------------------------- sequential patterns (r9)
 
   /** Sequential-pattern mining (2-item sequences, ANY gap): for every
@@ -874,6 +932,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_benford_digits" -> benfordDigits,
     "stat_autocorr_hourly" -> autocorrHourly,
+    "stat_linreg_multi" -> linregMulti,
     "stat_corr_linreg" -> corrLinreg,
     "events_funnel" -> funnel,
     "events_cohort_retention" -> cohortRetention,
@@ -927,6 +986,43 @@ object Analytics {
         |    AS autocorr_lag1
         |FROM m ORDER BY event_type""".stripMargin,
     "mine_assoc_rules" -> assocRulesOracleSql,
+    // the identical Cramer trees over the same exact-decimal moments
+    "stat_linreg_multi" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) *
+        |      CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS dd,
+        |    sy * (s11 * s22 - s12 * s12)
+        |      - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        |    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+        |      - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS d1,
+        |    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+        |      - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS d2
+        |  FROM m)
+        |SELECT l_returnflag, n, round(d0 / dd, 6) AS b0,
+        |  round(d1 / dd, 6) AS b1_quantity,
+        |  round(d2 / dd, 6) AS b2_discount
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     // same (ts, event_id) total order on firsts; row comparison
     // (ts, id) < (ts2, id2) is the identical lexicographic test
     "mine_seq_patterns" ->

@@ -1538,6 +1538,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linreg multi: betas recover a planted linear relationship") {
+    import spark.implicits._
+    // planted: y = 7 + 3*x1 - 2*x2 exactly, all values 2-decimal so
+    // the decimal moments are exact -> the Spark pipeline's betas
+    // recover the plant to rounding
+    val rows = for (i <- 1 to 40; j <- 0 to 4) yield
+      ("A", i.toDouble, j * 0.05, 7.0 + 3.0 * i - 2.0 * (j * 0.05))
+    val df = rows.toDF("l_returnflag", "l_quantity", "l_discount",
+      "l_extendedprice")
+    val got = ops.Analytics.linregMultiOn(df).collect()
+    assert(got.length === 1)
+    assert(got(0).getDouble(2) === 7.0)
+    assert(got(0).getDouble(3) === 3.0)
+    assert(got(0).getDouble(4) === -2.0)
+    // fixture betas are finite and n accounts for every row
+    val fix = ops.Analytics.linregMulti(spark, sf).collect()
+    assert(fix.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count())
+    fix.foreach { r =>
+      Seq(2, 3, 4).foreach(i =>
+        assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite))
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
