@@ -616,7 +616,29 @@ object OlapOps {
         expr("cast(bit_count(bit_or(mask)) as bigint)").as("n_buckets"))
       .orderBy(col("c_mktsegment"))
 
+  /** Exact MODE per group with a PINNED tie-break (most frequent
+    * quantity per return flag; equal frequencies → smallest value) —
+    * built-in `mode()` aggregates leave ties implementation-defined
+    * in both engines, so the catalog form makes the argmax explicit:
+    * value-level partial-agg counts, then a row_number over the
+    * AGGREGATED (group, value) grain. Deterministic by construction,
+    * shuffle bounded by |groups|·|distinct values|. */
+  def modeExact(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+        col("n").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode_exact" -> modeExact,
     "agg_bitmask_rollup" -> bitmaskRollup,
     "agg_incremental_rollup" -> incrementalRollup,
     "view_incremental_join" -> incrementalJoinView,
@@ -642,6 +664,17 @@ object OlapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same explicit argmax with the same (count desc, value)
+    // tie-break — never the built-in mode(), whose ties are
+    // implementation-defined
+    "agg_mode_exact" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_quantity,
+        |  n AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // identical one-hot masks through the same bitwise aggregates
     "agg_bitmask_rollup" ->
       """WITH m AS (SELECT c_mktsegment,

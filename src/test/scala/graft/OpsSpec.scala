@@ -1561,6 +1561,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mode: argmax re-derives from brute counts with pinned ties") {
+    val got = ops.OlapOps.modeExact(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    val counts = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    counts.foreach { case (f, rs) =>
+      val byVal = rs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val maxN = byVal.values.max
+      val mode = byVal.filter(_._2 == maxN).keys.min
+      assert(got(f) === ((mode, maxN)), s"flag $f")
+    }
+  }
+
   test("driver smoke: entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
