@@ -88,15 +88,27 @@ object ArtifactStore {
     * probe-reads-only-its-clusters path. */
   def parquet(spark: SparkSession, name: String, inputPath: String,
       version: Int = 1, partitionColumns: Seq[String] = Nil)
-      (build: => DataFrame): DataFrame = {
-    val dir = serveOrBuild(spark, name, inputPath, version) { tmp =>
+      (build: => DataFrame): DataFrame =
+    spark.read.parquet(
+      parquetDir(spark, name, inputPath, version, partitionColumns)(build))
+
+  /** [[parquet]], but returning the RESOLVED artifact directory — for
+    * callers that need the address itself (e.g. an optimizer rule
+    * parameterized by the MV location). This is the one public way to
+    * learn the address: hand-reconstructing root + name + version +
+    * fingerprint duplicates the store's private path scheme and
+    * re-runs the fingerprint after the build, so an input republish
+    * between the two calls silently points at a missing/stale dir
+    * (ADVICE r9). */
+  def parquetDir(spark: SparkSession, name: String, inputPath: String,
+      version: Int = 1, partitionColumns: Seq[String] = Nil)
+      (build: => DataFrame): String =
+    serveOrBuild(spark, name, inputPath, version) { tmp =>
       val w = build.write.mode("overwrite")
       (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*)
        else w).parquet(tmp.toString)
       // the parquet committer wrote tmp/_SUCCESS itself
     }
-    spark.read.parquet(dir)
-  }
 
   /** Serve-or-build for a NON-parquet directory artifact (e.g. a
     * deterministic TSV fixture corpus): `build` populates the temp

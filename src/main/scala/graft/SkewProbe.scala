@@ -21,10 +21,11 @@ object SkewProbe {
     org.apache.log4j.Logger.getLogger(
       "org.apache.spark.sql.execution.adaptive").setLevel(
       org.apache.log4j.Level.DEBUG)
+    var found = false
     for ((factor, thresh, advis, force) <- Seq(
         ("2.0", "16k", "16k", "false"), ("2.0", "8k", "8k", "false"),
         ("1.5", "4k", "4k", "false"), ("1.2", "1k", "1k", "false"),
-        ("1.2", "1k", "1k", "true"))) {
+        ("1.2", "1k", "1k", "true")) if !found) {
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", force)
       val settings = Seq(
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> factor,
@@ -58,10 +59,12 @@ object SkewProbe {
         println(plan.linesIterator
           .filter(l => l.contains("skew") || l.contains("AQEShuffleRead"))
           .mkString("\n"))
-        return
+        // flag, don't `return`: an early return would exit main
+        // without reaching the spark.stop() below (ADVICE r9)
+        found = true
       }
     }
-    println("[skewprobe] no configuration armed the split")
+    if (!found) println("[skewprobe] no configuration armed the split")
     spark.stop()
   }
 }

@@ -387,7 +387,8 @@ object Analytics {
     * dim-sized by construction), (2) baskets are distinct
     * (order, item) pairs — one shuffle at the basket grain, (3) the
     * Apriori prune runs BEFORE the pair join: only baskets restricted
-    * to frequent items (left-semi against the 5% survivors) enter the
+    * to frequent items (left-semi against the MinSuppPct survivors,
+    * currently 2%) enter the
     * self-join, so the pair explosion is bounded by
     * (frequent items per basket)², not (lineitems per basket)², and
     * (4) rule scoring joins the two support columns by broadcast (the
@@ -881,9 +882,11 @@ object Analytics {
     * then rendered as a string — NEVER a bare cast-to-int (DuckDB
     * ROUNDS decimal→int where the JVM truncates) and never a
     * log₁₀-of-value bucket (a float boundary). One scan, one
-    * 9-row aggregate. */
+    * 9-row aggregate — the total row count n is answered from
+    * parquet FOOTER metadata ([[Tables.cardinality]], zero Spark
+    * jobs), not a second scan of the same table (VERDICT r9 #7). */
   def benfordDigits(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.orders(s, d).count()
+    val n = Tables.cardinality(s, d, "orders")
     Tables.orders(s, d)
       .select(substring(floor(col("o_totalprice")).cast("long")
         .cast("string"), 1, 1).cast("int").as("digit"))

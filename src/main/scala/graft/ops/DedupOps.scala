@@ -758,10 +758,10 @@ object DedupOps {
     * embedding table) → the SAME `connectedComponents` + min-id
     * keep-rule. At the sf0.1 corpus (n = 2 000) the auto-tuning
     * lands on 7 bits × 98 bands — ~0.93 boundary recall at the 0.3
-    * threshold per the SRP collision formula. Rows-only for the
-    * driver (SRP internals aren't SQL-expressible); cluster-recall
-    * vs the exact form on the bounded slice is asserted in
-    * ScalaTest. */
+    * threshold per the SRP collision formula. Hash-oracled via the
+    * generated SRP-geometry SQL (see the oracle splice below);
+    * cluster-recall vs the exact form on the bounded slice is
+    * asserted in ScalaTest. */
   def semanticLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // band sizing from footer-metadata cardinality (VERDICT r3 #5):

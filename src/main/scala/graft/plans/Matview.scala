@@ -79,8 +79,16 @@ case class MatviewRewrite(mvDir: String) extends Rule[LogicalPlan] {
       aes.nonEmpty && aes.forall {
         case AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _) =>
           true
-        case AggregateExpression(Sum(Cast(a: AttributeReference, _, _, _),
-            _), _, false, _, _) => sums.contains(a.name)
+        // the cast target must be a DECIMAL: only exact-sum shapes are
+        // compensatable from the exact-decimal stored partials. A
+        // sum(cast(x AS DOUBLE)) accumulates in IEEE floats whose
+        // result depends on addend order — rewriting it onto the
+        // partials would CHANGE float results, violating the
+        // "rewrite must be invisible" contract (ADVICE r9).
+        case AggregateExpression(Sum(Cast(a: AttributeReference, dt, _, _),
+            _), _, false, _, _) =>
+          sums.contains(a.name) &&
+            dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
         case _ => false
       }
   }
@@ -130,8 +138,12 @@ object Matview {
   /** The summary artifact: exact partial aggregates at the view grain
     * — COUNT plus decimal partial sums, one row per (returnflag,
     * linestatus). Built once per corpus snapshot; ~|grain| rows. */
-  def mvDir(s: SparkSession, d: String): String = {
-    graft.ArtifactStore.parquet(s, "lineitem_rollup_mv",
+  def mvDir(s: SparkSession, d: String): String =
+    // the rule needs the directory, not the frame: the store RESOLVES
+    // the address it served/built (hand-reconstructing it here would
+    // duplicate the store's private path scheme and re-fingerprint
+    // after the build — ADVICE r9)
+    graft.ArtifactStore.parquetDir(s, "lineitem_rollup_mv",
         s"$d/lineitem.parquet") {
       graft.Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -139,11 +151,6 @@ object Matview {
           sum(col("l_quantity").cast(graft.ops.D18_2)).as("sq"),
           sum(col("l_extendedprice").cast(graft.ops.D18_2)).as("sp"))
     }
-    // the rule needs the directory, not the frame: recompute the
-    // address the store just served/built
-    s"${graft.ArtifactStore.root}/lineitem_rollup_mv/v1-" +
-      graft.ArtifactStore.fingerprint(s, s"$d/lineitem.parquet")
-  }
 
   /** Run `body` with the rewrite rule injected, removing it after —
     * the conf-scope discipline applied to extraOptimizations, so only
