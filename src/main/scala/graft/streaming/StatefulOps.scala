@@ -39,9 +39,7 @@ object StatefulOps {
   def userTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // no nanosAsLong set: ts is not in the declared schema at all
-    val src = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val src = StreamSource.tableStream(spark, sfDir, "events", eventsSchema)
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long)]
 
@@ -90,9 +88,7 @@ object StatefulOps {
       StructField("o_orderkey", LongType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
-    val src = spark.readStream.schema(ordersSchema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(sfDir)
+    val src = StreamSource.tableStream(spark, sfDir, "orders", ordersSchema)
       .withColumn("ts",
         if (nanos) timestamp_micros(expr("o_orderdate div 1000"))
         else col("o_orderdate").cast("timestamp"))
@@ -164,9 +160,7 @@ object StatefulOps {
       StructField("o_orderkey", LongType),
       StructField("o_orderpriority", StringType),
       StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
-    val src = spark.readStream.schema(ordersSchema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(sfDir)
+    val src = StreamSource.tableStream(spark, sfDir, "orders", ordersSchema)
       .withColumn("ts",
         if (nanos) timestamp_micros(expr("o_orderdate div 1000"))
         else col("o_orderdate").cast("timestamp"))
@@ -239,9 +233,7 @@ object StatefulOps {
       StructField("o_custkey", LongType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", if (nanos) LongType else TimestampNTZType)))
-    val src = spark.readStream.schema(ordersSchema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(sfDir)
+    val src = StreamSource.tableStream(spark, sfDir, "orders", ordersSchema)
       .withColumn("chg_micros",
         if (nanos) expr("o_orderdate div 1000")
         else unix_micros(col("o_orderdate").cast("timestamp")))

@@ -56,9 +56,8 @@ object StreamingDedup {
   /** Graded entry: stream the documents table, emit verified near-dup
     * pairs — output identical to `dedup_minhash_lsh`. */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val stream = spark.readStream.schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val stream = StreamSource.tableStream(spark, sfDir, "documents",
+      docsSchema)
     nearDupPairsOver(spark, stream, graft.Tables.documents(spark, sfDir),
       "stream_neardup_cand")
   }

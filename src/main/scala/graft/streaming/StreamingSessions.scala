@@ -46,12 +46,10 @@ object StreamingSessions {
     // resolve longs instead of failing loudly)
     if (rawNanos)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the streaming file source wants a directory: read the sf dir
-    // with a glob filter for the events table
-    val src = spark.readStream
-      .schema(eventsSchema(if (rawNanos) LongType else TimestampNTZType))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // layout-dispatching source: single-file fixtures go through the
+    // glob filter, directory tables stream directly (StreamSource)
+    val src = StreamSource.tableStream(spark, sfDir, "events",
+      eventsSchema(if (rawNanos) LongType else TimestampNTZType))
     if (rawNanos) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else src.withColumn("ts", col("ts").cast("timestamp"))
   }
