@@ -1086,7 +1086,361 @@ object TextOps {
       .select(col("doc_id"), col("len"), col("tf_total"), col("score"))
   }
 
+  // ---------------------------------------------- unigram-LM tokenizer
+
+  private val UniMaxDoc = 200L // same bounded training slice as BPE
+  private val UniSeedMulti = 48 // multi-char seed pieces kept
+  private val UniMaxPiece = 3 // max piece length
+  private val UniIters = 3 // EM iterations (prune after 1 and 2)
+  private val UniInf = 1000000000000L // unreachable path cost
+
+  /** Unigram-LM (SentencePiece-family) VOCABULARY INDUCTION — the
+    * other mainstream tokenizer next to [[bpeTrain]] (VERDICT r9 #3):
+    * instead of greedy pair merges, a piece vocabulary is seeded with
+    * frequent substrings and refined by EM — segment the corpus under
+    * the current piece costs (hard-EM / Viterbi, the standard
+    * tractable E-step), re-estimate piece probabilities from the
+    * segmentation counts, prune the weakest pieces, repeat. Fixed
+    * iteration count, fixed-point log-probs (the `text_zipf_fit` 10⁶
+    * lattice: cost = round((ln Σc − ln c)·10⁶) of EXACT integer
+    * counts), and fully pinned tie-breaks — seed top-K by (freq desc,
+    * piece), Viterbi min with longer-piece preference on cost ties,
+    * prune by (count asc, piece) — so the whole training TRAJECTORY
+    * is deterministic and the DuckDB oracle re-derives every EM step
+    * from scratch (no spliced constants; the oracle is static SQL
+    * over recursive CTEs — see [[uniTrainOracleSql]]).
+    *
+    * Trainer shape (the k-means/BPE "iterative trainer as bounded
+    * distributed jobs" discipline): ONE corpus pass builds the
+    * weighted word vocabulary; every later job runs over |distinct
+    * words| rows — corpus-size-independent. Per iteration: the
+    * Viterbi DP is a codegen'd higher-order `aggregate` over each
+    * word (forward best-cost array, backward path recovery emitting
+    * piece start positions — no UDF), piece counts are one bounded
+    * groupBy, and the M-step/prune is driver-side integer arithmetic
+    * on the model-sized count table (the sanctioned centroid-update
+    * collect). Trained once per corpus snapshot, artifact-served. */
+  def unigramTrain(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactStore.parquet(s, "unigram_vocab",
+      s"$d/documents.parquet", version = 1) { unigramTrainFrame(s, d) }
+      .orderBy(col("cost_fp"), col("piece"))
+
+  /** Forward Viterbi: best[i] = min cost to segment the first i chars
+    * of `w` under piece-cost map `vmap` (missing piece → [[UniInf]]);
+    * returns the (length+1)-element best array, 1-based via
+    * element_at. Pure expression — whole-stage-codegen'd, no UDF. */
+  private[graft] def uniForward(w: Column, vmap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(least(
+        coalesce(try_element_at(acc, i) +
+          try_element_at(vmap, w.substr(i, lit(1))), lit(UniInf)),
+        coalesce(when(i >= 2, try_element_at(acc, i - 1) +
+          try_element_at(vmap,
+            w.substr(greatest(i - 1, lit(1)), lit(2)))), lit(UniInf)),
+        coalesce(when(i >= 3, try_element_at(acc, i - 2) +
+          try_element_at(vmap,
+            w.substr(greatest(i - 2, lit(1)), lit(3)))), lit(UniInf))))))
+
+  /** Backward path recovery: walks from the end of `w`, at each
+    * position taking the LONGEST piece whose cost closes the Viterbi
+    * recurrence (the pinned tie rule — j=3 checked before j=2 before
+    * 1), and returns the ascending piece START positions. The fold
+    * runs length(w) steps (≥ one char consumed per step) and idles on
+    * `cur = 0`. */
+  private def uniStarts(w: Column, vmap: Column, best: Column): Column = {
+    def termEq(cur: Column, j: Int): Column =
+      (try_element_at(best, (cur - lit(j - 1)).cast("int")) +
+        try_element_at(vmap, w.substr(
+          greatest(cur - lit(j - 1), lit(1)).cast("int"), lit(j)))) ===
+        try_element_at(best, (cur + 1).cast("int"))
+    val fold = aggregate(
+      sequence(lit(1), length(w)),
+      array(length(w).cast("long")),
+      (acc, _) => {
+        val cur = try_element_at(acc, lit(1))
+        val jj = when(cur >= 3 && termEq(cur, 3), lit(3L))
+          .when(cur >= 2 && termEq(cur, 2), lit(2L))
+          .otherwise(lit(1L))
+        when(cur === 0, acc).otherwise(
+          concat(array(cur - jj, cur - jj + 1),
+            slice(acc, lit(2), size(acc) - 1)))
+      })
+    slice(fold, lit(2), size(fold) - 1)
+  }
+
+  /** Pieces of `w` cut at the ascending `starts` positions. */
+  private def uniPieces(w: Column, starts: Column): Column =
+    transform(sequence(lit(1), size(starts)), i =>
+      w.substr(
+        try_element_at(starts, i).cast("int"),
+        (coalesce(try_element_at(starts, i + 1), length(w) + lit(1)) -
+          try_element_at(starts, i)).cast("int")))
+
+  /** cost = round((ln Σc − ln c)·10⁶) on exact integer counts — both
+    * lns of exact ints, one rounding onto the 10⁶ lattice (the zipf
+    * fixed-point discipline; the DuckDB twin computes the identical
+    * expression). */
+  private def uniCosts(kept: Seq[(String, Long)]): Map[String, Long] = {
+    val total = kept.iterator.map(_._2).sum
+    kept.iterator.map { case (p, c) =>
+      p -> Math.round((Math.log(total.toDouble) -
+        Math.log(c.toDouble)) * 1e6)
+    }.toMap
+  }
+
+  /** The EM trajectory, driver-orchestrated: returns the final
+    * (piece, count, cost) rows sorted by (cost, piece) plus the
+    * per-iteration vocabulary sizes (for the monotonicity spec). */
+  private[graft] def unigramTrajectory(s: SparkSession, d: String)
+      : (Seq[(String, Long, Long)], Seq[Int]) = {
+    val words = Tables.documents(s, d).filter(col("doc_id") < UniMaxDoc)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
+    // seed: weighted substring frequencies, lengths 1..UniMaxPiece —
+    // every single char (segmentation totality) + top-K multis under
+    // the pinned (freq desc, piece) order
+    val subs = words
+      .select(col("wc"), explode(sequence(lit(1), length(col("w")))).as("i"),
+        col("w"))
+      .select(col("wc"), col("w"), col("i"),
+        explode(sequence(lit(1), lit(UniMaxPiece))).as("j"))
+      .filter(col("i") + col("j") - 1 <= length(col("w")))
+      .select(col("w").substr(col("i"), col("j")).as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
+    val singles = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multis = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece")).limit(UniSeedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var kept: Seq[(String, Long)] = (singles ++ multis).toSeq.sortBy(_._1)
+    var costs = uniCosts(kept)
+    val sizes = Seq.newBuilder[Int]
+    sizes += kept.size
+    for (it <- 1 to UniIters) {
+      val vmap = typedlit(costs)
+      // E-step: Viterbi counts over the weighted word vocabulary
+      val counted = words
+        .withColumn("best", uniForward(col("w"), vmap))
+        .withColumn("st", uniStarts(col("w"), vmap, col("best")))
+        .select(col("wc"), explode(uniPieces(col("w"), col("st"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // M-step: +1 keep-alive floor for single chars (they guarantee
+      // segmentation totality and are never pruned), drop zero-count
+      // multis, then prune the weakest quarter of the multis by
+      // (count asc, piece) — except after the final iteration
+      val updated = costs.keysIterator.toSeq.sorted
+        .map(p => (p, counted.getOrElse(p, 0L) +
+          (if (p.length == 1) 1L else 0L)))
+        .filter(_._2 > 0)
+      kept = if (it < UniIters) {
+        val (sgl, mlt) = updated.partition(_._1.length == 1)
+        val ordered = mlt.sortBy { case (p, c) => (c, p) }
+        sgl ++ ordered.drop(mlt.size / 4)
+      } else updated
+      costs = uniCosts(kept)
+      sizes += kept.size
+    }
+    val rows = kept.map { case (p, c) => (p, c, costs(p)) }
+      .sortBy { case (p, _, cost) => (cost, p) }
+    (rows, sizes.result())
+  }
+
+  private def unigramTrainFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (rows, _) = unigramTrajectory(s, d)
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        rows.map { case (p, c, k) => Row(p, c, k) }, 1),
+      StructType(Seq(StructField("piece", StringType, nullable = false),
+        StructField("n_uses", LongType, nullable = false),
+        StructField("cost_fp", LongType, nullable = false))))
+  }
+
+  /** The learned unigram vocabulary APPLIED (the [[bpeApply]] twin):
+    * every slice word segmented by the SAME Viterbi the trainer used,
+    * under the artifact-served final costs — per source: word count,
+    * char count, unigram token count, compression. The plan is one
+    * narrow pass: scan → explode → per-(source, word) weights →
+    * codegen DP → rollup; the vocabulary rides in as a ~60-entry map
+    * literal. */
+  def unigramApply(s: SparkSession, d: String): DataFrame = {
+    val costs = unigramTrain(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val vmap = typedlit(costs)
+    Tables.documents(s, d).filter(col("doc_id") < UniMaxDoc)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("best", uniForward(col("w"), vmap))
+      .withColumn("n_tok",
+        size(uniStarts(col("w"), vmap, col("best"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * length(col("w"))).as("n_chars"),
+        sum(col("wc") * col("n_tok")).as("n_unigram_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") /
+          col("n_unigram_tokens").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  // ---- DuckDB oracle: re-derives the ENTIRE EM trajectory from
+  // scratch as static SQL. The Viterbi DP is expressed with RECURSIVE
+  // CTEs (forward: one row per (word, prefix-length) carrying the
+  // growing best array; backward: one row per consumed piece), NOT
+  // with DuckDB list lambdas — duckdb 1.0's list_reduce corrupts the
+  // accumulator across vectorized rows (verified with a minimal
+  // repro: identical input rows fold to different results, and
+  // results vary with thread count), while recursive CTEs are plain
+  // joins with standard semantics. MATERIALIZED pins each CTE to one
+  // evaluation: under default inlining a tied top-K boundary can
+  // resolve differently at different use sites of the same CTE,
+  // silently forking the trajectory mid-oracle.
+
+  private def uniFwdSql(tag: String, cost: String, src: String,
+      cols: Seq[String]): String = {
+    val extra = (cols :+ "w").mkString(", ")
+    val extraF = (cols :+ "w").map("f." + _).mkString(", ")
+    s"""fwd$tag($extra, i, best) AS (
+       |  SELECT $extra, 0, [CAST(0 AS BIGINT)] FROM $src
+       |  UNION ALL
+       |  SELECT $extraF, f.i + 1,
+       |    f.best || [least(
+       |      coalesce(f.best[f.i + 1] + c1.cost, $UniInf),
+       |      coalesce(f.best[f.i]     + c2.cost, $UniInf),
+       |      coalesce(f.best[f.i - 1] + c3.cost, $UniInf))]
+       |  FROM fwd$tag f
+       |  LEFT JOIN $cost c1 ON c1.piece = substr(f.w, f.i + 1, 1)
+       |  LEFT JOIN $cost c2 ON f.i + 1 >= 2
+       |    AND c2.piece = substr(f.w, greatest(f.i, 1), 2)
+       |  LEFT JOIN $cost c3 ON f.i + 1 >= 3
+       |    AND c3.piece = substr(f.w, greatest(f.i - 1, 1), 3)
+       |  WHERE f.i < length(f.w))""".stripMargin
+  }
+
+  private def uniBwdSql(tag: String, cost: String,
+      cols: Seq[String]): String = {
+    val extra = (cols :+ "w").mkString(", ")
+    val extraB = (cols :+ "w").map("b." + _).mkString(", ")
+    val extraS = (cols :+ "w").map("s." + _).mkString(", ")
+    s"""bwd$tag($extra, best, cur, piece) AS (
+       |  SELECT $extra, best, CAST(length(w) AS BIGINT),
+       |    CAST(NULL AS VARCHAR)
+       |  FROM fwd$tag WHERE i = length(w)
+       |  UNION ALL
+       |  SELECT $extraS, s.best, s.cur - s.jj,
+       |    substr(s.w, CAST(s.cur - s.jj + 1 AS INT), CAST(s.jj AS INT))
+       |  FROM (
+       |    SELECT $extraB, b.best, b.cur,
+       |      CASE WHEN b.cur >= 3 AND b.best[CAST(b.cur AS INT) - 2]
+       |            + c3.cost = b.best[CAST(b.cur AS INT) + 1] THEN 3
+       |           WHEN b.cur >= 2 AND b.best[CAST(b.cur AS INT) - 1]
+       |            + c2.cost = b.best[CAST(b.cur AS INT) + 1] THEN 2
+       |           ELSE 1 END AS jj
+       |    FROM bwd$tag b
+       |    LEFT JOIN $cost c3 ON b.cur >= 3
+       |      AND c3.piece = substr(b.w, CAST(greatest(b.cur - 2, 1) AS INT), 3)
+       |    LEFT JOIN $cost c2 ON b.cur >= 2
+       |      AND c2.piece = substr(b.w, CAST(greatest(b.cur - 1, 1) AS INT), 2)
+       |    WHERE b.cur > 0) s)""".stripMargin
+  }
+
+  private def uniCountSql(k: Int): String =
+    s"""pc$k AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt
+       |  FROM bwd$k WHERE piece IS NOT NULL GROUP BY piece),
+       |up$k AS MATERIALIZED (
+       |  SELECT v.piece,
+       |    coalesce(pc.cnt, 0) +
+       |      CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS cnt
+       |  FROM vocab${k - 1} v LEFT JOIN pc$k pc ON pc.piece = v.piece
+       |  WHERE coalesce(pc.cnt, 0) +
+       |    CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END > 0)""".stripMargin
+
+  private def uniVocabSql(k: Int): String =
+    if (k < UniIters)
+      s"""vocab$k AS MATERIALIZED (
+         |  SELECT piece, cnt FROM up$k WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt, piece) AS rn,
+         |      COUNT(*) OVER () AS nm
+         |    FROM up$k WHERE length(piece) > 1) t WHERE rn > nm // 4)""".stripMargin
+    else s"vocab$k AS MATERIALIZED (SELECT piece, cnt FROM up$k)"
+
+  private def uniCostSql(k: Int): String =
+    s"""cost$k AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round((ln((SELECT CAST(SUM(cnt) AS BIGINT) FROM vocab$k))
+       |      - ln(cnt)) * 1000000) AS BIGINT) AS cost
+       |  FROM vocab$k)""".stripMargin
+
+  private def uniTrainCtes: String = {
+    val seed =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS w
+         |  FROM documents WHERE doc_id < $UniMaxDoc),
+         |words AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM w0 GROUP BY w),
+         |subs AS MATERIALIZED (
+         |  SELECT substr(w, CAST(i AS INT), CAST(j AS INT)) AS piece,
+         |    CAST(SUM(wc) AS BIGINT) AS freq
+         |  FROM words, generate_series(1, 64) g1(i),
+         |    generate_series(1, $UniMaxPiece) g2(j)
+         |  WHERE i <= length(w) AND i + j - 1 <= length(w)
+         |  GROUP BY 1),
+         |vocab0 AS MATERIALIZED (
+         |  SELECT piece, freq AS cnt FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, freq AS cnt FROM subs WHERE length(piece) > 1
+         |    ORDER BY freq DESC, piece LIMIT $UniSeedMulti) t),
+         |${uniCostSql(0)}""".stripMargin
+    val iters = (1 to UniIters).map { k =>
+      Seq(uniFwdSql(k.toString, s"cost${k - 1}", "words", Seq("wc")),
+        uniBwdSql(k.toString, s"cost${k - 1}", Seq("wc")),
+        uniCountSql(k), uniVocabSql(k), uniCostSql(k)).mkString(",\n")
+    }
+    (seed +: iters).mkString(",\n")
+  }
+
+  private def uniTrainOracleSql: String =
+    s"""WITH RECURSIVE $uniTrainCtes
+       |SELECT piece, cnt AS n_uses, cost AS cost_fp
+       |FROM cost$UniIters ORDER BY cost_fp, piece""".stripMargin
+
+  private def uniApplyOracleSql: String =
+    s"""WITH RECURSIVE $uniTrainCtes,
+       |aw AS MATERIALIZED (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '),
+       |    x -> x <> '')) AS w
+       |  FROM documents WHERE doc_id < $UniMaxDoc),
+       |awc AS MATERIALIZED (
+       |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM aw GROUP BY source, w),
+       |${uniFwdSql("A", s"cost$UniIters", "awc", Seq("source", "wc"))},
+       |${uniBwdSql("A", s"cost$UniIters", Seq("source", "wc"))},
+       |seg AS MATERIALIZED (
+       |  SELECT source, w, wc, COUNT(*) AS n_tok
+       |  FROM bwdA WHERE piece IS NOT NULL GROUP BY source, w, wc)
+       |SELECT source, CAST(SUM(wc) AS BIGINT) AS n_words,
+       |  CAST(SUM(wc * length(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(wc * n_tok) AS BIGINT) AS n_unigram_tokens,
+       |  round(CAST(SUM(wc * length(w)) AS DOUBLE) /
+       |    CAST(SUM(wc * n_tok) AS DOUBLE), 6) AS compression
+       |FROM seg GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_train" -> unigramTrain,
+    "text_unigram_apply" -> unigramApply,
     "search_bm25_topk" -> bm25Topk,
     "text_zipf_fit" -> zipfFit,
     "text_bpe_train" -> bpeTrain,
@@ -1116,6 +1470,10 @@ object TextOps {
     staticOracles ++ bpeGeneratedOracle ++ bpeApplyGeneratedOracle
 
   private val staticOracles: Map[String, String] = Map(
+    // full EM-trajectory re-derivation (recursive-CTE Viterbi, no
+    // spliced constants) — see the unigram section's oracle note
+    "text_unigram_train" -> uniTrainOracleSql,
+    "text_unigram_apply" -> uniApplyOracleSql,
     // the identical scoring tree on the same exact integers; the
     // two-addend per-doc sum is order-free (IEEE addition is
     // commutative), so no pre-round is needed at |query| = 2

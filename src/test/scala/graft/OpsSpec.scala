@@ -1590,4 +1590,63 @@ class OpsSpec extends AnyFunSuite {
   test("no duplicate query names across modules (silent overwrite)") {
     assert(SparkEntry.queries.size === SparkEntry.declaredQueryCount)
   }
+
+  test("unigram trainer: deterministic, shrinking vocab, optimal Viterbi") {
+    val d = "/root/testdata/sf0.001"
+    val (rows1, sizes) = ops.TextOps.unigramTrajectory(spark, d)
+    val (rows2, _) = ops.TextOps.unigramTrajectory(spark, d)
+    // determinism: the whole trajectory replays bit-identically
+    assert(rows1 === rows2)
+    // monotonicity: prune + zero-count drops only ever SHRINK the
+    // vocabulary (seed, it1, it2, it3)
+    assert(sizes.size === 4)
+    sizes.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    // totality: every single char survives to the final vocabulary
+    // (the keep-alive floor), so every word stays segmentable
+    val finalPieces = rows1.map(_._1).toSet
+    val chars = rows1.filter(_._1.length == 1).map(_._1).toSet
+    assert(chars.nonEmpty)
+    // Viterbi optimality: the DP's segmentation cost equals the
+    // brute-force minimum over ALL segmentations for every word
+    val costs = rows1.map(r => r._1 -> r._3).toMap
+    def brute(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(3, w.length)).map { j =>
+        costs.get(w.take(j)) match {
+          case Some(c) =>
+            val rest = brute(w.drop(j))
+            if (rest >= Long.MaxValue / 2) Long.MaxValue / 2 else c + rest
+          case None => Long.MaxValue / 2
+        }
+      }.min
+    import org.apache.spark.sql.functions._
+    val words = Tables.documents(spark, d).filter(col("doc_id") < 200)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    val applied = ops.TextOps.unigramApply(spark, d)
+    // the engine's forward DP total cost must equal the brute-force
+    // minimum over ALL segmentations, for every distinct word
+    import spark.implicits._
+    val vmap = typedlit(costs)
+    val dpCosts = words.toSeq.toDF("w")
+      .select(col("w"), element_at(
+        ops.TextOps.uniForward(col("w"), vmap), -1).as("dp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      val bf = brute(w)
+      assert(bf < Long.MaxValue / 2, s"word $w not segmentable")
+      assert(dpCosts(w) === bf,
+        s"DP cost ${dpCosts(w)} != brute-force min $bf for '$w'")
+      w.foreach(c => assert(finalPieces.contains(c.toString)))
+    }
+    // compression sanity: tokens never exceed chars, at least one
+    // multi-char piece earns its keep (compression > 1 somewhere)
+    val rowsA = applied.collect()
+    rowsA.foreach { r =>
+      assert(r.getAs[Long]("n_unigram_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_unigram_tokens") >= r.getAs[Long]("n_words"))
+    }
+    assert(rowsA.exists(_.getAs[Double]("compression") > 1.0))
+  }
 }
