@@ -1147,7 +1147,144 @@ object DedupOps {
       .orderBy(col("split"))
   }
 
+  // ------------------------------------------ composed entity resolution
+
+  private val ErSlice = 1000L // bounded record slice (the fuzzy-join slice)
+  /** Fellegi–Sunter-shaped fixed-point agreement weights (10⁶ lattice,
+    * exact integers — no float log-odds to diverge cross-engine). The
+    * threshold sits strictly between the best non-match composite
+    * (name + city agree, geo disagrees: 2.5M) and the true-dup
+    * composite (all three agree: 4.5M). */
+  private val ErWName = 2000000L
+  private val ErWNameMiss = -1000000L
+  private val ErWCity = 1000000L
+  private val ErWCityMiss = -500000L
+  private val ErWGeo = 1500000L
+  private val ErWGeoMiss = -500000L
+  private val ErThreshold = 3000000L
+
+  /** COMPOSED ENTITY RESOLUTION over the voter domain (VERDICT r9 #4)
+    * — the primitives this module already grades, assembled the way
+    * record linkage actually ships: BLOCK (two passes) → SCORE
+    * (multi-field weighted agreement) → THRESHOLD → CLUSTER
+    * ([[connectedComponents]]) → SURVIVE (canonical per cluster).
+    *
+    * Records are voter-shaped rows derived from `customer` (the
+    * SynthVoters discipline — a pure function of the table, so the
+    * oracle recomputes everything from `customer` directly): per
+    * customer a base record, plus for every 7th a second-source twin
+    * whose name carries a one-character deletion at a key-dependent
+    * position (same city + geocode), for every 21st a THIRD variant
+    * deleted at a different position (same city + geocode), and for
+    * every 11th an impostor with the SAME name but different city and
+    * shifted geocode. The two twins are edit-2 from each other, so
+    * their cluster only forms via transitivity through the base —
+    * clustering is load-bearing, not decorative. The impostor scores
+    * 1.0M (name alone) and must stay out.
+    *
+    * Blocking pass 1 is the FastSS deletion neighborhood on the name
+    * ([[fuzzyJoinEdit1On]]'s key scheme — complete for edit ≤ 1,
+    * buckets alphabet-bounded). Pass 2 blocks on the decidegree
+    * geocode cell — the "zip-code block" of classical record linkage
+    * (a name-prefix or phonetic pass would be vacuous here: the
+    * synthetic names share one long prefix and one phonetic class, so
+    * the cell key is the pass that carries real selectivity; a
+    * production deployment caps per-cell membership exactly like
+    * [[defaultMaxBucket]]). Candidates = the DISTINCT union of both
+    * passes — either pass alone misses matches the other finds.
+    *
+    * Scoring is exact-integer: levenshtein ≤ 1 on names, equality on
+    * city and cell, fixed-point weights summed and thresholded — the
+    * Fellegi–Sunter shape with the log-likelihood ratios pinned to
+    * the 10⁶ lattice. Survivorship: the cluster label IS the minimum
+    * rec_id (the [[connectedComponents]] fixpoint), i.e. the base
+    * record wins; its name is served as the canonical form.
+    *
+    * Scale: both blocking passes are equi-joins with bounded buckets
+    * (FastSS: ≤ |Σ|+1 per key; cells: bounded membership), scoring is
+    * a narrow projection per candidate, and the cluster stage is the
+    * shared iterative min-label propagation — each stage is the
+    * already-graded scale path, composed. */
+  def erResolve(s: SparkSession, d: String): DataFrame =
+    erResolveOn(erRecords(s, d))
+
+  /** Voter-shaped ER corpus: a pure function of `customer` (see
+    * [[erResolve]]). rec_id = custkey·10 + source-seq, so the base
+    * record holds the minimum id of its cluster. */
+  private[graft] def erRecords(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_custkey") < ErSlice)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        col("c_mktsegment").as("city"))
+      .withColumn("lat10", col("k") % 1800)
+      .withColumn("lon10", col("k") * 7 % 3600)
+    def delAt(nm: Column, pos: Column): Column =
+      concat(nm.substr(lit(1), (pos - 1).cast("int")),
+        nm.substr((pos + 1).cast("int"), length(nm)))
+    val base = c.select((col("k") * 10).as("rec_id"), col("nm").as("name"),
+      col("city"), col("lat10"), col("lon10"))
+    val twin = c.filter(col("k") % 7 === 0)
+      .select((col("k") * 10 + 1).as("rec_id"),
+        delAt(col("nm"), col("k") % length(col("nm")) + 1).as("name"),
+        col("city"), col("lat10"), col("lon10"))
+    val twin2 = c.filter(col("k") % 21 === 0)
+      .select((col("k") * 10 + 2).as("rec_id"),
+        delAt(col("nm"), col("k") % (length(col("nm")) - 2) + 3).as("name"),
+        col("city"), col("lat10"), col("lon10"))
+    val impostor = c.filter(col("k") % 11 === 0)
+      .select((col("k") * 10 + 3).as("rec_id"), col("nm").as("name"),
+        concat(col("city"), lit("-X")).as("city"),
+        (col("lat10") + 1).as("lat10"), col("lon10"))
+    base.unionByName(twin).unionByName(twin2).unionByName(impostor)
+  }
+
+  /** Core of [[erResolve]], parameterized for the brute-force spec. */
+  private[graft] def erResolveOn(recs0: DataFrame): DataFrame = {
+    val recs = recs0.localCheckpoint(true) // blocking passes + scoring + survivorship read it
+    // pass 1: FastSS deletion keys on the name (complete for edit ≤ 1)
+    val vars = recs.select(col("rec_id"), explode(concat(
+        array(col("name")),
+        expr("""transform(sequence(1, length(name)),
+          |  i -> concat(substring(name, 1, i - 1),
+          |              substring(name, i + 1, length(name))))""".stripMargin)))
+        .as("v"))
+    val cand1 = vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("a_id"), col("b.rec_id").as("b_id"))
+    // pass 2: geocode-cell block
+    val cand2 = recs.as("a").join(recs.as("b"),
+        col("a.lat10") === col("b.lat10") &&
+          col("a.lon10") === col("b.lon10") &&
+          col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("a_id"), col("b.rec_id").as("b_id"))
+    val cand = cand1.unionByName(cand2).distinct()
+    // score candidates: fixed-point multi-field agreement, threshold
+    val a = recs.select(col("rec_id").as("a_id"), col("name").as("na"),
+      col("city").as("ca"), col("lat10").as("xa"), col("lon10").as("ya"))
+    val b = recs.select(col("rec_id").as("b_id"), col("name").as("nb"),
+      col("city").as("cb"), col("lat10").as("xb"), col("lon10").as("yb"))
+    val matched = cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("score",
+        when(levenshtein(col("na"), col("nb")) <= 1, lit(ErWName))
+          .otherwise(lit(ErWNameMiss)) +
+        when(col("ca") === col("cb"), lit(ErWCity))
+          .otherwise(lit(ErWCityMiss)) +
+        when(col("xa") === col("xb") && col("ya") === col("yb"),
+          lit(ErWGeo)).otherwise(lit(ErWGeoMiss)))
+      .filter(col("score") >= ErThreshold)
+      .select(col("a_id"), col("b_id"))
+    // cluster + survive: label = min rec_id = the base record
+    val comp = connectedComponents(matched)
+      .select(col("doc_id").as("rec_id"), col("cluster_id"))
+    comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(recs.select(col("rec_id").as("cluster_id"),
+        col("name").as("canonical_name")), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("canonical_name"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_resolve" -> erResolve,
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
     "corpus_diff" -> corpusDiff,
@@ -1491,6 +1628,65 @@ object DedupOps {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    // full replay of the ER composition: record synthesis from
+    // customer, both blocking passes, fixed-point scoring, the shared
+    // recursive-CTE min-label clustering, and survivorship
+    "er_resolve" ->
+      s"""WITH RECURSIVE c0 AS MATERIALIZED (
+         |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS city,
+         |    c_custkey % 1800 AS lat10, c_custkey * 7 % 3600 AS lon10
+         |  FROM customer WHERE c_custkey < $ErSlice),
+         |recs AS MATERIALIZED (
+         |  SELECT k * 10 AS rec_id, nm AS name, city, lat10, lon10 FROM c0
+         |  UNION ALL
+         |  SELECT k * 10 + 1,
+         |    substr(nm, 1, CAST(k % length(nm) + 1 AS INT) - 1) ||
+         |      substr(nm, CAST(k % length(nm) + 1 AS INT) + 1, length(nm)),
+         |    city, lat10, lon10 FROM c0 WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT k * 10 + 2,
+         |    substr(nm, 1, CAST(k % (length(nm) - 2) + 3 AS INT) - 1) ||
+         |      substr(nm, CAST(k % (length(nm) - 2) + 3 AS INT) + 1, length(nm)),
+         |    city, lat10, lon10 FROM c0 WHERE k % 21 = 0
+         |  UNION ALL
+         |  SELECT k * 10 + 3, nm, city || '-X', lat10 + 1, lon10
+         |  FROM c0 WHERE k % 11 = 0),
+         |vars AS MATERIALIZED (
+         |  SELECT rec_id, unnest([name] ||
+         |    [substr(name, 1, i - 1) || substr(name, i + 1, length(name))
+         |     for i in range(1, length(name) + 1)]) AS v
+         |  FROM recs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a.rec_id AS a_id, b.rec_id AS b_id
+         |    FROM vars a JOIN vars b ON a.v = b.v AND a.rec_id < b.rec_id
+         |    UNION
+         |    SELECT a.rec_id, b.rec_id
+         |    FROM recs a JOIN recs b ON a.lat10 = b.lat10
+         |      AND a.lon10 = b.lon10 AND a.rec_id < b.rec_id) u),
+         |pairs AS MATERIALIZED (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN recs a ON a.rec_id = c.a_id
+         |    JOIN recs b ON b.rec_id = c.b_id
+         |  WHERE (CASE WHEN levenshtein(a.name, b.name) <= 1
+         |           THEN $ErWName ELSE $ErWNameMiss END)
+         |      + (CASE WHEN a.city = b.city
+         |           THEN $ErWCity ELSE $ErWCityMiss END)
+         |      + (CASE WHEN a.lat10 = b.lat10 AND a.lon10 = b.lon10
+         |           THEN $ErWGeo ELSE $ErWGeoMiss END) >= $ErThreshold),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS rec_id, min(label) AS cluster_id
+         |         FROM walk GROUP BY id)
+         |SELECT comp.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  r.name AS canonical_name
+         |FROM comp JOIN recs r ON r.rec_id = comp.cluster_id
+         |GROUP BY comp.cluster_id, r.name
+         |ORDER BY cluster_id""".stripMargin,
     // the identical pipeline — same shingle grammar, same df cutoff
     // (part of the graded semantics), same integer threshold test
     "dedup_containment" ->

@@ -1591,6 +1591,70 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === SparkEntry.declaredQueryCount)
   }
 
+  test("er_resolve equals brute-force all-pairs linkage on the slice") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    case class R(id: Long, name: String, city: String, x: Long, y: Long)
+    val recs = ops.DedupOps.erRecords(spark, d).collect()
+      .map(r => R(r.getAs[Long]("rec_id"), r.getAs[String]("name"),
+        r.getAs[String]("city"), r.getAs[Long]("lat10"),
+        r.getAs[Long]("lon10")))
+      .sortBy(_.id)
+    assert(recs.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    // brute force: score EVERY pair (no blocking) — the engine's
+    // blocked pipeline must reproduce exactly this match set, proving
+    // the two blocking passes lose nothing the scorer would accept
+    val matched = for {
+      i <- recs.indices; j <- (i + 1) until recs.length
+      a = recs(i); b = recs(j)
+      score = (if (lev(a.name, b.name) <= 1) 2000000L else -1000000L) +
+        (if (a.city == b.city) 1000000L else -500000L) +
+        (if (a.x == b.x && a.y == b.y) 1500000L else -500000L)
+      if score >= 3000000L
+    } yield (a.id, b.id)
+    assert(matched.nonEmpty, "fixture produced no true matches")
+    // union-find the brute-force pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    matched.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val expect = matched.flatMap { case (x, y) => Seq(x, y) }.distinct
+      .groupBy(find).map { case (root, members) =>
+        (root, members.size.toLong,
+          recs.find(_.id == root).get.name)
+      }.toSeq.sortBy(_._1)
+    val got = ops.DedupOps.erResolve(spark, d).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[String]("canonical_name"))).toSeq
+    assert(got === expect)
+    // the impostor records (same name, different city+geo) never join
+    val impostors = recs.filter(_.id % 10 == 3).map(_.id).toSet
+    val matchedNodes = matched.flatMap { case (x, y) => Seq(x, y) }.toSet
+    assert(impostors.nonEmpty)
+    assert(impostors.intersect(matchedNodes).isEmpty)
+    // at least one 3-member transitive cluster exists (base + both
+    // twins, where the twins match only through the base)
+    assert(got.exists(_._2 >= 3), "no transitive cluster in fixture")
+  }
+
   test("unigram trainer: deterministic, shrinking vocab, optimal Viterbi") {
     val d = "/root/testdata/sf0.001"
     val (rows1, sizes) = ops.TextOps.unigramTrajectory(spark, d)
