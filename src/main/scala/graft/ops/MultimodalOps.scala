@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star spec): media as opaque
@@ -219,7 +220,66 @@ object MultimodalOps {
         col("m").getField("zero_crossings").as("zero_crossings"))
       .orderBy(col("media_id"))
 
+  private val XmQueries = 4L // bounded image-query side
+  private val XmTopK = 10 // results per query
+
+  /** CROSS-MODAL retrieval (VERDICT r9 #5): image queries retrieve
+    * TEXT-EMBEDDING results through a deterministic shared space —
+    * the multimodal silos (image dHash, `embeddings`) joined into one
+    * QUERYABLE surface. The bridge is a sign projection: the 64-bit
+    * dHash (REAL ImageIO decode via [[graft.functions.ImageDHash]] —
+    * the same expression `mm_phash_families` grades) maps bit i to
+    * ±1 on embedding dimension i, and the cross-modal score is the
+    * exact-integer dot product Σ ±q_i with q_i = round(e_i·10⁶) (the
+    * [[SimilarityOps]] quantization lattice — no floats anywhere, the
+    * hash gate compares exact longs). A production pipeline would put
+    * a LEARNED projection here (CLIP-style); the plumbing — bounded
+    * query side broadcast against the full embedding corpus, per-query
+    * top-k — is identical, and the deterministic projection is what
+    * makes the result oracle-checkable.
+    *
+    * Plan shape (the serving shape): the 4-row query side joins on a
+    * constant key — equi-join ⇒ BroadcastHashJoin (the `corpus_mix`
+    * discipline; never a nested-loop cross join) — the corpus scan
+    * stays narrow, per-query top-k is a window rank over the bounded
+    * (queries × corpus) score set partitioned by query, and the final
+    * ordered limit is a TakeOrdered, not a global sort. At 100 TB the
+    * same plan serves micro-batches of queries against a partitioned
+    * embedding table. */
+  def crossmodalTopk(s: SparkSession, d: String): DataFrame = {
+    val queries = pngTable(s, d)
+      .filter(col("media_id") < XmQueries)
+      .select(col("media_id"), imageDHash(col("blob")).as("dhash"))
+      .withColumn("__k", lit(1))
+    // 2^20, NOT 10^6: a float times 2^20 is EXACT in double (pure
+    // mantissa shift), so both engines round the identical value and
+    // the exact-long scores cannot diverge by 1 ULP the way a
+    // decimal-scale quantization can (sf0.001 exposed exactly that)
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * 1048576L).cast("long"))
+    val score = aggregate(
+      zip_with(
+        transform(sequence(lit(0), lit(63)), i =>
+          when(call_function("shiftright", col("dhash"), i)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        qv, (sgn, q) => sgn * q),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("media_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(queries), Seq("__k"))
+      .select(col("media_id"), col("vec_id"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= XmTopK)
+      .select(col("media_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("media_id"), col("rank"))
+      .limit((XmQueries * XmTopK).toInt)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crossmodal_topk" -> crossmodalTopk,
     "mm_audio_features" -> audioFeatures,
     "mm_blob_stats" -> blobStats,
     "mm_chunk_dedup" -> chunkDedup,
@@ -248,6 +308,49 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((sv >= 0) <> (pv >= 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+    // the query-side dHashes re-derived bit-by-bit from the pixel
+    // generator (the mm_phash_families formula, query slice only),
+    // then the sign-projected exact-integer dot against every
+    // embedding and the same per-query top-k
+    "mm_crossmodal_topk" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+         |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
+         |  FROM documents WHERE doc_id < $XmQueries),
+         |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
+         |xs AS (SELECT media_id, w, nb, y,
+         |    unnest(range(0, w - 1)) AS x FROM ys),
+         |lums AS (SELECT media_id, w, y, x,
+         |    CASE WHEN nb = 1
+         |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
+         |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
+         |         + (media_id * 17 + 7 * x + 13 * y) % 256
+         |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
+         |    CASE WHEN nb = 1
+         |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+         |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+         |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
+         |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
+         |  FROM xs),
+         |q AS (SELECT media_id,
+         |    CAST(SUM(CASE WHEN l1 > l0
+         |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
+         |      ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM lums GROUP BY media_id),
+         |s AS (SELECT q.media_id, e.vec_id,
+         |    list_sum([CASE WHEN (q.dhash >> (i - 1)) & 1 = 1
+         |        THEN CAST(round(e.embedding[i] * 1048576) AS BIGINT)
+         |        ELSE -CAST(round(e.embedding[i] * 1048576) AS BIGINT) END
+         |      for i in range(1, len(e.embedding) + 1)]) AS score
+         |  FROM embeddings e, q),
+         |r AS (SELECT media_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY media_id
+         |      ORDER BY score DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT media_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rnk <= $XmTopK
+         |ORDER BY media_id, rank""".stripMargin,
     // every BIT re-derived from the pixel generator: band-sum
     // luminance l = Σ_c (id·w_c + 7x + 13y) mod 256 (gray = band 0
     // only), bit k = y·(w−1)+x set iff l(x+1) > l(x)

@@ -57,7 +57,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // scalar join: the 1-row triangle-count aggregate broadcast
     // against the 1-row degree-stats aggregate — two single-row
     // builds, a map-side constant composition (corpus_mix rationale)
-    "graph_triangles"
+    "graph_triangles",
+    // bounded query side: exactly XmQueries = 4 image rows (unique
+    // media_id < 4) broadcast against the embedding scan — the
+    // sim_cosine_topk serving shape across modalities; the constant
+    // join key folds to true, so Catalyst plans the broadcast as a
+    // nested-loop build, which at 4 rows is a map-side constant
+    "mm_crossmodal_topk"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
@@ -699,6 +705,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getBoolean(1) === bf.mightContainString(r.getString(0)))
     }
+  }
+
+  test("crossmodal top-k plan: broadcast query side + TakeOrdered tail") {
+    // VERDICT r9 #5 done-criteria: the bounded image-query side must
+    // ride a BroadcastExchange (never shuffle the corpus for 4 query
+    // rows) and the ordered limit must be a TakeOrdered, not a global
+    // sort; the per-query top-k must run as a group-limit under the
+    // window, not a full per-partition sort of all scores
+    val df = ops.MultimodalOps.crossmodalTopk(spark, sf)
+    df.count() // AQE-final
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"),
+      "query side must broadcast")
+    assert(phys.contains("TakeOrderedAndProject"),
+      "final ordered limit must be TakeOrdered")
+    assert(phys.contains("WindowGroupLimit"),
+      "per-query top-k must push as a window group limit")
+    assert(!phys.contains("CartesianProduct"))
   }
 
   test("ivf assignment plan has no Exchange before the first aggregate") {
