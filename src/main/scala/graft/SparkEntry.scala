@@ -64,8 +64,13 @@ object SparkEntry {
     "stream_topk_rollup" -> (streaming.StatefulOps.topkRollup _),
     "stream_late_drop" -> (streaming.StreamingSessions.lateDrop _),
     "stream_sliding_window" -> (streaming.StreamingSessions.slidingCounts _),
+    "stream_sim_topk" -> (streaming.StreamingSearch.simTopk _),
   )
   private lazy val streamingOracles: Map[String, String] = Map(
+    // identical statement to the batch IVF read: micro-batch queries
+    // served from the stored index must reproduce the batch answer
+    // exactly (stateless serving — arrival batching cannot matter)
+    "stream_sim_topk" -> ops.SimilarityOps.oracles("sim_ivf_quantized"),
     // identical statement to the batch CDC forms: streamed per-key
     // state + static base must reproduce the batch MERGE exactly
     "stream_cdc_upsert" -> ops.CdcOps.mergeOracle,

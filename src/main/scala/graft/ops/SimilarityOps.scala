@@ -556,30 +556,58 @@ object SimilarityOps {
     * query (vec_id < 10) probes its 2 nearest clusters, carrying its
     * int8-quantized vector. */
   private def quantizedProbes(e: DataFrame, scores: Column): DataFrame =
-    e.filter(col("vec_id") < 10)
+    probesFor(e.filter(col("vec_id") < 10), scores)
+
+  /** Probe selection over ANY query frame carrying (vec_id,
+    * embedding) — shared with the streaming serving twin
+    * ([[graft.streaming.StreamingSearch]]): the centroid-score
+    * expression is a pure literal tree, so it applies to a streamed
+    * micro-batch exactly as to a batch scan (the bandBuckets
+    * one-definition discipline). */
+  private[graft] def probesFor(queries: DataFrame,
+      scores: Column): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(slice(scores, 1, 2)).as("pc"))
       .select(col("query_id"), quantize(col("qe")).as("qq"),
         col("pc.cid").as("centroid_id"))
 
-  /** Shared probe→score→rank tail of [[ivfQuantized]] and
-    * [[ivfPrunedLayout]]: join candidates to the broadcast probe set
-    * on cluster id, score with the fused integer cosine, keep each
-    * query's top-3. The twins share one oracle row-for-row, so any
-    * ranking/tie-break change MUST flow through here to reach both. */
-  private def quantizedProbeRank(candidates: DataFrame,
-      probes: DataFrame): DataFrame = {
+  /** The probe-selection score expression for `d`'s corpus snapshot,
+    * exposed for the streaming twin. */
+  private[graft] def servingCentroidScores(s: SparkSession,
+      d: String): Column = fixedCentroidScores(s, d)
+
+  /** Candidate scoring shared by the batch tails and the streaming
+    * twin: drop self-matches, score with the fused integer cosine.
+    * Takes the already-joined (candidates ⋈ probes) frame so batch
+    * (broadcast the bounded probe side) and stream (the probe side IS
+    * the micro-batch) can orient the join for their execution model
+    * while sharing the scoring semantics. */
+  private[graft] def servingScore(joined: DataFrame): DataFrame =
+    joined.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", qcosine(col("qq"), col("vq")))
+
+  /** The rank tail shared by [[ivfQuantized]], [[ivfPrunedLayout]],
+    * and the streaming twin's post-sink grade: per-query top-3 under
+    * (qcos desc, vec_id). Any ranking/tie-break change MUST flow
+    * through here to reach all three. */
+  private[graft] def servingRank(scored: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("vec_id"))
-    candidates.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("qcos", qcosine(col("qq"), col("vq")))
+    scored
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("qcos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Shared probe→score→rank tail of [[ivfQuantized]] and
+    * [[ivfPrunedLayout]]. */
+  private def quantizedProbeRank(candidates: DataFrame,
+      probes: DataFrame): DataFrame =
+    servingRank(servingScore(
+      candidates.join(broadcast(probes), Seq("centroid_id"))))
 
   /** [[ivfQuantized]] served from a PARTITIONED layout — the query
     * that makes "probe = pruned I/O" executable instead of prose
@@ -594,19 +622,30 @@ object SimilarityOps {
     * a single row is deserialized. Plan-asserted in
     * PlanInvariantsSpec (non-empty PartitionFilters on the layout
     * scan); same rows as [[ivfQuantized]], same oracle. */
+  /** The artifact-served IVF layout (assigned + int8-quantized,
+    * hive-partitioned by cluster) — the stored index both the batch
+    * pruned read and the streaming serving twin probe. ONE builder,
+    * one content address: the online path serves the same bytes the
+    * offline path built. */
+  private[graft] def servingLayout(s: SparkSession, d: String): DataFrame = {
+    val scores = fixedCentroidScores(s, d)
+    graft.ArtifactStore.parquet(s, "ivf_layout",
+        s"$d/embeddings.parquet", version = 1,
+        partitionColumns = Seq("centroid_id")) {
+      Tables.embeddings(s, d)
+        .withColumn("centroid_id",
+          element_at(scores, 1).getField("cid").cast("int"))
+        .select(col("vec_id"), quantize(col("embedding")).as("vq"),
+          col("centroid_id"))
+    }
+  }
+
   def ivfPrunedLayout(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val scores = fixedCentroidScores(s, d)
     // layout artifact: assignment is the same map-side argmax, storage
     // is int8-quantized, the partition column is the cluster id
-    val layout = graft.ArtifactStore.parquet(s, "ivf_layout",
-        s"$d/embeddings.parquet", version = 1,
-        partitionColumns = Seq("centroid_id")) {
-      e.withColumn("centroid_id",
-          element_at(scores, 1).getField("cid").cast("int"))
-        .select(col("vec_id"), quantize(col("embedding")).as("vq"),
-          col("centroid_id"))
-    }
+    val layout = servingLayout(s, d)
     // probe selection on the tiny query side (same 2-probe rule);
     // centroid_id cast to int to match the partition column type
     val probes = quantizedProbes(e, scores)
