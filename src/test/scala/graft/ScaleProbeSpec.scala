@@ -53,8 +53,11 @@ class ScaleProbeSpec extends AnyFunSuite {
     "cdc_read_mor", "events_resample_ohlc", "profile_table",
     "agg_hll_union", "stream_cdc_upsert",
     // round-10: the r9 driver-tail members not already covered —
-    // full-corpus Manku block bucketing and the DPP build+probe
-    "dedup_simhash", "scan_dpp_prune")
+    // full-corpus Manku block bucketing and the DPP build+probe —
+    // plus the corpus-linear r10 newcomer (bounded query side × full
+    // embedding scan; the bounded-slice newcomers er_resolve and the
+    // unigram trainer are flat by construction and not probed)
+    "dedup_simhash", "scan_dpp_prune", "mm_crossmodal_topk")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
