@@ -116,6 +116,9 @@ def main(sf_dir, out_dir):
             results[name] = cmp_frames(spark_df, duck_df)
         except Exception as e:
             results[name] = (False, f"compare crashed: {e}")
+        if os.environ.get("VERIFY_PROGRESS"):
+            ok, msg = results[name]
+            print(f"{'PASS' if ok else 'FAIL'}  {name}  {msg}", flush=True)
     npass = sum(1 for ok, _ in results.values() if ok)
     for name in sorted(results):
         ok, msg = results[name]

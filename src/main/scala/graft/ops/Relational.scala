@@ -790,7 +790,66 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT — the ingest-time FK check every
+    * lake runs before publishing a snapshot: one row per foreign-key
+    * edge of the star schema with the child cardinality and the
+    * orphan count (child keys with no parent). The fixtures are
+    * FK-valid by construction, so every true edge reports zero
+    * orphans — which alone would grade vacuously. Two controls make
+    * the audit falsifiable: a per-edge DISTINCT child-key count
+    * (corpus-dependent nonzero — a join that drops or duplicates
+    * rows corrupts it), and a segment-restricted CONFORMANCE arm
+    * (`orders → customer[AUTOMOBILE]`) whose orphan count is large
+    * and nonzero — the same LEFT JOIN + null-count machinery graded
+    * against values a broken orphan counter cannot fake.
+    *
+    * Shape per edge: child scan → LEFT JOIN the broadcast DISTINCT
+    * parent key set → one partial-agg count; the fact→fact edge
+    * (lineitem → orders) shuffles on the key at 100 TB exactly like
+    * its join counterpart, dim edges stay broadcast. NULL child keys
+    * count as orphans in both engines (no match under either join).
+    * The 7 single-row aggregates union into the report. */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val p = parent.select(col(pkey).as("__pk")).distinct()
+      child.select(col(key).as("__ck"))
+        .join(broadcast(p), col("__ck") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          countDistinct(col("__ck")).as("n_distinct"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_distinct"),
+          col("n_orphans"))
+    }
+    Seq(
+      edge("customer.c_nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      edge("events.user_id->customer", Tables.events(s, d),
+        "user_id", Tables.customer(s, d), "c_custkey"),
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem.l_partkey->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"),
+      edge("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"),
+      // conformance arm (non-vacuity control): restrict the parent
+      // domain to one segment; the "orphans" are orders from outside
+      // it — large and nonzero, so the orphan counter is graded
+      // against real values
+      edge("orders.o_custkey->customer[AUTOMOBILE]",
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE"),
+        "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_fk_audit" -> fkAudit,
     "window_gaps_islands" -> gapsIslands,
     "join_relational_division" -> relationalDivision,
     "join_range_bands" -> priceBands,
@@ -823,7 +882,39 @@ object Relational {
     "sample_stratified" -> stratifiedSample,
   )
 
+  /** One UNION ALL arm per FK edge, identical LEFT JOIN + orphan
+    * count semantics (NULL child keys orphan under both engines). */
+  private def fkEdgeSql(name: String, child: String, key: String,
+      parent: String, pkey: String): String =
+    s"""SELECT '$name' AS edge, COUNT(*) AS n_child,
+       |  COUNT(DISTINCT c.$key) AS n_distinct,
+       |  CAST(SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_orphans
+       |FROM $child c LEFT JOIN
+       |  (SELECT DISTINCT $pkey AS __pk FROM $parent) p
+       |  ON c.$key = p.__pk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "quality_fk_audit" -> (Seq(
+      fkEdgeSql("customer.c_nationkey->nation", "customer",
+        "c_nationkey", "nation", "n_nationkey"),
+      fkEdgeSql("events.user_id->customer", "events",
+        "user_id", "customer", "c_custkey"),
+      fkEdgeSql("lineitem.l_orderkey->orders", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"),
+      fkEdgeSql("lineitem.l_partkey->part", "lineitem",
+        "l_partkey", "part", "p_partkey"),
+      fkEdgeSql("lineitem.l_suppkey->supplier", "lineitem",
+        "l_suppkey", "supplier", "s_suppkey"),
+      fkEdgeSql("nation.n_regionkey->region", "nation",
+        "n_regionkey", "region", "r_regionkey"),
+      fkEdgeSql("orders.o_custkey->customer", "orders",
+        "o_custkey", "customer", "c_custkey"),
+      fkEdgeSql("orders.o_custkey->customer[AUTOMOBILE]", "orders",
+        "o_custkey",
+        "(SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE')",
+        "c_custkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY edge"),
     // same day - row_number anchor; DuckDB date_diff('day', ...)
     // equals Spark datediff on the same DATE values
     "window_gaps_islands" ->
