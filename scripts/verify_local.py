@@ -92,6 +92,13 @@ def main(sf_dir, out_dir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # VERIFY_SKIP=name1,name2 downgrades those queries to the
+    # rows-only check — used for the sf1 sweep, where the handful of
+    # full-signature-replay oracles (HUGEINT minhash/simhash/winnow
+    # pipelines) are DuckDB-cost-prohibitive at 10x data; they remain
+    # hash-verified at sf0.001/0.01/0.1
+    skip = set(os.environ.get("VERIFY_SKIP", "").split(","))
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
     results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
