@@ -61,7 +61,13 @@ object AudioCodec {
     * to `fmt ` (requiring PCM / mono / 16-bit) and `data`, then scan
     * the s16le samples once. Returns null on unparseable bytes (the
     * permissive-scan convention, like [[ImageCodec.decode]]). */
-  def decode(blob: Array[Byte]): Meta = {
+  /** Shared RIFF/WAVE header walk: validate magics, require
+    * PCM/mono/16-bit `fmt `, locate `data`; returns the buffer
+    * positioned at the sample section plus the sample count, or null
+    * on unparseable bytes. ONE parser for every audio expression
+    * ([[decode]], [[fingerprintBoxed]]) — the bandBuckets
+    * one-definition discipline at the byte level. */
+  private def dataSection(blob: Array[Byte]): (java.nio.ByteBuffer, Int) = {
     if (blob == null || blob.length < 44) return null
     val bb = java.nio.ByteBuffer.wrap(blob)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -93,8 +99,16 @@ object AudioCodec {
         } else bb.position(bb.position() + len)
       }
       if (!fmtOk || dataOff < 0) return null
-      val n = dataLen / 2
       bb.position(dataOff)
+      (bb, dataLen / 2)
+    } catch { case _: RuntimeException => null }
+  }
+
+  def decode(blob: Array[Byte]): Meta = {
+    val sec = dataSection(blob)
+    if (sec == null) return null
+    val (bb, n) = sec
+    try {
       var energy = 0L; var peak = 0; var zc = 0L
       var prevNonNeg = false
       var i = 0
@@ -109,6 +123,41 @@ object AudioCodec {
         i += 1
       }
       Meta(n, energy, peak, zc)
+    } catch { case _: RuntimeException => null }
+  }
+
+  /** Frame size for [[fingerprintBoxed]]: clips are k·256 samples, so
+    * every 64-sample frame is full by construction. */
+  val FingerprintFrame = 64
+
+  /** Acoustic fingerprint — the dHash idea in the time domain: frame
+    * the REAL parsed PCM into [[FingerprintFrame]]-sample frames,
+    * compute exact integer per-frame energies (Σ s²), set bit f iff
+    * energy(f+1) > energy(f). Trailing partial frames are ignored
+    * (none exist for the generated clips). Null for unparseable
+    * bytes; clips shorter than two full frames fingerprint to 0L. */
+  def fingerprintBoxed(blob: Array[Byte]): java.lang.Long = {
+    val sec = dataSection(blob)
+    if (sec == null) return null
+    val (bb, n) = sec
+    try {
+      val nf = n / FingerprintFrame
+      var fp = 0L
+      var prev = 0L
+      var f = 0
+      while (f < nf) {
+        var e = 0L
+        var j = 0
+        while (j < FingerprintFrame) {
+          val s = bb.getShort.toInt
+          e += s.toLong * s
+          j += 1
+        }
+        if (f > 0 && e > prev) fp |= 1L << (f - 1)
+        prev = e
+        f += 1
+      }
+      java.lang.Long.valueOf(fp)
     } catch { case _: RuntimeException => null }
   }
 
@@ -154,4 +203,35 @@ object AudioMeta {
     StructField("energy", LongType, nullable = false),
     StructField("peak", IntegerType, nullable = false),
     StructField("zero_crossings", LongType, nullable = false)))
+}
+
+/** `graft_audio_fingerprint(blob)` → long: frame-energy acoustic
+  * fingerprint over the real parsed PCM ([[AudioCodec.fingerprintBoxed]]
+  * — the [[graft.functions.ImageDHash]] idea in the time domain);
+  * null for unparseable bytes. Codegen'd. */
+case class AudioFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_audio_fingerprint"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(b: Any): Any = {
+    val v = AudioCodec.fingerprintBoxed(b.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      java.lang.Long ${ev.value}$$box = graft.functions.AudioCodec.fingerprintBoxed($b);
+      ${ev.isNull} = ${ev.value}$$box == null;
+      if (!${ev.isNull}) ${ev.value} = ${ev.value}$$box.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

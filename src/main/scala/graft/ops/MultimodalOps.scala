@@ -220,6 +220,31 @@ object MultimodalOps {
         col("m").getField("zero_crossings").as("zero_crossings"))
       .orderBy(col("media_id"))
 
+  /** Real container parse as a Column: [[graft.functions.AudioFingerprint]]. */
+  private def audioFingerprint(blob: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.AudioFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** Acoustic-fingerprint families over the WAV corpus — the audio
+    * member of the perceptual-hash family ([[phashFamilies]] is the
+    * image member): REAL RIFF/WAVE parse → 64-sample frame energies
+    * (exact integer Σs²) → one bit per adjacent-frame energy rise
+    * ([[graft.functions.AudioCodec.fingerprintBoxed]]) → group
+    * identical fingerprints — the clip near-dup primitive an audio
+    * lake runs before pairwise comparison. The DuckDB oracle
+    * re-derives every BIT from the sample generator formula, so a
+    * header-walk, framing, or bit-packing divergence fails the hash
+    * gate. Narrow map + one partial-agg shuffle on the 64-bit hash —
+    * corpus-linear. */
+  def audioFingerprintFamilies(s: SparkSession, d: String): DataFrame =
+    wavTable(s, d)
+      .withColumn("afp", audioFingerprint(col("blob")))
+      .groupBy(col("afp"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("min_media_id"))
+      .orderBy(col("afp"))
+
   private val XmQueries = 4L // bounded image-query side
   private val XmTopK = 10 // results per query
 
@@ -280,6 +305,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_crossmodal_topk" -> crossmodalTopk,
+    "mm_audio_fingerprint" -> audioFingerprintFamilies,
     "mm_audio_features" -> audioFeatures,
     "mm_blob_stats" -> blobStats,
     "mm_chunk_dedup" -> chunkDedup,
@@ -308,6 +334,28 @@ object MultimodalOps {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((sv >= 0) <> (pv >= 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+    // every BIT re-derived from the sample generator: 64-sample frame
+    // energies Σ sv² with sv = ((id·31 + i·7919) mod 65536) − 32768,
+    // bit f−1 set iff e(f) > e(f−1)
+    "mm_audio_fingerprint" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (doc_id % 5 + 2) * 256 AS n FROM documents),
+        |fr AS (SELECT media_id, unnest(range(0, n // 64)) AS f FROM m),
+        |sm AS (SELECT media_id, f, unnest(range(0, 64)) AS j FROM fr),
+        |e AS (SELECT media_id, f,
+        |    CAST(SUM(sv * sv) AS BIGINT) AS e FROM (
+        |    SELECT media_id, f,
+        |      ((media_id * 31 + (f * 64 + j) * 7919) % 65536) - 32768 AS sv
+        |    FROM sm) t GROUP BY media_id, f),
+        |b AS (SELECT media_id, f, e,
+        |    lag(e) OVER (PARTITION BY media_id ORDER BY f) AS pe FROM e),
+        |fp AS (SELECT media_id,
+        |    CAST(SUM(CASE WHEN pe IS NOT NULL AND e > pe
+        |      THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS afp
+        |  FROM b GROUP BY media_id)
+        |SELECT afp, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
+        |FROM fp GROUP BY afp ORDER BY afp""".stripMargin,
     // the query-side dHashes re-derived bit-by-bit from the pixel
     // generator (the mm_phash_families formula, query slice only),
     // then the sign-projected exact-integer dot against every

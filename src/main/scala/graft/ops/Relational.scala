@@ -848,7 +848,44 @@ object Relational {
       .orderBy(col("edge"))
   }
 
+  /** PRIMARY-KEY UNIQUENESS AUDIT — [[fkAudit]]'s companion and the
+    * other half of the pre-publish constraint check: one row per
+    * declared key with the row count, distinct-key count, and
+    * duplicate surplus. Every declared key in the fixtures IS unique
+    * (zero surplus), so the audit carries a labeled NON-VACUITY
+    * control: `lineitem.l_orderkey[as-PK]` treats a deliberately
+    * non-unique column as a key and must report its large surplus —
+    * the counter is graded against values it cannot fake. One
+    * partial-agg scan per table (countDistinct rides the same
+    * aggregate); composite keys count distinct over the column
+    * tuple. */
+  def pkAudit(s: SparkSession, d: String): DataFrame = {
+    def arm(name: String, t: DataFrame, keys: Seq[String]): DataFrame =
+      t.agg(count(lit(1)).as("n_rows"),
+          countDistinct(keys.head, keys.tail: _*).as("n_distinct"))
+        .select(lit(name).as("pk"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dups"))
+    Seq(
+      arm("customer.c_custkey", Tables.customer(s, d), Seq("c_custkey")),
+      arm("documents.doc_id", Tables.documents(s, d), Seq("doc_id")),
+      arm("embeddings.vec_id", Tables.embeddings(s, d), Seq("vec_id")),
+      arm("events.event_id", Tables.events(s, d), Seq("event_id")),
+      arm("lineitem.(l_orderkey,l_linenumber)", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")),
+      // non-vacuity control: a key that is NOT unique, by design
+      arm("lineitem.l_orderkey[as-PK]", Tables.lineitem(s, d),
+        Seq("l_orderkey")),
+      arm("nation.n_nationkey", Tables.nation(s, d), Seq("n_nationkey")),
+      arm("orders.o_orderkey", Tables.orders(s, d), Seq("o_orderkey")),
+      arm("part.p_partkey", Tables.part(s, d), Seq("p_partkey")),
+      arm("region.r_regionkey", Tables.region(s, d), Seq("r_regionkey")),
+      arm("supplier.s_suppkey", Tables.supplier(s, d), Seq("s_suppkey")))
+      .reduce(_ unionByName _)
+      .orderBy(col("pk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_pk_audit" -> pkAudit,
     "quality_fk_audit" -> fkAudit,
     "window_gaps_islands" -> gapsIslands,
     "join_relational_division" -> relationalDivision,
@@ -894,7 +931,32 @@ object Relational {
        |  (SELECT DISTINCT $pkey AS __pk FROM $parent) p
        |  ON c.$key = p.__pk""".stripMargin
 
+  private def pkArmSql(name: String, table: String,
+      keys: Seq[String]): String = {
+    val tuple = if (keys.size == 1) keys.head
+      else keys.mkString("(", ", ", ")")
+    s"""SELECT '$name' AS pk, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT $tuple) AS n_distinct,
+       |  COUNT(*) - COUNT(DISTINCT $tuple) AS n_dups
+       |FROM $table""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "quality_pk_audit" -> (Seq(
+      pkArmSql("customer.c_custkey", "customer", Seq("c_custkey")),
+      pkArmSql("documents.doc_id", "documents", Seq("doc_id")),
+      pkArmSql("embeddings.vec_id", "embeddings", Seq("vec_id")),
+      pkArmSql("events.event_id", "events", Seq("event_id")),
+      pkArmSql("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+        Seq("l_orderkey", "l_linenumber")),
+      pkArmSql("lineitem.l_orderkey[as-PK]", "lineitem",
+        Seq("l_orderkey")),
+      pkArmSql("nation.n_nationkey", "nation", Seq("n_nationkey")),
+      pkArmSql("orders.o_orderkey", "orders", Seq("o_orderkey")),
+      pkArmSql("part.p_partkey", "part", Seq("p_partkey")),
+      pkArmSql("region.r_regionkey", "region", Seq("r_regionkey")),
+      pkArmSql("supplier.s_suppkey", "supplier", Seq("s_suppkey")))
+      .mkString("\nUNION ALL\n") + "\nORDER BY pk"),
     "quality_fk_audit" -> (Seq(
       fkEdgeSql("customer.c_nationkey->nation", "customer",
         "c_nationkey", "nation", "n_nationkey"),
