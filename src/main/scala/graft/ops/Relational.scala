@@ -884,7 +884,34 @@ object Relational {
       .orderBy(col("pk"))
   }
 
+  private val PivotPriorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Explicit PIVOT — the wide-matrix report every BI layer emits:
+    * revenue by market segment (rows) × order priority (columns).
+    * The pivot VALUE LIST is pinned ([[PivotPriorities]]): Spark's
+    * `pivot(col, values)` with explicit values skips the extra
+    * distinct-scan AND fixes the output schema — a values-less pivot
+    * derives columns from a collect at plan time, which at 100 TB is
+    * a full scan before planning even starts and a schema that
+    * changes under the consumer whenever a new value appears. One
+    * broadcast dim join + one partial-agg shuffle; absent cells
+    * surface as NULL (no order of that priority in that segment), the
+    * same NULL the oracle's FILTERed sums produce. Exact-decimal
+    * sums, one cast to double per cell. */
+  def pivotWide(s: SparkSession, d: String): DataFrame = {
+    val joined = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", PivotPriorities)
+      .agg(graft.ops.dsum(col("o_totalprice")))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot_wide" -> pivotWide,
     "quality_pk_audit" -> pkAudit,
     "quality_fk_audit" -> fkAudit,
     "window_gaps_islands" -> gapsIslands,
@@ -942,6 +969,19 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // conditional aggregation with the identical pinned value list;
+    // FILTER sums return NULL for empty cells like Spark's pivot
+    "agg_pivot_wide" -> {
+      val cells = PivotPriorities.map { p =>
+        s"""  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           |    FILTER (WHERE o_orderpriority = '$p') AS DOUBLE)
+           |    AS "$p"""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT c_mktsegment,
+         |$cells
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
     "quality_pk_audit" -> (Seq(
       pkArmSql("customer.c_custkey", "customer", Seq("c_custkey")),
       pkArmSql("documents.doc_id", "documents", Seq("doc_id")),
