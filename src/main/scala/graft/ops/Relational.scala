@@ -910,7 +910,32 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** NTILE quartiles — the bucketed-ranking window member the family
+    * still lacked (latest/topn/running/ratio cover the others): each
+    * segment's customers quartiled by account balance, then
+    * per-(segment, quartile) stats. ntile is POSITION-based, so the
+    * window's ORDER BY carries a full tie-break (acctbal, custkey) —
+    * without it two engines may split equal balances across quartile
+    * boundaries differently and the hash gate catches it. Window
+    * partitions on the segment (never global); one partial-agg
+    * shuffle after. Balances go through exact cents for the sums. */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(round(col("c_acctbal") * 100).cast("long")).cast("double") /
+          100.0).as("sum_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ntile_quartiles" -> ntileQuartiles,
     "agg_pivot_wide" -> pivotWide,
     "quality_pk_audit" -> pkAudit,
     "quality_fk_audit" -> fkAudit,
@@ -969,6 +994,19 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical fully-tie-broken window order, exact-cents sums
+    "window_ntile_quartiles" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+        |  CAST(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS sum_bal,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM q GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
     // conditional aggregation with the identical pinned value list;
     // FILTER sums return NULL for empty cells like Spark's pivot
     "agg_pivot_wide" -> {
