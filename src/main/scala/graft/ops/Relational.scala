@@ -803,18 +803,27 @@ object Relational {
     * and nonzero — the same LEFT JOIN + null-count machinery graded
     * against values a broken orphan counter cannot fake.
     *
-    * Shape per edge: child scan → LEFT JOIN the broadcast DISTINCT
-    * parent key set → one partial-agg count; the fact→fact edge
-    * (lineitem → orders) shuffles on the key at 100 TB exactly like
-    * its join counterpart, dim edges stay broadcast. NULL child keys
-    * count as orphans in both engines (no match under either join).
-    * The 7 single-row aggregates union into the report. */
+    * Shape per edge: child scan → LEFT JOIN the DISTINCT parent key
+    * set → one partial-agg count. Only FIXED-cardinality parents
+    * (nation: 25 rows, region: 5 — they do not grow with the corpus)
+    * carry a broadcast() hint; every corpus-scaling parent (orders,
+    * customer, part, supplier — distinct o_orderkey is fact-sized at
+    * 100 TB) carries NO hint, so the planner/AQE broadcasts them at
+    * small SF and shuffles them at scale. A forced broadcast of a
+    * billion-key parent is a driver OOM; the hint discipline here is
+    * the same round-3 rule SCALE.md records for customer joins, now
+    * enforced by PlanInvariantsSpec's attribute-name guard. NULL
+    * child keys count as orphans in both engines (no match under
+    * either join). The 8 single-row aggregates union into the
+    * report. */
   def fkAudit(s: SparkSession, d: String): DataFrame = {
     def edge(name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame = {
-      val p = parent.select(col(pkey).as("__pk")).distinct()
+        parent: DataFrame, pkey: String,
+        fixedSizeParent: Boolean = false): DataFrame = {
+      val keys = parent.select(col(pkey).as("__pk")).distinct()
+      val p = if (fixedSizeParent) broadcast(keys) else keys
       child.select(col(key).as("__ck"))
-        .join(broadcast(p), col("__ck") === col("__pk"), "left")
+        .join(p, col("__ck") === col("__pk"), "left")
         .agg(count(lit(1)).as("n_child"),
           countDistinct(col("__ck")).as("n_distinct"),
           sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
@@ -823,7 +832,8 @@ object Relational {
     }
     Seq(
       edge("customer.c_nationkey->nation", Tables.customer(s, d),
-        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey",
+        fixedSizeParent = true),
       edge("events.user_id->customer", Tables.events(s, d),
         "user_id", Tables.customer(s, d), "c_custkey"),
       edge("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
@@ -833,7 +843,8 @@ object Relational {
       edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
         "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
       edge("nation.n_regionkey->region", Tables.nation(s, d),
-        "n_regionkey", Tables.region(s, d), "r_regionkey"),
+        "n_regionkey", Tables.region(s, d), "r_regionkey",
+        fixedSizeParent = true),
       edge("orders.o_custkey->customer", Tables.orders(s, d),
         "o_custkey", Tables.customer(s, d), "c_custkey"),
       // conformance arm (non-vacuity control): restrict the parent
@@ -894,15 +905,18 @@ object Relational {
     * distinct-scan AND fixes the output schema — a values-less pivot
     * derives columns from a collect at plan time, which at 100 TB is
     * a full scan before planning even starts and a schema that
-    * changes under the consumer whenever a new value appears. One
-    * broadcast dim join + one partial-agg shuffle; absent cells
+    * changes under the consumer whenever a new value appears. The
+    * customer join carries NO broadcast hint — customer grows with
+    * the corpus (the round-3 SCALE.md rule), so the planner/AQE
+    * broadcasts it at small SF and shuffles on the key at 100 TB —
+    * then one partial-agg shuffle; absent cells
     * surface as NULL (no order of that priority in that segment), the
     * same NULL the oracle's FILTERed sums produce. Exact-decimal
     * sums, one cast to double per cell. */
   def pivotWide(s: SparkSession, d: String): DataFrame = {
     val joined = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
     joined.groupBy(col("c_mktsegment"))
       .pivot("o_orderpriority", PivotPriorities)

@@ -103,26 +103,117 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"partition-less windows in: ${offenders.mkString(", ")}")
   }
 
-  test("no forced broadcast of corpus-sized tables (customer et al.)") {
-    // A ResolvedHint/broadcast marker on customer/orders/lineitem scans
-    // would bypass the planner's size guard — only fixed-cardinality
-    // dims (nation 25, region 5) and driver-sized probe/query frames
-    // may carry hints. Checked on the analyzed plan, where hints are
-    // still visible as UnresolvedHint/ResolvedHint nodes.
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val offenders = planned.flatMap { case (n, df) =>
-      df.queryExecution.analyzed.collect {
-        case h: ResolvedHint if h.hints.strategy.exists(
-              _.toString.contains("broadcast")) =>
-          val leaves = h.child.collectLeaves().map(_.toString).mkString
-          Seq("customer", "orders\\b", "lineitem", "documents", "events")
-            .filter(t => t.r.findFirstIn(leaves).isDefined &&
-              !leaves.contains("vec_id")) // embeddings probe frames are fine
-            .map(t => s"$n: broadcast over $t")
-      }.flatten
+  /** Attribute names that only a corpus-scaling table's scan can
+    * produce. A parquet LogicalRelation prints COLUMN names only
+    * (`Relation [c_custkey#27L,...] parquet` — never the table name
+    * or path), so the r10 version of this guard, which matched table
+    * names against leaf strings, could never fire (VERDICT r10 #2).
+    * This version collects the hinted subtree's LEAF OUTPUT attribute
+    * names — they survive aliasing above the scan — and flags any
+    * broadcast hint whose subtree reads a corpus table. part/supplier
+    * key attrs are included: those tables scale with SF too. */
+  private val corpusAttrs = Set(
+    "c_custkey", "o_orderkey", "l_orderkey", "doc_id", "event_id",
+    "p_partkey", "s_suppkey")
+
+  /** Trace each output attribute of `plan` back to the LEAF column
+    * names it derives from, through Project/Aggregate/Window aliases.
+    * A broadcast frame is corpus-sized iff its output derives from a
+    * corpus KEY column: a raw scan or a `distinct(key)` set does (the
+    * r10 fkAudit bug broadcast `orders.select(o_orderkey as __pk)
+    * .distinct()` — fact-sized), while a per-source/per-type stats
+    * aggregate outputs only bounded group columns and measures.
+    * Aliasing cannot hide the key: lineage follows exprIds, not
+    * names. */
+  private def outputLeafLineage(plan: LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{ExprId, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Project, Window => LWin}
+    def lineage(p: LogicalPlan): Map[ExprId, Set[String]] = {
+      val childMap =
+        p.children.map(lineage).foldLeft(Map.empty[ExprId, Set[String]])(_ ++ _)
+      def refs(e: Expression): Set[String] =
+        e.references.toSeq
+          .flatMap(a => childMap.getOrElse(a.exprId, Set(a.name))).toSet
+      val own: Map[ExprId, Set[String]] = p match {
+        case l if l.children.isEmpty =>
+          l.output.map(a => a.exprId -> Set(a.name)).toMap
+        case pr: Project =>
+          pr.projectList.map(ne => ne.exprId -> refs(ne)).toMap
+        case ag: Aggregate =>
+          ag.aggregateExpressions.map(ne => ne.exprId -> refs(ne)).toMap
+        case w: LWin =>
+          w.windowExpressions.map(ne => ne.exprId -> refs(ne)).toMap
+        case _ => Map.empty
+      }
+      childMap ++ own
     }
+    val m = lineage(plan)
+    plan.output.flatMap(a => m.getOrElse(a.exprId, Set(a.name))).toSet
+  }
+
+  private def corpusBroadcastHints(
+      plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    plan.collect {
+      // PrefixSum exemption: the two-phase prefix sum broadcasts its
+      // bucket-offset table (one row per 64Ki key-range — the
+      // documented n/bucketWidth reduction that makes the window
+      // scalable). Its output necessarily derives from the order key,
+      // but it is the REDUCED frame, recognized by its _psum_offset
+      // signature column.
+      case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.contains("broadcast")) &&
+          !h.child.output.exists(_.name == "_psum_offset") =>
+        corpusAttrs.intersect(outputLeafLineage(h.child)).toSeq.sorted
+          .map(a => s"broadcast output derives from corpus key $a")
+    }.flatten
+  }
+
+  /** Queries whose corpus-key-derived broadcast is a LITERAL-bounded
+    * slice — the bound is a constant in the plan, independent of
+    * corpus size, so the broadcast cannot grow at 100 TB. Each entry
+    * needs a written justification. */
+  private val boundedBroadcastAllowlist: Set[String] = Set(
+    // exact-Jaccard oracle form: broadcasts documents filtered to
+    // doc_id < 200 — a fixed 200-doc ground-truth slice the LSH path
+    // is graded against (DedupOps.jaccardNearDup)
+    "dedup_jaccard_neardup",
+    // reuses jaccardNearDup's bounded pair stage for its edge set
+    // (DedupOps.leakageSafeSplit)
+    "split_leakage_safe")
+
+  test("no forced broadcast of corpus-sized tables (customer et al.)") {
+    // A broadcast hint over a customer/orders/lineitem/documents/
+    // events/part/supplier scan bypasses the planner's size guard —
+    // only fixed-cardinality dims (nation 25, region 5) and
+    // driver-sized probe/query frames may carry hints. At 100 TB a
+    // forced broadcast of a fact-sized key set is a driver OOM.
+    // Checked on the analyzed plan, where hints survive as
+    // ResolvedHint nodes.
+    val offenders = planned
+      .filterNot { case (n, _) => boundedBroadcastAllowlist.contains(n) }
+      .flatMap { case (n, df) =>
+        corpusBroadcastHints(df.queryExecution.analyzed).map(m => s"$n: $m")
+      }
     assert(offenders.isEmpty,
       s"forced broadcast of corpus-sized table: ${offenders.mkString("; ")}")
+  }
+
+  test("corpus-broadcast guard non-vacuity: a planted broadcast(customer) " +
+      "IS flagged") {
+    // Control arm proving the collector can fire (the r10 guard
+    // could not — it matched table names that never appear in leaf
+    // strings). A deliberately hinted corpus join must be flagged,
+    // including when the hinted side aliases the key away.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val planted = Tables.orders(spark, sf).join(
+      broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("__k"), col("c_mktsegment"))),
+      col("o_custkey") === col("__k"))
+    val hits = corpusBroadcastHints(planted.queryExecution.analyzed)
+    assert(hits.exists(_.contains("c_custkey")),
+      s"planted broadcast(customer) not flagged — guard is vacuous: $hits")
   }
 
   test("join_top_revenue / join_regional_revenue: customer join is " +
