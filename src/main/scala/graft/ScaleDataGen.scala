@@ -85,7 +85,6 @@ object ScaleDataGen {
     val kPart = span(part, "p_partkey")
     val kOrd = span(ord, "o_orderkey")
     val kEvt = span(ev, "event_id")
-    val kUser = span(ev, "user_id")
     val kDoc = span(doc, "doc_id")
     val kVec = span(emb, "vec_id")
 
@@ -105,6 +104,10 @@ object ScaleDataGen {
       df.repartition(files)
         .write.mode("overwrite").parquet(s"$tmp/$name.parquet")
 
+    // a crashed or losing-the-race build must not leave a
+    // multi-hundred-MB sibling dir behind (ADVICE r10): every exit
+    // path below either publishes tmp (rename) or deletes it
+    try {
     write(Tables.region(spark, srcDir), "region", 1)
     write(Tables.nation(spark, srcDir), "nation", 1)
     write(shifted(cust, "c_custkey" -> kCust), "customer", 2)
@@ -114,7 +117,12 @@ object ScaleDataGen {
       "orders", 8)
     write(shifted(li, "l_orderkey" -> kOrd, "l_partkey" -> kPart,
       "l_suppkey" -> kSupp), "lineitem", 16)
-    write(shifted(ev, "event_id" -> kEvt, "user_id" -> kUser),
+    // FK columns shift by the PARENT key's span (ADVICE r10): copy c
+    // of events must reference copy c of customer, so user_id moves
+    // by kCust — shifting it by its own span orphaned copies 1-9
+    // (800k/1M orphans at sf1) and silently changed every
+    // events⋈customer selectivity.
+    write(shifted(ev, "event_id" -> kEvt, "user_id" -> kCust),
       "events", 8)
     write(
       shifted(doc, "doc_id" -> kDoc)
@@ -157,6 +165,11 @@ object ScaleDataGen {
     }
     new java.io.FileOutputStream(new java.io.File(dest, "_GRAFT_SF1_OK"))
       .close()
+    } catch {
+      case t: Throwable =>
+        if (tmp.exists()) delete(tmp)
+        throw t
+    }
     System.err.println(
       f"[scaledatagen] built sf1 at $outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     outDir

@@ -282,9 +282,21 @@ object MultimodalOps {
     // decimal-scale quantization can (sf0.001 exposed exactly that)
     val qv = transform(col("embedding"),
       x => round(x.cast("double") * 1048576L).cast("long"))
+    // sign-array length derives from the embedding itself (ADVICE
+    // r10: a literal 64 null-padded under zip_with on any other
+    // corpus's dim, silently NULLing every score) — but the bridge
+    // hash is 64 bits, so dim > 64 would wrap the shift (Java's >>
+    // masks to 6 bits) where DuckDB's does not. Checked, not
+    // commented: one footer-cheap max over the scan the query reads
+    // anyway (the equidepthHistogram precedent) — fail loud.
+    val dim = Tables.embeddings(s, d)
+      .agg(max(size(col("embedding")))).head().getInt(0)
+    require(dim <= 64,
+      s"crossmodalTopk bridges through a 64-bit dHash; embedding dim " +
+        s"$dim > 64 would wrap the bit shift — extend the hash")
     val score = aggregate(
       zip_with(
-        transform(sequence(lit(0), lit(63)), i =>
+        transform(sequence(lit(0), size(col("embedding")) - 1), i =>
           when(call_function("shiftright", col("dhash"), i)
             .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
         qv, (sgn, q) => sgn * q),

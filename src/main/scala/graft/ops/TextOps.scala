@@ -1092,6 +1092,13 @@ object TextOps {
   private val UniSeedMulti = 48 // multi-char seed pieces kept
   private val UniMaxPiece = 3 // max piece length
   private val UniIters = 3 // EM iterations (prune after 1 and 2)
+  // The DuckDB oracle seeds substring start positions from
+  // generate_series(1, UniMaxWordLen) — a WORD-LENGTH CAP the Spark
+  // side (sequence(1, length(w)), unbounded) does not share. A longer
+  // word would silently diverge the seed vocabulary (ADVICE r10), so
+  // the trainer ASSERTS the cap against the corpus — fail loud, raise
+  // the constant to grow.
+  private val UniMaxWordLen = 64
   private val UniInf = 1000000000000L // unreachable path cost
 
   /** Unigram-LM (SentencePiece-family) VOCABULARY INDUCTION — the
@@ -1200,6 +1207,10 @@ object TextOps {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .localCheckpoint(true)
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"unigram trainer: corpus word length $maxLen exceeds the oracle's" +
+        s" generate_series($UniMaxWordLen) seed cap — raise UniMaxWordLen")
     // seed: weighted substring frequencies, lengths 1..UniMaxPiece —
     // every single char (segmentation totality) + top-K multis under
     // the pinned (freq desc, piece) order
@@ -1393,7 +1404,7 @@ object TextOps {
          |subs AS MATERIALIZED (
          |  SELECT substr(w, CAST(i AS INT), CAST(j AS INT)) AS piece,
          |    CAST(SUM(wc) AS BIGINT) AS freq
-         |  FROM words, generate_series(1, 64) g1(i),
+         |  FROM words, generate_series(1, $UniMaxWordLen) g1(i),
          |    generate_series(1, $UniMaxPiece) g2(j)
          |  WHERE i <= length(w) AND i + j - 1 <= length(w)
          |  GROUP BY 1),
