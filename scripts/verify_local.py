@@ -92,11 +92,27 @@ def main(sf_dir, out_dir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # VERIFY_SCALED=1 (or --scaled argv): overlay the SCALED oracles
+    # (oracle_sql_scaled.json, written by Verify under
+    # SPARK_GRAFT_SCALED_ORACLES=1) and register the Spark-dumped
+    # signature tables under .aux/ as views. Used for the sf1 sweep:
+    # the scalar hash chains replay over an md5 sample against the
+    # aux dumps, the relational tails replay in full — every query
+    # stays hash-compared (r10's VERIFY_SKIP rows-only downgrade is
+    # retired for these).
+    scaled_path = f"{out_dir}/oracle_sql_scaled.json"
+    if (os.environ.get("VERIFY_SCALED") or "--scaled" in sys.argv) \
+            and os.path.exists(scaled_path):
+        scaled = json.load(open(scaled_path))
+        oracle.update(scaled)
+        for aux in sorted(glob.glob(f"{out_dir}/.aux/*/")):
+            name = aux.rstrip("/").split("/")[-1]
+            con.execute(f"CREATE VIEW {name} AS SELECT * "
+                        f"FROM read_parquet('{aux}*.parquet')")
+        print(f"scaled oracles: {sorted(scaled)}", flush=True)
     # VERIFY_SKIP=name1,name2 downgrades those queries to the
-    # rows-only check — used for the sf1 sweep, where the handful of
-    # full-signature-replay oracles (HUGEINT minhash/simhash/winnow
-    # pipelines) are DuckDB-cost-prohibitive at 10x data; they remain
-    # hash-verified at sf0.001/0.01/0.1
+    # rows-only check (pre-r11 sf1 mechanism; superseded by --scaled
+    # for the signature-replay queries but kept for ad-hoc use)
     skip = set(os.environ.get("VERIFY_SKIP", "").split(","))
     oracle = {k: v for k, v in oracle.items() if k not in skip}
     results = {}

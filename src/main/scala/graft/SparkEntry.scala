@@ -175,4 +175,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._3()).reduce(_ ++ _)
+
+  /** SCALED oracle overrides for the sf1 sweep + their aux signature
+    * dumps — see [[ops.ScaledOracles]]. Not part of the driver
+    * contract: Verify writes them to side files
+    * (`oracle_sql_scaled.json`, `.aux/`) only under
+    * `SPARK_GRAFT_SCALED_ORACLES=1`, and only `verify_local.py
+    * --scaled` reads them. */
+  def oracleSqlScaled: Map[String, String] = ops.ScaledOracles.oracles
+  def scaledOracleAux: Map[String, (SparkSession, String) => DataFrame] =
+    ops.ScaledOracles.aux
 }

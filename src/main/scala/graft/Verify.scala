@@ -82,6 +82,24 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
+    // SCALED oracles for the sf1 sweep (ops.ScaledOracles): aux
+    // signature dumps land under `.aux/` (dot-prefixed so neither
+    // this gate's nor the driver's `<outDir>/*/` glob ever sees them
+    // as query results) + the scaled SQL as a side JSON — env-gated,
+    // the driver's contract files above are untouched.
+    if (sys.env.contains("SPARK_GRAFT_SCALED_ORACLES")) {
+      val scaled = SparkEntry.oracleSqlScaled
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+      if (scaled.nonEmpty) {
+        SparkEntry.scaledOracleAux.foreach { case (name, fn) =>
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/.aux/$name")
+        }
+        Files.writeString(Paths.get(s"$outDir/oracle_sql_scaled.json"),
+          scaled.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+            .mkString("{", ",", "}"))
+      }
+    }
     spark.stop()
   }
 }

@@ -168,7 +168,7 @@ object Analytics {
     * out, no floats to diverge. */
   private def pagerankOracleSql: String = {
     val iterCtes = (1 to PrIters).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT d.src AS node,
          |    CAST((100 - $PrDamp) * $PrScale // (100 * (SELECT c FROM nn))
          |      + ($PrDamp * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS r
@@ -178,14 +178,14 @@ object Analytics {
          |    JOIN deg dd ON dd.src = p.src
          |    GROUP BY p.dst) s ON s.node = d.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |pairs AS (
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey <> b.l_partkey),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
-       |nn AS (SELECT COUNT(*) AS c FROM deg),
-       |r0 AS (SELECT src AS node,
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM deg),
+       |r0 AS MATERIALIZED (SELECT src AS node,
        |  CAST($PrScale // (SELECT c FROM nn) AS BIGINT) AS r FROM deg),
        |$iterCtes
        |SELECT node AS part, r AS rank FROM r$PrIters
@@ -339,7 +339,7 @@ object Analytics {
     * enumeration, which would detonate on cycles). */
   private def bfsOracleSql: String = {
     val levels = (1 to BfsHops).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT node, MIN(dist) AS dist FROM (
          |    SELECT node, dist FROM d${i - 1}
          |    UNION ALL
@@ -347,13 +347,13 @@ object Analytics {
          |    FROM d${i - 1} x JOIN pairs p ON p.src = x.node) t
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |pairs AS (
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey <> b.l_partkey),
-       |nodes AS (SELECT DISTINCT src FROM pairs),
-       |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist
+       |nodes AS MATERIALIZED (SELECT DISTINCT src FROM pairs),
+       |d0 AS MATERIALIZED (SELECT src AS node, CAST(0 AS BIGINT) AS dist
        |  FROM (SELECT src FROM nodes ORDER BY src LIMIT $BfsSources)),
        |$levels
        |SELECT COALESCE(d.dist, CAST(-1 AS BIGINT)) AS dist,
@@ -544,19 +544,19 @@ object Analytics {
     * label asc) per node is the identical tie-break. */
   private def lpaOracleSql: String = {
     val iterCtes = (1 to LpaIters).map { i =>
-      s"""l$i AS (SELECT node, label FROM (
+      s"""l$i AS MATERIALIZED (SELECT node, label FROM (
          |  SELECT p.dst AS node, l.label, ROW_NUMBER() OVER (
          |      PARTITION BY p.dst ORDER BY COUNT(*) DESC, l.label) AS rn
          |  FROM pairs p JOIN l${i - 1} l ON l.node = p.src
          |  GROUP BY p.dst, l.label) AS t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |pairs AS (
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey <> b.l_partkey),
-       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM pairs),
        |$iterCtes
        |SELECT label AS community, COUNT(*) AS size FROM l$LpaIters
        |GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin
@@ -846,17 +846,17 @@ object Analytics {
     * materialized CTEs. */
   private def kcoreOracleSql: String = {
     val rounds = (1 to KcorePeels).map { i =>
-      s"""k$i AS (SELECT src AS node FROM e${i - 1}
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
          |  GROUP BY src HAVING COUNT(*) >= $KcoreK),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN k$i a ON a.node = e.src
          |  JOIN k$i b ON b.node = e.dst)""".stripMargin
     }.mkString(",\n")
     val trajectory = (1 to KcorePeels)
       .map(i => s"SELECT $i AS peel, COUNT(*) AS n_nodes FROM k$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |e0 AS (
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey <> b.l_partkey),
@@ -1053,13 +1053,13 @@ object Analytics {
     // once) — deliberately a DIFFERENT counting order than the
     // engine's degree orientation: the count must be invariant to it
     "graph_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey <> b.l_partkey),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
-        |tri AS (
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
+        |tri AS MATERIALIZED (
         |  SELECT COUNT(*) AS n_triangles
         |  FROM pairs e1
         |  JOIN pairs e2 ON e2.src = e1.src AND e2.dst > e1.dst

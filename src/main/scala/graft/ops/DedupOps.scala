@@ -319,6 +319,13 @@ object DedupOps {
   def simhashNearDup(s: SparkSession, d: String): DataFrame =
     simhashNearDupOn(Tables.documents(s, d))
 
+  /** The (doc_id, sketch) SimHash frame of [[simhashNearDupOn]] —
+    * exposed for the scaled-oracle aux dump (`aux_simhash`). */
+  private[ops] def simhashSketches(docs: DataFrame): DataFrame =
+    fanOut(docs).select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash(split(col("text"), " "))
+        .as("sketch"))
+
   /** Core of [[simhashNearDup]]; `maxHamming + 1` must divide 64. */
   def simhashNearDupOn(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
@@ -329,8 +336,7 @@ object DedupOps {
     // mask expression would be 0 and every key would collide into one
     // all-pairs bucket — use the full mask explicitly
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val t = fanOut(docs).select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash(split(col("text"), " ")).as("sh"))
+    val t = simhashSketches(docs).withColumnRenamed("sketch", "sh")
     val blockCols = (0 until nBlocks).map(i =>
       shiftrightunsigned(col("sh"), i * width).bitwiseAND(lit(mask)))
     val wBucket = Window.partitionBy(col("blk"), col("key"))
@@ -615,7 +621,7 @@ object DedupOps {
     * (artifact store or localCheckpoint) so the three downstream
     * consumers (stop-fingerprint census + both self-join sides) read
     * the materialization instead of re-evaluating the hash. */
-  private def winnowFingerprints(docs: DataFrame): DataFrame =
+  private[ops] def winnowFingerprints(docs: DataFrame): DataFrame =
     fanOut(docs)
       .select(col("doc_id"),
         array_distinct(graft.functions.GraftFunctions.winnow(
@@ -1340,7 +1346,7 @@ object DedupOps {
     *
     * MATERIALIZED CTEs keep DuckDB from inlining the hash chain into
     * an exponential expression tree. */
-  private def winnowOracleSql: String = {
+  private def winnowChainSql(docsSrc: String, fpsName: String): String = {
     val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
     val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
     def wrapMul(expr: String, c: Long): String = wrapMulSql(expr, c)
@@ -1349,10 +1355,10 @@ object DedupOps {
     val poly = (0 until 8).map(j =>
       s"CAST(${byteAt(s"p+$j")} AS HUGEINT) * ${pows(7 - j)}")
       .mkString(" + ")
-    s"""WITH b AS MATERIALIZED (
+    s"""b AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(lower(trim(text)))) AS hx,
        |         octet_length(encode(lower(trim(text)))) AS n
-       |  FROM documents),
+       |  FROM $docsSrc),
        |kg AS MATERIALIZED (
        |  SELECT doc_id, p, (($poly) % $M64) AS h0
        |  FROM (SELECT doc_id, hx, n, unnest(range(1, n - 8 + 2)) AS p
@@ -1371,9 +1377,12 @@ object DedupOps {
        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wh,
        |    COUNT(*) OVER (PARTITION BY doc_id) AS m
        |  FROM mx),
-       |fps AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, wh AS fp FROM wmin WHERE p >= LEAST(4, m)),
-       |sized AS (SELECT doc_id, fp,
+       |$fpsName AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, wh AS fp FROM wmin WHERE p >= LEAST(4, m))""".stripMargin
+  }
+
+  private val winnowTailSql: String =
+    s"""sized AS (SELECT doc_id, fp,
        |  COUNT(*) OVER (PARTITION BY doc_id) AS nfp FROM fps),
        |keep AS (SELECT fp FROM fps GROUP BY fp
        |  HAVING COUNT(*) BETWEEN 2 AND 64),
@@ -1387,7 +1396,32 @@ object DedupOps {
        |FROM pairs
        |WHERE n_shared >= 2 AND n_shared >= 0.25 * LEAST(na, nb)
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  private def winnowOracleSql: String =
+    s"""WITH ${winnowChainSql("documents", "fps")},
+       |$winnowTailSql""".stripMargin
+
+  /** SCALED winnow oracle (the sf1 sweep's replay-cost fix, VERDICT
+    * r10 #3): the per-byte rolling-hash chain — the DuckDB-prohibitive
+    * part at 10× data — replays only a deterministic md5-selected doc
+    * sample and is compared against the Spark-dumped fingerprint
+    * table (`aux_winnow_fps`); the ENTIRE downstream pair pipeline
+    * then runs from that aux table. Any sampled-signature divergence
+    * empties `fps` (the gate), failing the row-count compare loudly.
+    * Full replay remains the sf ≤ 0.1 gate. */
+  private[ops] def winnowScaledSql(sample: String): String =
+    s"""WITH ${winnowChainSql(s"documents WHERE $sample", "fps_chk")},
+       |auxw AS MATERIALIZED (SELECT doc_id, fp FROM aux_winnow_fps),
+       |mism AS MATERIALIZED (
+       |  SELECT * FROM (SELECT doc_id, fp FROM fps_chk
+       |    EXCEPT SELECT doc_id, fp FROM auxw WHERE $sample) t1
+       |  UNION ALL
+       |  SELECT * FROM (SELECT doc_id, fp FROM auxw WHERE $sample
+       |    EXCEPT SELECT doc_id, fp FROM fps_chk) t2),
+       |fps AS MATERIALIZED (
+       |  SELECT doc_id, fp FROM auxw
+       |  WHERE (SELECT COUNT(*) FROM mism) = 0),
+       |$winnowTailSql""".stripMargin
 
   /** Shared SQL helpers for the hash-replay oracles: wrapping 64×64
     * multiply against a CONSTANT via 32-bit limbs in HUGEINT, and hex
@@ -1414,15 +1448,41 @@ object DedupOps {
     * deterministic cap rule), distinct candidate pairs, and
     * `bit_count(xor)` hamming verification. Replays
     * [[graft.functions.SimHashCodegen]] bit-exactly. */
-  private def simhashOracleSql: String = {
+  private def simhashOracleSql: String = simhashOracleSql("", spliceAux = false)
+
+  private def simhashOracleSql(docsWhere: String, spliceAux: Boolean): String = {
     val fnvBasis = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
     val fnvPrime = java.lang.Long.parseUnsignedLong("100000001b3", 16)
     val tokBytes = s"[ ${hexByteSql("th", "i")} " +
       "for i in range(1, CAST(length(th)/2 AS BIGINT) + 1) ]"
     val fnvStep = wrapMulSql("xor(a, CAST(b AS HUGEINT))", fnvPrime)
+    val docsSrc = if (docsWhere.isEmpty) "documents"
+      else s"documents WHERE $docsWhere"
+    // scaled mode: compare the sampled chain's sketches against the
+    // Spark-dumped aux_simhash table (signed BIGINT sketches), then
+    // feed the block stage from the (unsigned-restored) aux gated on
+    // zero symmetric difference — the winnowScaledSql mechanism
+    val blockSrc = if (!spliceAux) "sh" else "shx"
+    val spliceSql = if (!spliceAux) "" else
+      s""",
+         |chk AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN shu < 9223372036854775808
+         |    THEN shu ELSE shu - $M64 END AS BIGINT) AS sk
+         |  FROM sh),
+         |auxs AS MATERIALIZED (SELECT doc_id, sketch AS sk FROM aux_simhash),
+         |mism AS MATERIALIZED (
+         |  SELECT * FROM (SELECT doc_id, sk FROM chk
+         |    EXCEPT SELECT doc_id, sk FROM auxs WHERE $docsWhere) t1
+         |  UNION ALL
+         |  SELECT * FROM (SELECT doc_id, sk FROM auxs WHERE $docsWhere
+         |    EXCEPT SELECT doc_id, sk FROM chk) t2),
+         |shx AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    (CAST(sk AS HUGEINT) + $M64) % $M64 AS shu
+         |  FROM auxs WHERE (SELECT COUNT(*) FROM mism) = 0)""".stripMargin
     s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
+       |  FROM $docsSrc),
        |th AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(tok)) AS th FROM toks),
        |hashes AS MATERIALIZED (
@@ -1442,11 +1502,11 @@ object DedupOps {
        |  SELECT doc_id,
        |    SUM(CASE WHEN v > 0 THEN ($pow2Sql)[i+1]
        |        ELSE CAST(0 AS HUGEINT) END) AS shu
-       |  FROM bits GROUP BY doc_id),
+       |  FROM bits GROUP BY doc_id)$spliceSql,
        |blocks AS MATERIALIZED (
        |  SELECT doc_id, shu, blk,
        |    CAST((shu // ($pow2Sql)[blk*16+1]) % 65536 AS BIGINT) AS key
-       |  FROM (SELECT doc_id, shu, unnest(range(0, 4)) AS blk FROM sh) t),
+       |  FROM (SELECT doc_id, shu, unnest(range(0, 4)) AS blk FROM $blockSrc) t),
        |capped AS MATERIALIZED (
        |  SELECT doc_id, shu, blk, key FROM (
        |    SELECT *, row_number() OVER (PARTITION BY blk, key
@@ -1481,7 +1541,15 @@ object DedupOps {
     *  - the 256-cap per (band, bucket), distinct candidate pairs, and
     *    exact-Jaccard verification on the ROUNDED value (Spark
     *    filters on the rounded column). */
-  private def minhashCtesSql: String = {
+  private def minhashCtesSql: String = minhashCtesSql("", spliceAux = false)
+
+  /** `docsWhere` restricts the signature-chain input (scaled oracle:
+    * a deterministic md5 doc sample); `spliceAux` swaps the capped
+    * bucket frame for the Spark-dumped `aux_minhash_buckets` table,
+    * gated on the sampled chain matching it exactly (zero symmetric
+    * difference), and verifies candidates against FULL-corpus shingle
+    * sets. */
+  private def minhashCtesSql(docsWhere: String, spliceAux: Boolean): String = {
     val fnvBasis = java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16)
     val fnvPrime = java.lang.Long.parseUnsignedLong("100000001b3", 16)
     val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
@@ -1517,9 +1585,45 @@ object DedupOps {
         s"x${j}f AS MATERIALIZED (SELECT $keep, ${wrapMulSql("st", p3)} AS st FROM x${j}e)",
         s"x${j}g AS MATERIALIZED (SELECT $keep, xor(st, st // ${u(1L << 32)}) AS st FROM x${j}f)")
     }.mkString(",\n")
+    val docsSrc = if (docsWhere.isEmpty) "documents"
+      else s"documents WHERE $docsWhere"
+    val h63u = "9223372036854775808"
+    val cappedSql = if (!spliceAux)
+      s"""capped AS MATERIALIZED (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id, band, st AS bucket,
+         |      row_number() OVER (PARTITION BY band, st ORDER BY doc_id) AS rn
+         |    FROM x4g) WHERE rn <= $defaultMaxBucket)""".stripMargin
+    else
+      s"""chk AS MATERIALIZED (
+         |  SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |    CAST(CASE WHEN st < $h63u THEN st ELSE st - $M64 END AS BIGINT)
+         |      AS bucket
+         |  FROM x4g),
+         |auxm AS MATERIALIZED (
+         |  SELECT doc_id, CAST(band AS BIGINT) AS band, bucket
+         |  FROM aux_minhash_buckets),
+         |mism AS MATERIALIZED (
+         |  SELECT * FROM (SELECT doc_id, band, bucket FROM chk
+         |    EXCEPT SELECT doc_id, band, bucket FROM auxm WHERE $docsWhere) t1
+         |  UNION ALL
+         |  SELECT * FROM (SELECT doc_id, band, bucket FROM auxm WHERE $docsWhere
+         |    EXCEPT SELECT doc_id, band, bucket FROM chk) t2),
+         |capped AS MATERIALIZED (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id, band, bucket,
+         |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+         |    FROM auxm WHERE (SELECT COUNT(*) FROM mism) = 0)
+         |  WHERE rn <= $defaultMaxBucket)""".stripMargin
+    val shvSql = if (!spliceAux) "" else
+      s""",
+         |shv AS MATERIALIZED (
+         |  SELECT doc_id, ${shinglesSql.format("text", "text")} AS sha
+         |  FROM documents)""".stripMargin
+    val verifySrc = if (spliceAux) "shv" else "sh"
     s"""sh AS MATERIALIZED (
        |  SELECT doc_id, ${shinglesSql.format("text", "text")} AS sha
-       |  FROM documents),
+       |  FROM $docsSrc),
        |shex AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(s)) AS th
        |  FROM (SELECT doc_id, unnest(sha) AS s FROM sh)),
@@ -1546,11 +1650,7 @@ object DedupOps {
        |    CAST(42 AS HUGEINT) AS st
        |  FROM sig GROUP BY doc_id, (s - 1) // 4),
        |$xxSteps,
-       |capped AS MATERIALIZED (
-       |  SELECT doc_id, band, bucket FROM (
-       |    SELECT doc_id, band, st AS bucket,
-       |      row_number() OVER (PARTITION BY band, st ORDER BY doc_id) AS rn
-       |    FROM x4g) WHERE rn <= $defaultMaxBucket),
+       |$cappedSql$shvSql,
        |candm AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM capped x JOIN capped y
@@ -1561,8 +1661,8 @@ object DedupOps {
        |    round(CAST(len(list_intersect(sa.sha, sb.sha)) AS DOUBLE) /
        |      (len(sa.sha) + len(sb.sha) - len(list_intersect(sa.sha, sb.sha))),
        |      6) AS jaccard
-       |  FROM candm c JOIN sh sa ON sa.doc_id = c.a_id
-       |  JOIN sh sb ON sb.doc_id = c.b_id)""".stripMargin
+       |  FROM candm c JOIN $verifySrc sa ON sa.doc_id = c.a_id
+       |  JOIN $verifySrc sb ON sb.doc_id = c.b_id)""".stripMargin
   }
 
   private def minhashOracleSql: String =
@@ -1589,6 +1689,37 @@ object DedupOps {
        |    AS cluster_size
        |FROM comp c ORDER BY doc_id""".stripMargin
 
+  /** SCALED minhash-LSH oracle: sampled signature-chain replay
+    * against `aux_minhash_buckets` + the full relational tail (see
+    * [[winnowScaledSql]] for the mechanism). */
+  private[ops] def minhashScaledSql(sample: String): String =
+    s"""WITH ${minhashCtesSql(sample, spliceAux = true)}
+       |SELECT a_id, b_id, jaccard FROM verified
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  /** SCALED simhash oracle: sampled FNV/vote-chain replay against
+    * `aux_simhash` + the full block/verify tail. */
+  private[ops] def simhashScaledSql(sample: String): String =
+    simhashOracleSql(sample, spliceAux = true)
+
+  /** SCALED clusters-LSH oracle: the scaled minhash CTEs + the same
+    * recursive-CTE clustering tail as [[clustersLshOracleSql]]. */
+  private[ops] def clustersLshScaledSql(sample: String): String =
+    s"""WITH RECURSIVE ${minhashCtesSql(sample, spliceAux = true)},
+       |pairsx AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
+       |          UNION SELECT b_id, a_id FROM pairsx),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id AS doc_id, min(label) AS cluster_id
+       |         FROM walk GROUP BY id)
+       |SELECT c.doc_id, c.cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+       |    AS cluster_size
+       |FROM comp c ORDER BY doc_id""".stripMargin
+
   /** Generated oracle for `dedup_semantic_lsh`: the [[SimilarityOps]]
     * SRP replay at the auto-tuned (bits, bands) — recorded when the
     * query ran; they are a pure function of the corpus cardinality,
@@ -1598,33 +1729,48 @@ object DedupOps {
     * pairs, singletons keeping themselves, min-id labels, kept flag.
     * Empty until a session has run the query (the Verify protocol
     * runs every query before dumping `oracleSql`). */
+  private val semanticLshTailSql: String =
+    s"""pairsx AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN vecs a ON a.vec_id = c.a_id
+       |  JOIN vecs b ON b.vec_id = c.b_id
+       |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
+       |          UNION SELECT b_id, a_id FROM pairsx),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+       |comp AS (SELECT id, min(label) AS cluster_id
+       |         FROM walk GROUP BY id),
+       |assigned AS (
+       |  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+       |  FROM vecs v LEFT JOIN comp c ON c.id = v.vec_id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS n
+       |          FROM assigned GROUP BY cluster_id)
+       |SELECT a.vec_id, a.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
+       |  CAST(CASE WHEN a.vec_id = a.cluster_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM assigned a JOIN sizes s USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
+
   private def semanticLshGeneratedOracle: Map[String, String] =
     SimilarityOps.tunedSrpParams(0.3).map { case (bits, bands, seed) =>
       "dedup_semantic_lsh" ->
         s"""WITH RECURSIVE ${SimilarityOps.srpCtesSql(bits, bands, seed)},
-           |pairsx AS (
-           |  SELECT c.a_id, c.b_id
-           |  FROM cand c JOIN vecs a ON a.vec_id = c.a_id
-           |  JOIN vecs b ON b.vec_id = c.b_id
-           |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
-           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
-           |          UNION SELECT b_id, a_id FROM pairsx),
-           |walk(id, label) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
-           |comp AS (SELECT id, min(label) AS cluster_id
-           |         FROM walk GROUP BY id),
-           |assigned AS (
-           |  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
-           |  FROM vecs v LEFT JOIN comp c ON c.id = v.vec_id),
-           |sizes AS (SELECT cluster_id, COUNT(*) AS n
-           |          FROM assigned GROUP BY cluster_id)
-           |SELECT a.vec_id, a.cluster_id, CAST(s.n AS BIGINT) AS cluster_size,
-           |  CAST(CASE WHEN a.vec_id = a.cluster_id THEN 1 ELSE 0 END
-           |    AS BIGINT) AS kept
-           |FROM assigned a JOIN sizes s USING (cluster_id)
-           |ORDER BY vec_id""".stripMargin
+           |$semanticLshTailSql""".stripMargin
+    }.toMap
+
+  /** SCALED `dedup_semantic_lsh` oracle: the tuned-geometry SRP replay
+    * sampled + `aux_srp_sem` splice, same clustering tail. Generated
+    * (empty until the session tuned exactly one geometry), like
+    * [[semanticLshGeneratedOracle]]. */
+  private[ops] def semanticLshScaledOracle(sample: String): Map[String, String] =
+    SimilarityOps.tunedSrpParams(0.3).map { case (bits, bands, seed) =>
+      "dedup_semantic_lsh" ->
+        s"""WITH RECURSIVE ${SimilarityOps.srpCtesSql(bits, bands, seed,
+              sample, "aux_srp_sem")},
+           |$semanticLshTailSql""".stripMargin
     }.toMap
 
   def oracles: Map[String, String] = staticOracles ++ semanticLshGeneratedOracle

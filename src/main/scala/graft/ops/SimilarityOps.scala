@@ -165,7 +165,17 @@ object SimilarityOps {
     * vector's ±dims SEQUENTIALLY via an ordered list_reduce, matching
     * the Scala loop's IEEE addition order exactly (acc - v ==
     * acc + (-1.0·v) bit-for-bit). */
-  private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long): String = {
+  private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long): String =
+    srpCtesSql(bits, bands, seed, vecSample = "", auxTable = "")
+
+  /** `vecSample` + `auxTable` switch on the SCALED form: the float
+    * accumulator fold (the DuckDB-prohibitive part at 10× data) runs
+    * only over an md5-sampled vec subset and is compared against the
+    * Spark-dumped (vec_id, band, bucket) aux table; `bucketsx` then
+    * reads the aux gated on zero symmetric difference (the
+    * DedupOps.winnowScaledSql mechanism). */
+  private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long,
+      vecSample: String, auxTable: String): String = {
     val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
     val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
     val gold = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
@@ -182,6 +192,36 @@ object SimilarityOps {
     val seedAdds = "[" +
       (1 to total).map(b => u(seed + gold * b)).mkString(",") + "]"
     val powInBand = "[" + (0 until bits).map(b => u(1L << b)).mkString(",") + "]"
+    require(vecSample.isEmpty == auxTable.isEmpty,
+      "vecSample and auxTable come together (scaled form) or not at all")
+    val accsWhere =
+      if (vecSample.isEmpty) "" else s" WHERE $vecSample"
+    val bucketsDerived =
+      s"""  SELECT vec_id, bit // $bits AS band,
+         |    CAST(SUM(CASE WHEN acc > 0
+         |      THEN ($powInBand)[(bit % $bits) + 1] ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM accs GROUP BY vec_id, bit // $bits""".stripMargin
+    val bucketsSql = if (vecSample.isEmpty)
+      s"""bucketsx AS MATERIALIZED (
+         |$bucketsDerived)""".stripMargin
+    else {
+      val vs = vecSample
+      s"""bchk AS MATERIALIZED (
+         |$bucketsDerived),
+         |auxb AS MATERIALIZED (
+         |  SELECT vec_id, CAST(band AS BIGINT) AS band, bucket
+         |  FROM $auxTable),
+         |mism AS MATERIALIZED (
+         |  SELECT * FROM (SELECT vec_id, band, bucket FROM bchk
+         |    EXCEPT SELECT vec_id, band, bucket FROM auxb WHERE $vs) t1
+         |  UNION ALL
+         |  SELECT * FROM (SELECT vec_id, band, bucket FROM auxb WHERE $vs
+         |    EXCEPT SELECT vec_id, band, bucket FROM bchk) t2),
+         |bucketsx AS MATERIALIZED (
+         |  SELECT vec_id, band, bucket FROM auxb
+         |  WHERE (SELECT COUNT(*) FROM mism) = 0)""".stripMargin
+    }
     s"""bits0 AS MATERIALIZED (
        |  SELECT bit, CAST(($seedAdds)[bit + 1] AS HUGEINT) AS x
        |  FROM (SELECT unnest(range(0, $total)) AS bit)),
@@ -212,13 +252,8 @@ object SimilarityOps {
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      [v.ve[i] * s.sl[i] for i in range(1, 65)]), (a, b) -> a + b)
        |      AS acc
-       |  FROM vecs v CROSS JOIN slists s),
-       |bucketsx AS MATERIALIZED (
-       |  SELECT vec_id, bit // $bits AS band,
-       |    CAST(SUM(CASE WHEN acc > 0
-       |      THEN ($powInBand)[(bit % $bits) + 1] ELSE 0 END) AS BIGINT)
-       |      AS bucket
-       |  FROM accs GROUP BY vec_id, bit // $bits),
+       |  FROM vecs v CROSS JOIN slists s$accsWhere),
+       |$bucketsSql,
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
        |  FROM bucketsx x JOIN bucketsx y
@@ -237,6 +272,25 @@ object SimilarityOps {
        |JOIN vecs b ON b.vec_id = c.b_id
        |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** SCALED `sim_threshold_lsh` oracle (see [[srpCtesSql]]'s scaled
+    * form): sampled accumulator replay vs `aux_srp_t04`. */
+  private[ops] def thresholdLshScaledSql(sample: String): String =
+    s"""WITH ${srpCtesSql(8, 64, 42L, sample, "aux_srp_t04")}
+       |SELECT c.a_id, c.b_id,
+       |  round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+       |FROM cand c JOIN vecs a ON a.vec_id = c.a_id
+       |JOIN vecs b ON b.vec_id = c.b_id
+       |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** The (vec_id, band, bucket) SRP banding frame — the scaled-oracle
+    * aux dump, ONE definition shared with [[thresholdLshOn]]. */
+  private[ops] def srpBandsFrame(emb: DataFrame, bitsPerBand: Int,
+      nBands: Int, seed: Long): DataFrame =
+    fanOut(emb).select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.srpBands(col("embedding"),
+        bitsPerBand, nBands, seed)).as(Seq("band", "bucket")))
 
   /** Core of [[thresholdLsh]], parameterized for tests and reuse. */
   def thresholdLshOn(emb: DataFrame, threshold: Double,
@@ -484,6 +538,116 @@ object SimilarityOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sc")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("sc.id").as("neighbor_id"), col("sc.score").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------ graph ANN: NSW (r11)
+
+  private[graft] val NswDegree = 8 // per-node out-degree
+  // beam 24 × 4 hops: recall vs exact top-10 measured 0.90 / 0.90 /
+  // 0.70 at sf0.001/0.01/0.1 on the near-uniform fixture embeddings —
+  // the hard case (no cluster structure to navigate). The serving
+  // budget is O(hops·beam·degree) scores per query, corpus-size-free.
+  private[graft] val NswBeam = 24 // beam width (≥ NswK)
+  private[graft] val NswHops = 4 // greedy expansion rounds
+  private[graft] val NswK = 10 // results per query
+  private[graft] val NswQueries = 8L // bounded query side: vec_id < 8
+
+  /** NSW graph BUILD: each node's top-[[NswDegree]] exact cosine
+    * neighbors under the (round-6 score desc, vec_id asc) order — a
+    * deterministic bounded-degree neighbor graph, the batch-built
+    * counterpart of an HNSW layer. Top-d per node rides the bounded
+    * [[graft.functions.TopKAggregator]] (partial-aggregates d
+    * candidates per partition — the pair stream is never window-
+    * sorted). The all-pairs scoring here is the BUILD cost, paid once
+    * per corpus snapshot into the artifact store (the IVF-layout
+    * discipline); at 100 TB the candidate generation swaps to
+    * IVF-bucketed / LSH-banded pairs (both already in this module)
+    * with the same top-d reduction — the graph shape and the search
+    * below are unchanged. */
+  private[graft] def nswBuild(emb: DataFrame): DataFrame = {
+    val a = fanOut(emb).select(col("vec_id").as("src"),
+      col("embedding").as("ae"), Vectors.normCol(col("embedding")).as("an"))
+    val b = emb.select(col("vec_id").as("dst"),
+      col("embedding").as("be"), Vectors.normCol(col("embedding")).as("bn"))
+    val topd = udaf(new graft.functions.TopKAggregator(NswDegree))
+    a.crossJoin(b)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("c",
+        Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
+      .groupBy(col("src"))
+      .agg(topd(col("c"), col("dst")).as("top"))
+      .select(col("src"), explode(col("top")).as("sc"))
+      .select(col("src"), col("sc.id").as("dst"))
+  }
+
+  /** GRAPH-SHAPED ANN (VERDICT r10 #4): fixed-beam greedy search over
+    * the artifact-served NSW graph — the dominant production ANN
+    * family (bounded-degree neighbor graph + beam walk), completing
+    * the inventory next to IVF, PQ and SRP-LSH.
+    *
+    * Search is fully deterministic and oracle-replayable: the entry
+    * set is the [[NswBeam]] smallest vec_ids, each hop expands the
+    * current beam's out-edges, scores candidates with the round-6
+    * cosine, and keeps the best [[NswBeam]] per query under
+    * (score desc, vec_id) — [[NswHops]] hops unrolled into ONE lazy
+    * plan (equi-joins on node id; the 8-row query side broadcasts).
+    * The beam is monotone (each hop's candidate set includes the
+    * current beam), so the final top-[[NswK]] is the beam's head.
+    * Per-query wall cost is O(hops · beam · degree) score
+    * evaluations regardless of corpus size — the property that makes
+    * graph ANN the serving-path winner at 100 TB; recall vs exact
+    * top-k is asserted in ScalaTest. */
+  def nswTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = graft.ArtifactStore.parquet(s, "nsw_graph",
+      s"$d/embeddings.parquet") { nswBuild(emb) }
+    nswSearch(emb, edges)
+  }
+
+  /** Core of [[nswTopk]], parameterized for tests and reuse. The
+    * stored graph is directed (each node's top-d); the WALK treats it
+    * as undirected (src↔dst), the standard NSW navigability fix — a
+    * node is reachable through anyone who chose it as a neighbor, not
+    * only through its own choices (directed-only recall measured 0.61
+    * at sf0.001; undirected ≥ 0.9). */
+  private[graft] def nswSearch(emb: DataFrame, edges: DataFrame): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val q = emb.filter(col("vec_id") < NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
+    val v = emb.select(col("vec_id").as("node"),
+      col("embedding").as("ve"), Vectors.normCol(col("embedding")).as("vn"))
+    def scored(cands: DataFrame): DataFrame =
+      cands.join(v, Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node"),
+          Vectors.cosine6WithNorms(col("qe"), col("qn"),
+            col("ve"), col("vn")).as("score"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    def topB(f: DataFrame): DataFrame =
+      f.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= NswBeam).drop("rn")
+    val entries = emb.orderBy(col("vec_id")).limit(NswBeam)
+      .select(col("vec_id").as("node"))
+    var f = topB(scored(
+      q.select(col("query_id")).crossJoin(entries)))
+    for (_ <- 1 to NswHops) {
+      val exp = f.select(col("query_id"), col("node"))
+        .join(undirected.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("query_id"), col("dst").as("node"))
+      val cands = f.select(col("query_id"), col("node"))
+        .unionByName(exp).distinct()
+      f = topB(scored(cands))
+    }
+    f.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= NswK)
+      .select(col("query_id"), col("rank"), col("node").as("vec_id"),
+        col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1255,6 +1419,7 @@ object SimilarityOps {
     "sim_ivf_trained" -> ivfTrained, // generated oracle (spliced centroids)
     "sim_ivf_quantized" -> ivfQuantized,
     "sim_ivf_pruned_layout" -> ivfPrunedLayout,
+    "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
   )
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
@@ -1439,6 +1604,97 @@ object SimilarityOps {
     Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk",
       "sim_pca_project")
 
+  /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
+    * graph re-derived from the all-pairs round-6 cosine ranking, then
+    * the [[NswHops]]-hop beam walk unrolled as CTE levels — each
+    * level deduplicates carried scores (deterministic per (query,
+    * node), so DISTINCT is exact), prunes to the beam under
+    * (score desc, node), and the final level's top-[[NswK]] is the
+    * answer. `sample` ≠ empty switches on the SCALED form: edge
+    * derivation replays only md5-sampled source nodes against the
+    * Spark-dumped `aux_nsw_edges` with the zero-symmetric-difference
+    * gate (the ScaledOracles mechanism); the walk always replays in
+    * full. */
+  private[ops] def nswOracleSql(sample: String = ""): String = {
+    val cosQ = "round(list_cosine_similarity(q.qe, vv.ve), 6)"
+    val edgeCtes = if (sample.isEmpty)
+      s"""edgesx AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
+         |      PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.ve, b.ve), 6) DESC,
+         |        b.vec_id) AS rn
+         |    FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id) t
+         |  WHERE rn <= $NswDegree)""".stripMargin
+    else
+      s"""chk AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
+         |      PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.ve, b.ve), 6) DESC,
+         |        b.vec_id) AS rn
+         |    FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+         |    WHERE ${sample.replace("vec_id", "a.vec_id")}) t
+         |  WHERE rn <= $NswDegree),
+         |auxe AS MATERIALIZED (SELECT src, dst FROM aux_nsw_edges),
+         |mism AS MATERIALIZED (
+         |  SELECT * FROM (SELECT src, dst FROM chk
+         |    EXCEPT SELECT src, dst FROM auxe
+         |    WHERE ${sample.replace("vec_id", "src")}) t1
+         |  UNION ALL
+         |  SELECT * FROM (SELECT src, dst FROM auxe
+         |    WHERE ${sample.replace("vec_id", "src")}
+         |    EXCEPT SELECT src, dst FROM chk) t2),
+         |edgesx AS MATERIALIZED (
+         |  SELECT src, dst FROM auxe
+         |  WHERE (SELECT COUNT(*) FROM mism) = 0)""".stripMargin
+    val hops = (1 to NswHops).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT query_id, node, score FROM (
+         |    SELECT query_id, node, score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, node) AS rn
+         |    FROM (SELECT DISTINCT query_id, node, score FROM (
+         |      SELECT query_id, node, score FROM f${h - 1}
+         |      UNION ALL
+         |      SELECT f.query_id, g.dst AS node, $cosQ AS score
+         |      FROM f${h - 1} f
+         |      JOIN edgesu g ON g.src = f.node
+         |      JOIN vecs vv ON vv.vec_id = g.dst
+         |      JOIN q ON q.query_id = f.query_id
+         |      WHERE g.dst <> f.query_id) u) du) t
+         |  WHERE rn <= $NswBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+       |  FROM embeddings),
+       |$edgeCtes,
+       |edgesu AS MATERIALIZED (
+       |  SELECT src, dst FROM edgesx
+       |  UNION SELECT dst, src FROM edgesx),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, ve AS qe FROM vecs
+       |  WHERE vec_id < $NswQueries),
+       |entries AS MATERIALIZED (
+       |  SELECT vec_id AS node FROM vecs ORDER BY vec_id LIMIT $NswBeam),
+       |f0 AS MATERIALIZED (
+       |  SELECT query_id, node, score FROM (
+       |    SELECT q.query_id, e.node,
+       |      round(list_cosine_similarity(q.qe, vv.ve), 6) AS score,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qe, vv.ve), 6) DESC,
+       |          e.node) AS rn
+       |    FROM q CROSS JOIN entries e
+       |    JOIN vecs vv ON vv.vec_id = e.node
+       |    WHERE e.node <> q.query_id) t
+       |  WHERE rn <= $NswBeam),
+       |$hops
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS vec_id, score
+       |FROM (SELECT query_id, node, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, node) AS rank
+       |  FROM f$NswHops) t
+       |WHERE rank <= $NswK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def topkOracle: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
        |  FROM embeddings WHERE vec_id < 10),
@@ -1454,6 +1710,7 @@ object SimilarityOps {
 
   private val staticOracles: Map[String, String] = Map(
     "sim_threshold_lsh" -> thresholdLshOracleSql,
+    "sim_nsw_topk" -> nswOracleSql(),
     "search_hybrid_rrf" -> hybridRrfOracleSql,
     "sim_centroid_drift" ->
       // same fixed-point centroids: exact integer sums of round(x·1e6),

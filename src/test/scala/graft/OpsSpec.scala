@@ -202,6 +202,49 @@ class OpsSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty, s"spurious=${lsh -- exact}")
   }
 
+  test("NSW graph ANN: bounded degree, monotone beam, recall vs exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val edges = ops.SimilarityOps.nswBuild(emb).localCheckpoint(true)
+    // the graph invariant the walk depends on: out-degree ≤ NswDegree,
+    // no self-loops
+    val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(degs <= ops.SimilarityOps.NswDegree, s"max out-degree $degs")
+    assert(edges.filter(col("src") === col("dst")).isEmpty, "self-loop")
+    val got = ops.SimilarityOps.nswSearch(emb, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exact ground truth: top-NswK per query by the same
+    // (round-6 cosine desc, vec_id) order, excluding self
+    val q = emb.filter(col("vec_id") < ops.SimilarityOps.NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val exact = emb.select(col("vec_id").as("node"), col("embedding").as("ve"))
+      .crossJoin(broadcast(q))
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("score",
+        graft.functions.Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ops.SimilarityOps.NswK)
+      .select(col("query_id"), col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & got).size.toDouble / exact.size
+    // measured 0.90 at sf0.001 (500 near-uniform vectors — the HARD
+    // case for graph navigation: random high-dim geometry has no
+    // cluster structure to walk along; beam 24 × 4 hops). The
+    // oracle's hash gate grades walk EXACTNESS at every SF; this
+    // test pins the fixture's recall floor.
+    assert(recall >= 0.85, s"NSW recall $recall too low at sf0.001")
+    // determinism: a second search over the same graph is bit-identical
+    val again = ops.SimilarityOps.nswSearch(emb, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = ops.SimilarityOps.nswSearch(emb, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == first.toSeq, "search is not deterministic")
+  }
+
   test("srpAutoParams: reproduces the hand-tuned point and scales sub-quadratically") {
     // the previously hand-picked (7, 96) for the 0.3-threshold demo at
     // n=2000 is what the tuner derives from the same collision formula

@@ -63,7 +63,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // sim_cosine_topk serving shape across modalities; the constant
     // join key folds to true, so Catalyst plans the broadcast as a
     // nested-loop build, which at 4 rows is a map-side constant
-    "mm_crossmodal_topk"
+    "mm_crossmodal_topk",
+    // bounded entry fan-out: the 8-row query side crossJoins the
+    // 12-row deterministic entry set (96 rows) to seed the beam walk;
+    // every subsequent join is an equi-join on node id. The all-pairs
+    // graph BUILD runs eagerly into the artifact store and never
+    // appears in the served plan.
+    "sim_nsw_topk"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
