@@ -14,6 +14,7 @@ object CatalogDump {
     SparkEntry.queries("sim_pq_topk")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("dedup_semantic_lsh")(spark, "/root/testdata/sf0.001").count()
     SparkEntry.queries("text_bpe_train")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("sim_ivf_append")(spark, "/root/testdata/sf0.001").count()
     val oracles = SparkEntry.oracleSql.keySet
     spark.stop()
     println("| query | oracle | module |")

@@ -1729,13 +1729,8 @@ object DedupOps {
     * pairs, singletons keeping themselves, min-id labels, kept flag.
     * Empty until a session has run the query (the Verify protocol
     * runs every query before dumping `oracleSql`). */
-  private val semanticLshTailSql: String =
-    s"""pairsx AS (
-       |  SELECT c.a_id, c.b_id
-       |  FROM cand c JOIN vecs a ON a.vec_id = c.a_id
-       |  JOIN vecs b ON b.vec_id = c.b_id
-       |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
-       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
+  private val semanticLshTailAfterPairsSql: String =
+    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
        |          UNION SELECT b_id, a_id FROM pairsx),
        |walk(id, label) AS (
        |  SELECT src, src FROM edges
@@ -1754,6 +1749,14 @@ object DedupOps {
        |FROM assigned a JOIN sizes s USING (cluster_id)
        |ORDER BY vec_id""".stripMargin
 
+  private val semanticLshTailSql: String =
+    s"""pairsx AS (
+       |  SELECT c.a_id, c.b_id
+       |  FROM cand c JOIN vecs a ON a.vec_id = c.a_id
+       |  JOIN vecs b ON b.vec_id = c.b_id
+       |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
+       |$semanticLshTailAfterPairsSql""".stripMargin
+
   private def semanticLshGeneratedOracle: Map[String, String] =
     SimilarityOps.tunedSrpParams(0.3).map { case (bits, bands, seed) =>
       "dedup_semantic_lsh" ->
@@ -1761,16 +1764,62 @@ object DedupOps {
            |$semanticLshTailSql""".stripMargin
     }.toMap
 
-  /** SCALED `dedup_semantic_lsh` oracle: the tuned-geometry SRP replay
-    * sampled + `aux_srp_sem` splice, same clustering tail. Generated
-    * (empty until the session tuned exactly one geometry), like
-    * [[semanticLshGeneratedOracle]]. */
+  /** SCALED `dedup_semantic_lsh` oracle. The tuned geometry's FULL
+    * candidate join is itself oracle-prohibitive at sf1 (~10⁸ pairs
+    * from ~800 auto-tuned bands — it exhausted DuckDB's spill disk),
+    * so this one samples BOTH expensive stages against Spark dumps:
+    *
+    *  1. SRP codes: sampled accumulator replay vs `aux_srp_sem`
+    *     (the standard scaled-chain gate);
+    *  2. bucket→pair generation + cosine filter: for an md5-sampled
+    *     ~3% of (band, bucket) groups, every derivable ≥-threshold
+    *     pair must appear in the Spark-dumped verified pair set
+    *     (`aux_sem_pairs`) — one-directional by design: aux extras
+    *     from UNSAMPLED buckets are expected;
+    *  3. truth of the dump: EVERY aux pair must re-pass the round-6
+    *     cosine threshold (full check — pair-count-sized, cheap);
+    *  4. the clustering tail replays in FULL from the gated pairs.
+    *
+    * Any violation of 1–3 empties `pairsx`, collapsing every vector
+    * to a singleton cluster — a loud hash break. */
   private[ops] def semanticLshScaledOracle(sample: String): Map[String, String] =
     SimilarityOps.tunedSrpParams(0.3).map { case (bits, bands, seed) =>
+      val bucketSample =
+        "substr(md5(CAST(band AS VARCHAR) || '_' || " +
+          "CAST(bucket AS VARCHAR)),1,2) < '08'"
       "dedup_semantic_lsh" ->
         s"""WITH RECURSIVE ${SimilarityOps.srpCtesSql(bits, bands, seed,
-              sample, "aux_srp_sem")},
-           |$semanticLshTailSql""".stripMargin
+              sample, "aux_srp_sem", withCand = false)},
+           |bsample AS MATERIALIZED (
+           |  SELECT band, bucket FROM (
+           |    SELECT DISTINCT band, bucket FROM auxb) t
+           |  WHERE $bucketSample),
+           |candchk AS MATERIALIZED (
+           |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+           |  FROM auxb x JOIN bsample s
+           |    ON x.band = s.band AND x.bucket = s.bucket
+           |  JOIN auxb y ON y.band = x.band AND y.bucket = x.bucket
+           |    AND x.vec_id < y.vec_id),
+           |pairchk AS MATERIALIZED (
+           |  SELECT c.a_id, c.b_id FROM candchk c
+           |  JOIN vecs a ON a.vec_id = c.a_id
+           |  JOIN vecs b ON b.vec_id = c.b_id
+           |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3),
+           |auxp AS MATERIALIZED (SELECT a_id, b_id FROM aux_sem_pairs),
+           |pmism AS MATERIALIZED (
+           |  SELECT * FROM (SELECT a_id, b_id FROM pairchk
+           |    EXCEPT SELECT a_id, b_id FROM auxp) t),
+           |pbad AS MATERIALIZED (
+           |  SELECT p.a_id FROM auxp p
+           |  JOIN vecs a ON a.vec_id = p.a_id
+           |  JOIN vecs b ON b.vec_id = p.b_id
+           |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) < 0.3),
+           |pairsx AS (
+           |  SELECT a_id, b_id FROM auxp
+           |  WHERE (SELECT COUNT(*) FROM mism) = 0
+           |    AND (SELECT COUNT(*) FROM pmism) = 0
+           |    AND (SELECT COUNT(*) FROM pbad) = 0),
+           |${semanticLshTailAfterPairsSql}""".stripMargin
     }.toMap
 
   def oracles: Map[String, String] = staticOracles ++ semanticLshGeneratedOracle

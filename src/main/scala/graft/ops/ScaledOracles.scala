@@ -56,11 +56,16 @@ object ScaledOracles {
         SimilarityOps.nswBuild(Tables.embeddings(s, d))))
     // tuned geometry exists only after the session ran semanticLsh —
     // the generated-oracle protocol (Verify runs queries first)
-    val sem = SimilarityOps.tunedSrpParams(0.3).map {
-      case (bits, bands, seed) =>
+    val sem = SimilarityOps.tunedSrpParams(0.3).toSeq.flatMap {
+      case (bits, bands, seed) => Seq(
         "aux_srp_sem" -> ((s: SparkSession, d: String) =>
           SimilarityOps.srpBandsFrame(Tables.embeddings(s, d),
-            bits, bands, seed))
+            bits, bands, seed)),
+        // the verified pair set (the tuned bucket join's full output
+        // is itself oracle-prohibitive at sf1 — see the scaled
+        // semantic oracle's 4-stage split)
+        "aux_sem_pairs" -> ((s: SparkSession, d: String) =>
+          DedupOps.semanticLshPairs(Tables.embeddings(s, d))))
     }
     base ++ sem
   }

@@ -175,7 +175,15 @@ object SimilarityOps {
     * reads the aux gated on zero symmetric difference (the
     * DedupOps.winnowScaledSql mechanism). */
   private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long,
-      vecSample: String, auxTable: String): String = {
+      vecSample: String, auxTable: String): String =
+    srpCtesSql(bits, bands, seed, vecSample, auxTable, withCand = true)
+
+  /** `withCand = false` stops after `bucketsx` — for scaled oracles
+    * that must also SAMPLE the bucket-join stage (the tuned semantic
+    * geometry's full candidate mass is itself oracle-prohibitive at
+    * sf1). */
+  private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long,
+      vecSample: String, auxTable: String, withCand: Boolean): String = {
     val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
     val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
     val gold = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
@@ -202,6 +210,13 @@ object SimilarityOps {
          |      THEN ($powInBand)[(bit % $bits) + 1] ELSE 0 END) AS BIGINT)
          |      AS bucket
          |  FROM accs GROUP BY vec_id, bit // $bits""".stripMargin
+    val candSql = if (!withCand) "" else
+      s""",
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bucketsx x JOIN bucketsx y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |      AND x.vec_id < y.vec_id)""".stripMargin
     val bucketsSql = if (vecSample.isEmpty)
       s"""bucketsx AS MATERIALIZED (
          |$bucketsDerived)""".stripMargin
@@ -253,12 +268,7 @@ object SimilarityOps {
        |      [v.ve[i] * s.sl[i] for i in range(1, 65)]), (a, b) -> a + b)
        |      AS acc
        |  FROM vecs v CROSS JOIN slists s$accsWhere),
-       |$bucketsSql,
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-       |  FROM bucketsx x JOIN bucketsx y
-       |    ON x.band = y.band AND x.bucket = y.bucket
-       |      AND x.vec_id < y.vec_id)""".stripMargin
+       |$bucketsSql$candSql""".stripMargin
   }
 
   /** Static oracle for `sim_threshold_lsh` (fixed 8×64 geometry,
@@ -831,6 +841,105 @@ object SimilarityOps {
 
   private val probedClusterCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Int]]
+
+  // ------------------- incremental IVF maintenance (r11) -----------
+
+  /** The snapshot/new-batch split — the `dedup_incremental`
+    * convention: the published corpus is vec_id ≡ 0‥7 (mod 10), the
+    * arriving batch is ≡ 8,9. */
+  private def ivfSnapshot(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 10 < 8)
+  private def ivfBatch(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 10 >= 8)
+
+  private val appendModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, KmeansModel]
+  private[graft] def clearAppendModelCache(): Unit = appendModelCache.clear()
+
+  /** Centroids trained on the SNAPSHOT slice only, frozen thereafter
+    * — the model an incremental pipeline trained when it published
+    * the snapshot and must NOT retrain per arriving batch. Served
+    * from the artifact store per corpus fingerprint; recorded for the
+    * generated oracle (the kmeans16 protocol). */
+  private def appendModel(s: SparkSession, d: String): KmeansModel = {
+    val input = s"$d/embeddings.parquet"
+    val fp = graft.ArtifactStore.fingerprint(s, input)
+    appendModelCache.getOrElseUpdate(fp, modelFromDf(
+      graft.ArtifactStore.parquet(s, "ivf_append_model", input) {
+        modelToDf(s, kmeansFitFull(ivfSnapshot(Tables.embeddings(s, d))))
+      }))
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE (VERDICT r10 #5): a new vector
+    * batch is assigned to the FROZEN snapshot-trained centroids and
+    * appended to the served posting layout as a delta partition set —
+    * no retraining, no base rewrite: the `dedup_incremental`
+    * discipline applied to the ANN index, the only maintenance shape
+    * that survives 100 TB ingest (a per-batch rebuild rescans the
+    * corpus; this touches only the batch).
+    *
+    * Output is the per-centroid maintenance reconciliation: posting
+    * counts of the served (base ∪ delta) layout split by origin, and
+    * `n_mismatch` — the cardinality of the symmetric difference
+    * between the SERVED posting set (read back from the two stored
+    * artifacts) and a full REBUILD under the same frozen centroids.
+    * The append contract is n_mismatch = 0 everywhere; the oracle
+    * pins that expectation as a constant while independently
+    * replaying every count from the spliced centroids, so a Spark
+    * append/rebuild divergence (or a stale/corrupt artifact read)
+    * breaks the hash. Append ≡ rebuild is additionally set-equality
+    * tested in ScalaTest with a wrong-centroids control proving the
+    * mismatch column can fire. */
+  def ivfAppend(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
+    val emb = Tables.embeddings(s, d)
+    val cents = appendModel(s, d).centroids
+    val base = graft.ArtifactStore.parquet(s, "ivf_append_base", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfSnapshot(emb), cents)
+    }
+    val delta = graft.ArtifactStore.parquet(s, "ivf_append_delta", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfBatch(emb), cents)
+    }
+    ivfAppendReconcile(base, delta, ivfAssignTo(emb, cents))
+  }
+
+  /** Map-side assignment to a frozen centroid set + int8-quantized
+    * storage — the ivf_layout projection, shared by base build, delta
+    * append and the rebuild control. */
+  private[graft] def ivfAssignTo(emb: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    emb.withColumn("centroid_id",
+        element_at(centroidScoresLocal(cents, col("embedding")), 1)
+          .getField("cid").cast("int"))
+      .select(col("vec_id"), quantize(col("embedding")).as("vq"),
+        col("centroid_id"))
+
+  /** Reconciliation tail of [[ivfAppend]], parameterized for the
+    * ScalaTest control (inject a divergent delta to prove
+    * `n_mismatch` fires). */
+  private[graft] def ivfAppendReconcile(base: DataFrame, delta: DataFrame,
+      rebuild: DataFrame): DataFrame = {
+    val served = base
+      .select(col("vec_id"), col("centroid_id"), lit("base").as("src"))
+      .unionByName(delta
+        .select(col("vec_id"), col("centroid_id"), lit("delta").as("src")))
+    val rb = rebuild.select(col("vec_id"), col("centroid_id"))
+    val sv = served.select(col("vec_id"), col("centroid_id"))
+    val mism = sv.except(rb).unionByName(rb.except(sv))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_mismatch"))
+    served.groupBy(col("centroid_id"))
+      .agg(
+        sum(when(col("src") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("src") === "delta", 1L).otherwise(0L)).as("n_appended"),
+        count(lit(1)).as("n_total"))
+      .join(mism, Seq("centroid_id"), "left")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_base"), col("n_appended"), col("n_total"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+      .orderBy(col("centroid_id"))
+  }
 
   /** Deterministic distributed k-means (Lloyd) — the trainer that
     * produces IVF's centroid set ([[centroids]]'s fixed 16 are
@@ -1419,6 +1528,7 @@ object SimilarityOps {
     "sim_ivf_trained" -> ivfTrained, // generated oracle (spliced centroids)
     "sim_ivf_quantized" -> ivfQuantized,
     "sim_ivf_pruned_layout" -> ivfPrunedLayout,
+    "sim_ivf_append" -> ivfAppend, // generated oracle (frozen centroids)
     "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
   )
 
@@ -1505,6 +1615,40 @@ object SimilarityOps {
       case _ => Map.empty
     }
 
+  /** Generated oracle for `sim_ivf_append` (the kmeans16 splice
+    * protocol, from the snapshot-trained frozen model): DuckDB
+    * independently replays the argmax assignment of EVERY vector to
+    * the spliced centroids and derives all three counts from the
+    * vec_id-mod split; `n_mismatch` is the pinned append-≡-rebuild
+    * contract constant — a Spark-side divergence (or stale artifact
+    * read) surfaces as a nonzero value and breaks the hash. */
+  private def appendGeneratedOracle: Map[String, String] =
+    appendModelCache.readOnlySnapshot().toMap match {
+      case m if m.size == 1 =>
+        val centVals = m.head._2.centroids
+          .map { case (cid, ce) =>
+            s"($cid, [${ce.map(dlit).mkString(", ")}])" }
+          .mkString(",\n    ")
+        Map("sim_ivf_append" ->
+          s"""WITH c AS (SELECT * FROM (VALUES
+             |    $centVals) AS t(centroid_id, ce)),
+             |a AS (SELECT vec_id, centroid_id FROM (
+             |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+             |    PARTITION BY e.vec_id ORDER BY
+             |      ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id)
+             |    AS rn
+             |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1)
+             |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 < 8) AS BIGINT)
+             |    AS n_base,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 >= 8) AS BIGINT)
+             |    AS n_appended,
+             |  COUNT(*) AS n_total,
+             |  CAST(0 AS BIGINT) AS n_mismatch
+             |FROM a GROUP BY centroid_id ORDER BY centroid_id""".stripMargin)
+      case _ => Map.empty
+    }
+
   /** Same generated-oracle protocol for the PQ codebooks: once one
     * table's PQ model is trained (Verify runs every query before
     * dumping `oracleSql`), DuckDB replays encode (per-subspace argmax
@@ -1559,7 +1703,7 @@ object SimilarityOps {
 
   def oracles: Map[String, String] =
     staticOracles ++ generatedOracles ++ pqGeneratedOracles ++
-      pcaGeneratedOracles
+      pcaGeneratedOracles ++ appendGeneratedOracle
 
   /** Generated oracle for `sim_pca_project` — same exactly-one-model
     * protocol as [[generatedOracles]]: the trained component, corpus
@@ -1602,7 +1746,7 @@ object SimilarityOps {
     * training run has populated exactly one cache entry. */
   private[graft] val generatedOracleKeys: Set[String] =
     Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk",
-      "sim_pca_project")
+      "sim_pca_project", "sim_ivf_append")
 
   /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
     * graph re-derived from the all-pairs round-6 cosine ranking, then

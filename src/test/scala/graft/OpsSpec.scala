@@ -245,6 +245,42 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == first.toSeq, "search is not deterministic")
   }
 
+  test("IVF append: delta assignment equals full rebuild; wrong centroids fire n_mismatch") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = ops.SimilarityOps.kmeansFit(
+      emb.filter(col("vec_id") % 10 < 8))._2
+    val base = ops.SimilarityOps.ivfAssignTo(
+      emb.filter(col("vec_id") % 10 < 8), cents).localCheckpoint(true)
+    val delta = ops.SimilarityOps.ivfAssignTo(
+      emb.filter(col("vec_id") % 10 >= 8), cents).localCheckpoint(true)
+    val rebuild = ops.SimilarityOps.ivfAssignTo(emb, cents)
+    val rec = ops.SimilarityOps.ivfAppendReconcile(base, delta, rebuild)
+      .collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall(_.getLong(4) == 0L),
+      s"append != rebuild: ${rec.filter(_.getLong(4) != 0).mkString(", ")}")
+    // the counts are corpus-dependent nonzero: both origins present
+    assert(rec.map(_.getLong(1)).sum > 0 && rec.map(_.getLong(2)).sum > 0)
+    // vec_id-level set equality, not just counts
+    val served = base.select(col("vec_id"), col("centroid_id"))
+      .unionByName(delta.select(col("vec_id"), col("centroid_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rb = rebuild.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(served == rb, "posting sets differ")
+    // NON-VACUITY control: a delta assigned against a perturbed
+    // centroid set must surface as nonzero n_mismatch — the column
+    // can fire, so zero means something
+    val wrongCents = cents.map { case (cid, ce) =>
+      (cid, ce.map(v => -v)) }
+    val wrongDelta = ops.SimilarityOps.ivfAssignTo(
+      emb.filter(col("vec_id") % 10 >= 8), wrongCents)
+    val fired = ops.SimilarityOps
+      .ivfAppendReconcile(base, wrongDelta, rebuild)
+      .agg(sum(col("n_mismatch"))).head().getLong(0)
+    assert(fired > 0, "control: wrong-centroid delta not flagged")
+  }
+
   test("srpAutoParams: reproduces the hand-tuned point and scales sub-quadratically") {
     // the previously hand-picked (7, 96) for the 0.3-threshold demo at
     // n=2000 is what the tuner derives from the same collision formula
