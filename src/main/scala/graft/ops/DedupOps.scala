@@ -1168,6 +1168,13 @@ object DedupOps {
   private val ErWGeo = 1500000L
   private val ErWGeoMiss = -500000L
   private val ErThreshold = 3000000L
+  /** Per-geocell membership cap for ER blocking pass 2 — the
+    * [[defaultMaxBucket]] discipline. A dense urban cell (one
+    * decidegree cell of a megacity holds millions of records at real
+    * scale) would otherwise self-join quadratically; the cap bounds
+    * it at C(cap,2) pairs and publishes the dropped membership as the
+    * `graft_er_cell_overflow` observed metric. */
+  val erMaxCell = 256
 
   /** COMPOSED ENTITY RESOLUTION over the voter domain (VERDICT r9 #4)
     * — the primitives this module already grades, assembled the way
@@ -1194,10 +1201,12 @@ object DedupOps {
     * geocode cell — the "zip-code block" of classical record linkage
     * (a name-prefix or phonetic pass would be vacuous here: the
     * synthetic names share one long prefix and one phonetic class, so
-    * the cell key is the pass that carries real selectivity; a
-    * production deployment caps per-cell membership exactly like
-    * [[defaultMaxBucket]]). Candidates = the DISTINCT union of both
-    * passes — either pass alone misses matches the other finds.
+    * the cell key is the pass that carries real selectivity; per-cell
+    * membership is capped at [[erMaxCell]] exactly like
+    * [[defaultMaxBucket]], with dropped membership published as the
+    * `graft_er_cell_overflow` observed metric). Candidates = the
+    * DISTINCT union of both passes — either pass alone misses matches
+    * the other finds.
     *
     * Scoring is exact-integer: levenshtein ≤ 1 on names, equality on
     * city and cell, fixed-point weights summed and thresholded — the
@@ -1207,7 +1216,9 @@ object DedupOps {
     * record wins; its name is served as the canonical form.
     *
     * Scale: both blocking passes are equi-joins with bounded buckets
-    * (FastSS: ≤ |Σ|+1 per key; cells: bounded membership), scoring is
+    * (FastSS: ≤ |Σ|+1 per key; cells: capped at [[erMaxCell]] — a
+    * dense cell truncates to the cap's smallest rec_ids and reports
+    * the overflow, never goes quadratic), scoring is
     * a narrow projection per candidate, and the cluster stage is the
     * shared iterative min-label propagation — each stage is the
     * already-graded scale path, composed. The resolved-entity table
@@ -1251,8 +1262,33 @@ object DedupOps {
     base.unionByName(twin).unionByName(twin2).unionByName(impostor)
   }
 
+  /** Geocell blocking pass of [[erResolveOn]], capped at `maxCell`
+    * members per (lat10, lon10) cell: the `maxCell` smallest rec_ids
+    * survive (deterministic), the dropped membership count is
+    * published as `graft_er_cell_overflow`. Split out so the cap is
+    * testable at the layer where it acts — the scoring stage kills
+    * most over-cap pairs anyway, so only the candidate volume (the
+    * thing that goes quadratic) shows the cap. */
+  private[graft] def erCellBlock(recs: DataFrame,
+      maxCell: Int = erMaxCell): DataFrame = {
+    val wCell = Window.partitionBy(col("lat10"), col("lon10"))
+      .orderBy(col("rec_id"))
+    val cells = recs.select(col("rec_id"), col("lat10"), col("lon10"))
+      .withColumn("__rank", row_number().over(wCell))
+      .observe("graft_er_cell_overflow",
+        sum(when(col("__rank") > maxCell, 1L).otherwise(0L)).as("dropped"))
+      .filter(col("__rank") <= maxCell)
+      .drop("__rank")
+    cells.as("a").join(cells.as("b"),
+        col("a.lat10") === col("b.lat10") &&
+          col("a.lon10") === col("b.lon10") &&
+          col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("a_id"), col("b.rec_id").as("b_id"))
+  }
+
   /** Core of [[erResolve]], parameterized for the brute-force spec. */
-  private[graft] def erResolveOn(recs0: DataFrame): DataFrame = {
+  private[graft] def erResolveOn(recs0: DataFrame,
+      maxCell: Int = erMaxCell): DataFrame = {
     val recs = recs0.localCheckpoint(true) // blocking passes + scoring + survivorship read it
     // pass 1: FastSS deletion keys on the name (complete for edit ≤ 1)
     val vars = recs.select(col("rec_id"), explode(concat(
@@ -1264,12 +1300,8 @@ object DedupOps {
     val cand1 = vars.as("a").join(vars.as("b"),
         col("a.v") === col("b.v") && col("a.rec_id") < col("b.rec_id"))
       .select(col("a.rec_id").as("a_id"), col("b.rec_id").as("b_id"))
-    // pass 2: geocode-cell block
-    val cand2 = recs.as("a").join(recs.as("b"),
-        col("a.lat10") === col("b.lat10") &&
-          col("a.lon10") === col("b.lon10") &&
-          col("a.rec_id") < col("b.rec_id"))
-      .select(col("a.rec_id").as("a_id"), col("b.rec_id").as("b_id"))
+    // pass 2: geocode-cell block, capped per cell (see [[erMaxCell]])
+    val cand2 = erCellBlock(recs, maxCell)
     val cand = cand1.unionByName(cand2).distinct()
     // score candidates: fixed-point multi-field agreement, threshold
     val a = recs.select(col("rec_id").as("a_id"), col("name").as("na"),
@@ -1859,13 +1891,18 @@ object DedupOps {
          |    [substr(name, 1, i - 1) || substr(name, i + 1, length(name))
          |     for i in range(1, length(name) + 1)]) AS v
          |  FROM recs),
+         |cells AS MATERIALIZED (
+         |  SELECT rec_id, lat10, lon10 FROM (
+         |    SELECT rec_id, lat10, lon10, row_number() OVER
+         |      (PARTITION BY lat10, lon10 ORDER BY rec_id) AS rk
+         |    FROM recs) t WHERE rk <= $erMaxCell),
          |cand AS MATERIALIZED (
          |  SELECT DISTINCT a_id, b_id FROM (
          |    SELECT a.rec_id AS a_id, b.rec_id AS b_id
          |    FROM vars a JOIN vars b ON a.v = b.v AND a.rec_id < b.rec_id
          |    UNION
          |    SELECT a.rec_id, b.rec_id
-         |    FROM recs a JOIN recs b ON a.lat10 = b.lat10
+         |    FROM cells a JOIN cells b ON a.lat10 = b.lat10
          |      AND a.lon10 = b.lon10 AND a.rec_id < b.rec_id) u),
          |pairs AS MATERIALIZED (
          |  SELECT c.a_id, c.b_id

@@ -1670,6 +1670,42 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === SparkEntry.declaredQueryCount)
   }
 
+  test("ER geocell cap: dense cell cannot go quadratic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 records land in ONE (lat10, lon10) cell. Uncapped that is
+    // C(20,2)=190 candidate pairs; capped at 8 it is C(8,2)=28 over
+    // the 8 smallest rec_ids, with the 12 dropped rows published via
+    // the graft_er_cell_overflow observed metric.
+    @volatile var observedDropped = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft_er_cell_overflow")
+          .foreach(r => observedDropped = r.getAs[Long]("dropped"))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dense = (0L until 20L).map(i =>
+        (i, s"resident-$i", "METROPOLIS", 77L, 123L))
+      val recs = dense.toDF("rec_id", "name", "city", "lat10", "lon10")
+      val capped = ops.DedupOps.erCellBlock(recs, maxCell = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.size === 8 * 7 / 2, s"got ${capped.size} pairs")
+      // deterministic truncation: exactly the 8 smallest rec_ids survive
+      assert(capped.flatMap(p => Set(p._1, p._2)) === (0L until 8L).toSet)
+      val deadline = System.currentTimeMillis() + 15000
+      while (observedDropped < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(observedDropped === 12L)
+      // non-vacuity control: at the default cap the same cell is intact
+      assert(ops.DedupOps.erCellBlock(recs).count() === 20L * 19 / 2)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("er_resolve equals brute-force all-pairs linkage on the slice") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
