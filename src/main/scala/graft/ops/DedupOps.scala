@@ -1153,6 +1153,66 @@ object DedupOps {
       .orderBy(col("split"))
   }
 
+  // ------------------------------------------ paragraph-level dedup
+
+  /** Fixed block width (words) for [[paragraphDedup]]. Real pipelines
+    * split on structural boundaries (newlines, HTML blocks); the
+    * fixture corpus is a single-line word stream, so the block
+    * grammar is positional — the dedup semantics are identical. */
+  private[graft] val ParaWords = 16
+
+  /** PARAGRAPH-LEVEL DEDUPLICATION — the C4/RefinedWeb operation the
+    * doc-level families don't cover: boilerplate repeats *inside*
+    * otherwise-unique documents (nav bars, license headers, quoted
+    * replies), so the dedup unit is the paragraph, and the document
+    * survives with its duplicated paragraphs removed rather than
+    * being dropped whole.
+    *
+    * Pipeline: each document splits into fixed-width word blocks
+    * (one `transform` over the split array — no groupBy to rebuild
+    * blocks); the globally-first occurrence of each distinct block
+    * wins (row_number over the block text, ordered by (doc_id, blk)
+    * — the [[firstWins]] rule at paragraph grain); every document is
+    * reassembled from its surviving blocks in order. Output per doc:
+    * block count, dropped count, and the deduplicated text.
+    *
+    * Scale: two hash shuffles, both on high-cardinality keys — the
+    * block text (the window) and doc_id (the reassembly) — each
+    * linear in corpus size; no join, no all-pairs stage. A degenerate
+    * mass-duplicate block (the LSH-cap scenario) costs one skewed
+    * window partition, not a quadratic join — row_number over a hot
+    * key is a sort within one partition, and AQE's skew handling
+    * applies. The reassembly concat is bounded by the document
+    * length. */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame =
+    paragraphDedupOn(Tables.documents(s, d))
+
+  /** Core of [[paragraphDedup]], parameterized for the spec. */
+  private[graft] def paragraphDedupOn(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $ParaWords),
+           |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords),
+           |                  ' '))""".stripMargin)).as(Seq("blk", "para")))
+    val w = Window.partitionBy(col("para"))
+      .orderBy(col("doc_id"), col("blk"))
+    val ranked = blocks.withColumn("__rn", row_number().over(w))
+    val kept = ranked.filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("blk"), col("para"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        array_join(expr("transform(ps, x -> x.para)"), " ").as("kept_text"))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------ composed entity resolution
 
   private val ErSlice = 1000L // bounded record slice (the fuzzy-join slice)
@@ -1331,6 +1391,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_resolve" -> erResolve,
+    "dedup_paragraph" -> paragraphDedup,
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
     "corpus_diff" -> corpusDiff,
@@ -1863,6 +1924,28 @@ object DedupOps {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    // same positional block grammar, same global first-wins rule,
+    // same in-order reassembly (string_agg ORDER BY blk ≡ the sorted
+    // transform join)
+    "dedup_paragraph" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |blocks AS (
+         |  SELECT doc_id, unnest([{'blk': i,
+         |      'para': array_to_string(
+         |        ws[i*$ParaWords+1 : i*$ParaWords+$ParaWords], ' ')}
+         |    for i in range(0, (len(ws) - 1) // $ParaWords + 1)]) AS s
+         |  FROM base),
+         |b2 AS (SELECT doc_id, s.blk AS blk, s.para AS para FROM blocks),
+         |ranked AS (SELECT doc_id, blk, para,
+         |  row_number() OVER (PARTITION BY para ORDER BY doc_id, blk)
+         |    AS rn FROM b2)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+         |  COALESCE(string_agg(para, ' ' ORDER BY blk)
+         |    FILTER (WHERE rn = 1), '') AS kept_text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // full replay of the ER composition: record synthesis from
     // customer, both blocking passes, fixed-point scoring, the shared
     // recursive-CTE min-label clustering, and survivorship

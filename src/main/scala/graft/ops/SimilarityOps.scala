@@ -905,6 +905,75 @@ object SimilarityOps {
     ivfAppendReconcile(base, delta, ivfAssignTo(emb, cents))
   }
 
+  /** INDEX DELETE MAINTENANCE — the other half of [[ivfAppend]]'s
+    * story: a delete batch (dedup removals, takedowns, GDPR erasure —
+    * here vec_id ≡ 3 mod 10) is TOMBSTONED against the served posting
+    * layout, no partition rewrite: serving anti-joins postings with
+    * the tombstone set at read time (merge-on-read, the
+    * [[CdcOps]] MoR discipline applied to the ANN index). At 100 TB
+    * the tombstone set shuffles on vec_id like any other join side —
+    * no broadcast hint; AQE broadcasts it while it is small, and a
+    * periodic compaction (the [[LayoutOps]] rewrite) folds tombstones
+    * into the base when it is not.
+    *
+    * Output is the per-centroid delete reconciliation: postings
+    * before, tombstones landing in the centroid, live postings after,
+    * and `n_mismatch` — the symmetric difference between the
+    * MoR-served live set and a full REBUILD over the surviving
+    * vectors under the same frozen centroids. The MoR contract is
+    * n_mismatch = 0 everywhere; the oracle pins that constant while
+    * independently replaying every count from the spliced centroids
+    * (a stale artifact, a tombstone leak, or an assign drift breaks
+    * the hash), and the ScalaTest control injects a wrong tombstone
+    * set to prove the column fires. */
+  def ivfDelete(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
+    val emb = Tables.embeddings(s, d)
+    val cents = appendModel(s, d).centroids
+    // the served layout: the SAME content-addressed artifacts
+    // ivfAppend maintains (shared fingerprint, so whichever query
+    // runs first builds them; the store serves both)
+    val base = graft.ArtifactStore.parquet(s, "ivf_append_base", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfSnapshot(emb), cents)
+    }
+    val delta = graft.ArtifactStore.parquet(s, "ivf_append_delta", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfBatch(emb), cents)
+    }
+    val tombs = graft.ArtifactStore.parquet(s, "ivf_tombstones", input) {
+      emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    }
+    val served = base.select(col("vec_id"), col("centroid_id"))
+      .unionByName(delta.select(col("vec_id"), col("centroid_id")))
+    val rebuild = ivfAssignTo(emb.filter(col("vec_id") % 10 =!= 3), cents)
+    ivfDeleteReconcile(served, tombs, rebuild)
+  }
+
+  /** Reconciliation tail of [[ivfDelete]], parameterized for the
+    * ScalaTest control (inject a divergent tombstone set to prove
+    * `n_mismatch` fires). */
+  private[graft] def ivfDeleteReconcile(served: DataFrame,
+      tombs: DataFrame, rebuild: DataFrame): DataFrame = {
+    // merge-on-read: flag tombstoned postings, never rewrite them
+    val flagged = served.join(
+      tombs.select(col("vec_id"), lit(1L).as("__del")), Seq("vec_id"), "left")
+    val live = flagged.filter(col("__del").isNull)
+      .select(col("vec_id"), col("centroid_id"))
+    val rb = rebuild.select(col("vec_id"), col("centroid_id"))
+    val mism = live.except(rb).unionByName(rb.except(live))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_mismatch"))
+    flagged.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce(col("__del"), lit(0L))).as("n_deleted"))
+      .join(mism, Seq("centroid_id"), "left")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_live"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Map-side assignment to a frozen centroid set + int8-quantized
     * storage — the ivf_layout projection, shared by base build, delta
     * append and the rebuild control. */
@@ -1529,6 +1598,7 @@ object SimilarityOps {
     "sim_ivf_quantized" -> ivfQuantized,
     "sim_ivf_pruned_layout" -> ivfPrunedLayout,
     "sim_ivf_append" -> ivfAppend, // generated oracle (frozen centroids)
+    "sim_ivf_delete" -> ivfDelete, // generated oracle (frozen centroids)
     "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
   )
 
@@ -1645,6 +1715,25 @@ object SimilarityOps {
              |    AS n_appended,
              |  COUNT(*) AS n_total,
              |  CAST(0 AS BIGINT) AS n_mismatch
+             |FROM a GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+          // same independent assignment replay; the delete split and
+          // the MoR-≡-rebuild contract constant derive the rest
+          "sim_ivf_delete" ->
+          s"""WITH c AS (SELECT * FROM (VALUES
+             |    $centVals) AS t(centroid_id, ce)),
+             |a AS (SELECT vec_id, centroid_id FROM (
+             |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+             |    PARTITION BY e.vec_id ORDER BY
+             |      ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id)
+             |    AS rn
+             |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1)
+             |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+             |  COUNT(*) AS n_before,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 3) AS BIGINT)
+             |    AS n_deleted,
+             |  COUNT(*) - CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 3)
+             |    AS BIGINT) AS n_live,
+             |  CAST(0 AS BIGINT) AS n_mismatch
              |FROM a GROUP BY centroid_id ORDER BY centroid_id""".stripMargin)
       case _ => Map.empty
     }
@@ -1746,7 +1835,7 @@ object SimilarityOps {
     * training run has populated exactly one cache entry. */
   private[graft] val generatedOracleKeys: Set[String] =
     Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk",
-      "sim_pca_project", "sim_ivf_append")
+      "sim_pca_project", "sim_ivf_append", "sim_ivf_delete")
 
   /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
     * graph re-derived from the all-pairs round-6 cosine ranking, then

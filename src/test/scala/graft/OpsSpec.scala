@@ -281,6 +281,37 @@ class OpsSpec extends AnyFunSuite {
     assert(fired > 0, "control: wrong-centroid delta not flagged")
   }
 
+  test("IVF delete: MoR-served live set equals filtered rebuild; wrong tombstones fire n_mismatch") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = ops.SimilarityOps.kmeansFit(
+      emb.filter(col("vec_id") % 10 < 8))._2
+    val served = ops.SimilarityOps.ivfAssignTo(emb, cents)
+      .select(col("vec_id"), col("centroid_id")).localCheckpoint(true)
+    val tombs = emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+      .localCheckpoint(true)
+    val rebuild = ops.SimilarityOps.ivfAssignTo(
+      emb.filter(col("vec_id") % 10 =!= 3), cents)
+    val rec = ops.SimilarityOps.ivfDeleteReconcile(served, tombs, rebuild)
+      .collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall(_.getLong(4) == 0L),
+      s"MoR != rebuild: ${rec.filter(_.getLong(4) != 0).mkString(", ")}")
+    // the fixture plants tombstones (10% of ids) and survivors
+    assert(rec.map(_.getLong(2)).sum > 0, "no tombstones landed")
+    assert(rec.map(_.getLong(3)).sum > 0, "no live postings survived")
+    // the accounting identity holds per centroid
+    rec.foreach(r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
+    // NON-VACUITY control: a tombstone set that disagrees with the
+    // rebuild filter must surface as nonzero n_mismatch
+    val wrongTombs = emb.filter(col("vec_id") % 10 === 4)
+      .select(col("vec_id"))
+    val fired = ops.SimilarityOps
+      .ivfDeleteReconcile(served, wrongTombs, rebuild)
+      .agg(sum(col("n_mismatch"))).head().getLong(0)
+    assert(fired > 0, "control: wrong tombstone set not flagged")
+  }
+
   test("srpAutoParams: reproduces the hand-tuned point and scales sub-quadratically") {
     // the previously hand-picked (7, 96) for the 0.3-threshold demo at
     // n=2000 is what the tuner derives from the same collision formula
@@ -1704,6 +1735,34 @@ class OpsSpec extends AnyFunSuite {
       // non-vacuity control: at the default cap the same cell is intact
       assert(ops.DedupOps.erCellBlock(recs).count() === 20L * 19 / 2)
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("paragraph dedup equals brute-force first-wins over word blocks") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // brute force: positional 16-word blocks, global first occurrence
+    // wins ordered by (doc_id, blk), docs reassembled from survivors
+    val blocks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(16).zipWithIndex
+        .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+    }
+    val firstOwner = blocks.groupBy(_._3).map { case (para, occ) =>
+      para -> occ.minBy(o => (o._1, o._2))
+    }
+    val expect = blocks.groupBy(_._1).map { case (id, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val keptTxt = sorted.filter(b => firstOwner(b._3) == b)
+        .map(_._3).mkString(" ")
+      (id, sorted.length.toLong,
+        sorted.count(b => firstOwner(b._3) != b).toLong, keptTxt)
+    }.toSeq.sortBy(_._1)
+    assert(expect.map(_._3).sum > 0, "fixture plants no duplicate blocks")
+    val got = ops.DedupOps.paragraphDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expect)
   }
 
   test("er_resolve equals brute-force all-pairs linkage on the slice") {
