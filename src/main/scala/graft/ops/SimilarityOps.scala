@@ -1010,6 +1010,73 @@ object SimilarityOps {
       .orderBy(col("centroid_id"))
   }
 
+  // ------------------- ANN recall/cost evaluation (r11) ------------
+
+  /** Probe-count levels swept by [[annRecallEval]]. 16 = every
+    * centroid, i.e. the EXACT search — it doubles as the ground
+    * truth, which keeps the whole evaluation one equi-join pipeline
+    * (no brute-force cross join, no bounded-pair allowlist entry). */
+  private[graft] val RecallProbeLevels = Seq(1, 2, 4, 16)
+  private[graft] val RecallK = 10
+
+  /** RECALL/COST CURVE of the trained IVF index — the nprobe tuning
+    * loop a production ANN deployment actually runs: for each probe
+    * count, how much of the exact top-k does the pruned search
+    * recover (`n_hits` of `n_queries`·k), and what does it cost
+    * (`n_candidates` scored)? Everything is an exact integer — no
+    * float recall ratio to diverge cross-engine; the consumer divides.
+    *
+    * The probes=16 level probes every centroid, so its candidate set
+    * is the full corpus and its top-k IS the exact baseline: ground
+    * truth falls out of the same pipeline as the measurements (its
+    * n_hits must read n_queries·k — a self-check the oracle grades).
+    *
+    * Scale: assignment is the map-side argmax (zero shuffle); the
+    * probe side is |queries|·Σlevels rows — broadcast by
+    * construction (bounded query set, the sim_pq_topk convention);
+    * candidate scoring is one equi-join on centroid_id; the only
+    * wide ops are the per-(level, query) top-k window and the final
+    * 4-group count. Evaluating recall on a SAMPLE of queries against
+    * the full index is exactly how the tuning loop runs at 100 TB —
+    * the corpus is never cross-joined. */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val scores = centroidScoresLocal(trainedKmeans(s, d).centroids,
+      col("embedding"))
+    val assigned = e
+      .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        scores.as("cs"))
+      .select(col("query_id"), col("qe"),
+        explode(array(RecallProbeLevels.map(lit): _*)).as("probes"),
+        col("cs"))
+      .select(col("query_id"), col("qe"), col("probes"),
+        explode(expr("slice(cs, 1, probes)")).as("pc"))
+      .select(col("probes"), col("query_id"), col("qe"),
+        col("pc.cid").as("centroid_id"))
+    val wTop = Window.partitionBy(col("probes"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Vectors.cosine6(col("qe"), col("embedding")))
+    val topK = cand.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= RecallK)
+      .select(col("probes"), col("query_id"), col("vec_id"))
+    val exact = topK.filter(col("probes") === 16)
+      .select(col("query_id"), col("vec_id"))
+    val hits = topK.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
+    cand.groupBy(col("probes"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("probes"))
+      .select(col("probes").cast("int").as("probes"), col("n_queries"),
+        col("n_candidates"), col("n_hits"))
+      .orderBy(col("probes"))
+  }
+
   /** Deterministic distributed k-means (Lloyd) — the trainer that
     * produces IVF's centroid set ([[centroids]]'s fixed 16 are
     * deterministic stand-ins for exactly this output). The 100 TB
@@ -1599,6 +1666,7 @@ object SimilarityOps {
     "sim_ivf_pruned_layout" -> ivfPrunedLayout,
     "sim_ivf_append" -> ivfAppend, // generated oracle (frozen centroids)
     "sim_ivf_delete" -> ivfDelete, // generated oracle (frozen centroids)
+    "sim_ann_recall_eval" -> annRecallEval, // generated oracle (kmeans16)
     "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
   )
 
@@ -1665,6 +1733,51 @@ object SimilarityOps {
           "sim_ivf_trained" -> probeOracleSql(
             s"""SELECT * FROM (VALUES
                |    $centVals) AS t(centroid_id, ce)""".stripMargin),
+          // full independent replay of the recall/cost sweep:
+          // assignment argmax, per-level probe prefixes, candidate
+          // scoring, top-k, and hits against the probes=16 (exact)
+          // level — every output an exact integer
+          "sim_ann_recall_eval" ->
+            s"""WITH c AS (SELECT * FROM (VALUES
+               |    $centVals) AS t(centroid_id, ce)),
+               |a AS (SELECT vec_id, embedding, centroid_id FROM (
+               |  SELECT e.vec_id, e.embedding, c.centroid_id,
+               |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               |      ${cos.format("e.embedding", "c.ce")} DESC,
+               |      c.centroid_id) AS rn
+               |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+               |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
+               |    c.centroid_id,
+               |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               |      ${cos.format("e.embedding", "c.ce")} DESC,
+               |      c.centroid_id) AS crank
+               |  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 10),
+               |lv AS (SELECT unnest([1, 2, 4, 16]) AS probes),
+               |pr AS (SELECT lv.probes, q.query_id, q.qe, q.centroid_id
+               |  FROM q JOIN lv ON q.crank <= lv.probes),
+               |cand AS MATERIALIZED (SELECT pr.probes, pr.query_id,
+               |    a.vec_id, ${cos.format("pr.qe", "a.embedding")} AS cosine
+               |  FROM pr JOIN a ON a.centroid_id = pr.centroid_id
+               |  WHERE a.vec_id <> pr.query_id),
+               |topk AS MATERIALIZED (SELECT probes, query_id, vec_id
+               |  FROM (SELECT probes, query_id, vec_id, row_number()
+               |      OVER (PARTITION BY probes, query_id
+               |        ORDER BY cosine DESC, vec_id) AS rk FROM cand) t
+               |  WHERE rk <= $RecallK),
+               |ex AS (SELECT query_id, vec_id FROM topk WHERE probes = 16),
+               |hits AS (SELECT t.probes, COUNT(*) AS n_hits FROM topk t
+               |  JOIN ex ON ex.query_id = t.query_id
+               |    AND ex.vec_id = t.vec_id
+               |  GROUP BY t.probes),
+               |cost AS (SELECT probes, COUNT(DISTINCT query_id)
+               |    AS n_queries, COUNT(*) AS n_candidates
+               |  FROM cand GROUP BY probes)
+               |SELECT CAST(cost.probes AS INT) AS probes,
+               |  CAST(n_queries AS BIGINT) AS n_queries,
+               |  CAST(n_candidates AS BIGINT) AS n_candidates,
+               |  CAST(n_hits AS BIGINT) AS n_hits
+               |FROM cost JOIN hits ON hits.probes = cost.probes
+               |ORDER BY probes""".stripMargin,
           "sim_kmeans_sizes" ->
             s"""WITH c AS (SELECT * FROM (VALUES
                |    $snapVals) AS t(iter, centroid_id, ce)),
@@ -1835,7 +1948,8 @@ object SimilarityOps {
     * training run has populated exactly one cache entry. */
   private[graft] val generatedOracleKeys: Set[String] =
     Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk",
-      "sim_pca_project", "sim_ivf_append", "sim_ivf_delete")
+      "sim_pca_project", "sim_ivf_append", "sim_ivf_delete",
+      "sim_ann_recall_eval")
 
   /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
     * graph re-derived from the all-pairs round-6 cosine ranking, then

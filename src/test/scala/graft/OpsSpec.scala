@@ -312,6 +312,52 @@ class OpsSpec extends AnyFunSuite {
     assert(fired > 0, "control: wrong tombstone set not flagged")
   }
 
+  test("ANN recall eval: monotone curve, exact level self-checks, hits match brute force") {
+    val rows = ops.SimilarityOps.annRecallEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 16))
+    // probes=16 IS the exact search: hits must be n_queries * k
+    val (_, nq, nCandFull, hitsFull) = rows.last
+    assert(hitsFull === nq * 10)
+    // monotone in probes: candidates and hits never fall
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, "candidates must grow with probes")
+      assert(a._4 <= b._4, "hits must grow with probes")
+    }
+    // probing every centroid scans the whole corpus minus self-pairs
+    val n = Tables.embeddings(spark, sf).count()
+    assert(nCandFull === nq * (n - 1))
+    // cross-check the probes=1 hits against a brute-force replay
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cents = ops.SimilarityOps.kmeansFitFull(
+      Tables.embeddings(spark, sf)).centroids
+    def cos6(a: Array[Double], b: Seq[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def nearest(v: Array[Double]): Long =
+      cents.map { case (cid, ce) => (-cos6(v, ce), cid) }.min._2
+    val assign = e.map { case (id, v) => id -> nearest(v) }.toMap
+    val bruteHits1 = e.filter(_._1 < 10).map { case (qid, qv) =>
+      val probe1 = nearest(qv)
+      val candIds = e.filter { case (id, _) =>
+        id != qid && assign(id) == probe1 }
+      val ivfTop = candIds.map { case (id, v) => (-cos6(qv, v), id) }
+        .sorted.take(10).map(_._2).toSet
+      val exTop = e.filter(_._1 != qid)
+        .map { case (id, v) => (-cos6(qv, v), id) }
+        .sorted.take(10).map(_._2).toSet
+      (ivfTop & exTop).size.toLong
+    }.sum
+    assert(rows.head._4 === bruteHits1,
+      s"probes=1 hits ${rows.head._4} != brute-force $bruteHits1")
+  }
+
   test("srpAutoParams: reproduces the hand-tuned point and scales sub-quadratically") {
     // the previously hand-picked (7, 96) for the 0.3-threshold demo at
     // n=2000 is what the tuner derives from the same collision formula
