@@ -145,6 +145,55 @@ object TextOps {
     * standard cheap pre-filter for LLM corpus cleaning. Arithmetic is
     * int-derived doubles with an identical expression tree on the
     * oracle side, so results compare exactly. */
+  /** Bin cap for [[driftPsi]] (doc length in words, 8-word bins). */
+  private[graft] val PsiBins = 32
+
+  /** DISTRIBUTION-DRIFT MONITOR (PSI) between two corpus snapshots —
+    * the check a 100 TB ingest runs per batch: did this month's crawl
+    * shift the length distribution, or did a scraper break upstream?
+    * Snapshots follow the [[DedupOps]] corpus_diff convention
+    * (A = doc_id ≡ 0‥7, B = doc_id ≡ 2‥9 mod 10 — overlapping
+    * populations with different tails, so the fixture drift is
+    * nonzero but small). Feature: document length in words, 8-word
+    * bins capped at [[PsiBins]].
+    *
+    * Per bin the output carries both counts and the Population
+    * Stability Index term (pa − pb)·ln(pa/pb) with Laplace-smoothed
+    * proportions, quantized to the 10⁻⁹ lattice as a LONG — there is
+    * NO cross-bin float sum anywhere (float addition order would
+    * diverge across engines/partitionings); the total PSI is the
+    * exact integer sum of `psi_e9`, which the consumer (or a test)
+    * computes losslessly. The ln/divide trees are identical in both
+    * engines (the bm25/zipf fixed-point discipline).
+    *
+    * Scale: one scan, one groupBy on ≤ [[PsiBins]] keys with
+    * map-side partial aggregation, plus a 1-row totals collect
+    * (driver-sized by construction — the model-collect discipline);
+    * the per-bin math is a literal-splice projection. Nothing here
+    * grows super-linearly with the corpus. */
+  def driftPsi(s: SparkSession, d: String): DataFrame = {
+    val binned = Tables.documents(s, d).select(col("doc_id"),
+        least(size(split(col("text"), " ")).divide(lit(8)).cast("int"),
+          lit(PsiBins - 1)).as("bin"))
+    val inA = col("doc_id") % 10 < 8
+    val inB = col("doc_id") % 10 >= 2
+    val t = binned.agg(
+      sum(when(inA, 1L).otherwise(0L)),
+      sum(when(inB, 1L).otherwise(0L))).head()
+    val (naT, nbT) = (t.getLong(0), t.getLong(1))
+    binned.groupBy(col("bin"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("pa",
+        (col("n_a") + 1).cast("double") / lit(naT + PsiBins.toDouble))
+      .withColumn("pb",
+        (col("n_b") + 1).cast("double") / lit(nbT + PsiBins.toDouble))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+          * lit(1e9), 0).cast("long").as("psi_e9"))
+      .orderBy(col("bin"))
+  }
+
   def qualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("score", docQuality(col("text")))
@@ -1539,6 +1588,7 @@ object TextOps {
     "corpus_temperature_mix" -> temperatureMix,
     "corpus_epoch_plan" -> epochPlan,
     "text_dup_ngrams" -> dupNgrams,
+    "quality_drift_psi" -> driftPsi,
   )
 
   def oracles: Map[String, String] =
@@ -1546,6 +1596,31 @@ object TextOps {
       tokenizerCompareGeneratedOracle
 
   private val staticOracles: Map[String, String] = Map(
+    // same smoothing, same identical ln/divide tree, same 10⁻⁹
+    // quantization per bin; totals derive from the same filters
+    "quality_drift_psi" ->
+      s"""WITH binned AS (
+         |  SELECT doc_id,
+         |    least(len(string_split(text, ' ')) // 8, ${PsiBins - 1})
+         |      AS bin
+         |  FROM documents),
+         |tot AS (SELECT
+         |  COUNT(*) FILTER (WHERE doc_id % 10 < 8) AS na,
+         |  COUNT(*) FILTER (WHERE doc_id % 10 >= 2) AS nb FROM binned),
+         |agg AS (SELECT bin,
+         |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 < 8) AS BIGINT)
+         |    AS n_a,
+         |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 >= 2) AS BIGINT)
+         |    AS n_b
+         |  FROM binned GROUP BY bin),
+         |p AS (SELECT bin, n_a, n_b,
+         |  CAST(n_a + 1 AS DOUBLE) / (na + ${PsiBins}.0) AS pa,
+         |  CAST(n_b + 1 AS DOUBLE) / (nb + ${PsiBins}.0) AS pb
+         |  FROM agg, tot)
+         |SELECT CAST(bin AS INT) AS bin, n_a, n_b,
+         |  CAST(round((pa - pb) * ln(pa / pb) * 1e9) AS BIGINT)
+         |    AS psi_e9
+         |FROM p ORDER BY bin""".stripMargin,
     // full EM-trajectory re-derivation (recursive-CTE Viterbi, no
     // spliced constants) — see the unigram section's oracle note
     "text_unigram_train" -> uniTrainOracleSql,

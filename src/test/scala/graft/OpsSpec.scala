@@ -1783,6 +1783,30 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("PSI drift equals brute-force replay; fixture drift is nonzero") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length))
+    val bins = docs.map { case (id, len) => (id, math.min(len / 8, 31)) }
+    val naT = bins.count(_._1 % 10 < 8).toLong
+    val nbT = bins.count(_._1 % 10 >= 2).toLong
+    val expect = bins.groupBy(_._2).map { case (bin, members) =>
+      val na = members.count(_._1 % 10 < 8).toLong
+      val nb = members.count(_._1 % 10 >= 2).toLong
+      val pa = (na + 1).toDouble / (naT + 32.0)
+      val pb = (nb + 1).toDouble / (nbT + 32.0)
+      val psi = BigDecimal((pa - pb) * math.log(pa / pb) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (bin, na, nb, psi)
+    }.toSeq.sortBy(_._1)
+    assert(expect.map(_._4).sum > 0, "fixture snapshots show no drift")
+    val got = ops.TextOps.driftPsi(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
+
   test("paragraph dedup equals brute-force first-wins over word blocks") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, d)
