@@ -1822,15 +1822,48 @@ object DedupOps {
     * pairs, singletons keeping themselves, min-id labels, kept flag.
     * Empty until a session has run the query (the Verify protocol
     * runs every query before dumping `oracleSql`). */
-  private val semanticLshTailAfterPairsSql: String =
-    s"""edges AS (SELECT a_id AS src, b_id AS dst FROM pairsx
-       |          UNION SELECT b_id, a_id FROM pairsx),
-       |walk(id, label) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
-       |comp AS (SELECT id, min(label) AS cluster_id
-       |         FROM walk GROUP BY id),
+  /** Unrolled min-label iterations for the clustering tail. The old
+    * transitive-closure walk (`walk(id, label)` accumulating every
+    * reachable label per node) is quadratic in CLUSTER size — at sf1
+    * the 0.3-threshold similarity graph percolates into one
+    * 20k-node component and the walk wanted ~4·10⁸ rows (r11: the
+    * sweep burned 35+ min on it). The engine's own
+    * [[connectedComponents]] is iterative min-label propagation, so
+    * the oracle now replays THAT shape: per iteration each node takes
+    * the min of its own label, its neighbors' labels, and its label's
+    * label (the Shiloach–Vishkin hook + jump, O(log n) iterations —
+    * 32 covers any fixture by orders of magnitude). Aggregation is
+    * illegal in a DuckDB recursive CTE, so the iterations are
+    * UNROLLED as plain chained CTEs; the convergence gate (last two
+    * iterations must be identical) empties `comp` on shortfall,
+    * collapsing every vector to a singleton — a loud hash break,
+    * never a silent wrong answer. Cost: 2·|pairs| join rows per
+    * iteration — linear, cluster-structure-independent. */
+  private val SemCcIters = 32
+
+  private val semanticLshTailAfterPairsSql: String = {
+    val steps = (1 to SemCcIters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.id, least(l.label,
+         |      coalesce(nm.m, l.label), coalesce(pj.label, l.label))
+         |    AS label
+         |  FROM l${k - 1} l
+         |  LEFT JOIN (SELECT e.src AS id, MIN(x.label) AS m
+         |             FROM edges e JOIN l${k - 1} x ON x.id = e.dst
+         |             GROUP BY e.src) nm ON nm.id = l.id
+         |  LEFT JOIN l${k - 1} pj ON pj.id = l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairsx
+       |  UNION SELECT b_id, a_id FROM pairsx),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id AS label FROM vecs),
+       |$steps,
+       |conv AS (SELECT COUNT(*) AS c FROM
+       |  (SELECT id, label FROM l$SemCcIters
+       |   EXCEPT SELECT id, label FROM l${SemCcIters - 1}) t),
+       |comp AS (SELECT id, label AS cluster_id FROM l$SemCcIters
+       |         WHERE (SELECT c FROM conv) = 0),
        |assigned AS (
        |  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
        |  FROM vecs v LEFT JOIN comp c ON c.id = v.vec_id),
@@ -1841,6 +1874,7 @@ object DedupOps {
        |    AS BIGINT) AS kept
        |FROM assigned a JOIN sizes s USING (cluster_id)
        |ORDER BY vec_id""".stripMargin
+  }
 
   private val semanticLshTailSql: String =
     s"""pairsx AS (

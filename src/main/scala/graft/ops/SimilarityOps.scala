@@ -161,10 +161,14 @@ object SimilarityOps {
     * `embeddings` table to `cand` (distinct candidate id pairs), for
     * the given band geometry. Both splitmix derivations (per-bit
     * plane seed, per-(bit, dim) Rademacher sign) run as stepped
-    * MATERIALIZED HUGEINT CTEs; the float accumulator folds each
-    * vector's ±dims SEQUENTIALLY via an ordered list_reduce, matching
-    * the Scala loop's IEEE addition order exactly (acc - v ==
-    * acc + (-1.0·v) bit-for-bit). */
+    * MATERIALIZED HUGEINT CTEs; the float accumulator is DuckDB's
+    * native `list_dot_product`, which accumulates SEQUENTIALLY in
+    * index order and so matches the Scala loop's IEEE addition order
+    * exactly (acc - v == acc + (-1.0·v) bit-for-bit; verified
+    * 0-difference against the explicit ordered list_reduce fold over
+    * the real corpus, and ~50× cheaper — the fold was the sf1
+    * bottleneck, r11). Dim-agnostic, unlike the fold's hardcoded
+    * range(1, 65). */
   private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long): String =
     srpCtesSql(bits, bands, seed, vecSample = "", auxTable = "")
 
@@ -263,10 +267,7 @@ object SimilarityOps {
        |vecs AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |accs AS MATERIALIZED (
-       |  SELECT v.vec_id, s.bit,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      [v.ve[i] * s.sl[i] for i in range(1, 65)]), (a, b) -> a + b)
-       |      AS acc
+       |  SELECT v.vec_id, s.bit, list_dot_product(v.ve, s.sl) AS acc
        |  FROM vecs v CROSS JOIN slists s$accsWhere),
        |$bucketsSql$candSql""".stripMargin
   }
