@@ -951,6 +951,80 @@ object SimilarityOps {
     ivfDeleteReconcile(served, tombs, rebuild)
   }
 
+  /** INDEX COMPACTION — the third leg of the maintenance triptych
+    * ([[ivfAppend]] grows the index, [[ivfDelete]] tombstones it,
+    * compaction FOLDS the accumulated state back into one base): the
+    * merge-on-read view (base ∪ delta − tombstones) is rewritten as a
+    * fresh partitioned artifact, after which readers drop the
+    * anti-join and the tombstone set resets. At 100 TB this is the
+    * periodic background rewrite every LSM-shaped store runs — cost
+    * is one linear pass over live postings, amortized across the
+    * batches since the last fold, and it bounds the serve-time
+    * overhead MoR accrues (the [[graft.ops.LayoutOps]] compaction
+    * story applied to the index).
+    *
+    * Output is the per-centroid compaction report: postings in (by
+    * origin), tombstones applied, postings out, and `n_mismatch` —
+    * the symmetric difference between the compacted artifact READ
+    * BACK from the store and the MoR view it replaces. Compaction
+    * must be invisible to readers: n_mismatch = 0 is the contract,
+    * pinned by the generated oracle (which independently replays
+    * every count from the spliced frozen centroids) and control-fired
+    * in ScalaTest. */
+  def ivfCompact(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
+    val emb = Tables.embeddings(s, d)
+    val cents = appendModel(s, d).centroids
+    val base = graft.ArtifactStore.parquet(s, "ivf_append_base", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfSnapshot(emb), cents)
+    }
+    val delta = graft.ArtifactStore.parquet(s, "ivf_append_delta", input,
+      partitionColumns = Seq("centroid_id")) {
+      ivfAssignTo(ivfBatch(emb), cents)
+    }
+    val tombs = graft.ArtifactStore.parquet(s, "ivf_tombstones", input) {
+      emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    }
+    val mor = base.unionByName(delta)
+      .join(tombs.select(col("vec_id"), lit(1L).as("__del")),
+        Seq("vec_id"), "left")
+    val compacted = graft.ArtifactStore.parquet(s, "ivf_compacted", input,
+      partitionColumns = Seq("centroid_id")) {
+      mor.filter(col("__del").isNull)
+        .select(col("vec_id"), col("vq"), col("centroid_id"))
+    }
+    ivfCompactReconcile(mor, compacted)
+  }
+
+  /** Reconciliation tail of [[ivfCompact]], parameterized for the
+    * ScalaTest control (inject a divergent compacted set to prove
+    * `n_mismatch` fires). `mor` carries the pre-fold view with the
+    * tombstone flag (`__del`) and origin split (vec_id mod — the
+    * fixture convention, re-derived here from the id so the reconcile
+    * needs no extra column plumbing). */
+  private[graft] def ivfCompactReconcile(mor: DataFrame,
+      compacted: DataFrame): DataFrame = {
+    val live = mor.filter(col("__del").isNull)
+      .select(col("vec_id"), col("centroid_id"))
+    val cp = compacted.select(col("vec_id"), col("centroid_id"))
+    val mism = cp.except(live).unionByName(live.except(cp))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_mismatch"))
+    mor.groupBy(col("centroid_id"))
+      .agg(
+        sum(when(col("vec_id") % 10 < 8, 1L).otherwise(0L)).as("n_in_base"),
+        sum(when(col("vec_id") % 10 >= 8, 1L).otherwise(0L))
+          .as("n_in_delta"),
+        sum(when(col("__del").isNotNull, 1L).otherwise(0L))
+          .as("n_tombstoned"),
+        sum(when(col("__del").isNull, 1L).otherwise(0L)).as("n_out"))
+      .join(mism, Seq("centroid_id"), "left")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_in_base"), col("n_in_delta"), col("n_tombstoned"),
+        col("n_out"), coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Reconciliation tail of [[ivfDelete]], parameterized for the
     * ScalaTest control (inject a divergent tombstone set to prove
     * `n_mismatch` fires). */
@@ -1668,6 +1742,7 @@ object SimilarityOps {
     "sim_ivf_append" -> ivfAppend, // generated oracle (frozen centroids)
     "sim_ivf_delete" -> ivfDelete, // generated oracle (frozen centroids)
     "sim_ann_recall_eval" -> annRecallEval, // generated oracle (kmeans16)
+    "sim_ivf_compact" -> ivfCompact, // generated oracle (frozen centroids)
     "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
   )
 
@@ -1848,6 +1923,29 @@ object SimilarityOps {
              |  COUNT(*) - CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 3)
              |    AS BIGINT) AS n_live,
              |  CAST(0 AS BIGINT) AS n_mismatch
+             |FROM a GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+          // the compaction report from the same assignment replay:
+          // origin split, tombstones applied, survivors, and the
+          // pinned compaction-is-invisible contract
+          "sim_ivf_compact" ->
+          s"""WITH c AS (SELECT * FROM (VALUES
+             |    $centVals) AS t(centroid_id, ce)),
+             |a AS (SELECT vec_id, centroid_id FROM (
+             |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+             |    PARTITION BY e.vec_id ORDER BY
+             |      ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id)
+             |    AS rn
+             |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1)
+             |SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 < 8) AS BIGINT)
+             |    AS n_in_base,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 >= 8) AS BIGINT)
+             |    AS n_in_delta,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 = 3) AS BIGINT)
+             |    AS n_tombstoned,
+             |  CAST(COUNT(*) FILTER (WHERE vec_id % 10 <> 3) AS BIGINT)
+             |    AS n_out,
+             |  CAST(0 AS BIGINT) AS n_mismatch
              |FROM a GROUP BY centroid_id ORDER BY centroid_id""".stripMargin)
       case _ => Map.empty
     }
@@ -1950,7 +2048,7 @@ object SimilarityOps {
   private[graft] val generatedOracleKeys: Set[String] =
     Set("sim_kmeans_sizes", "sim_ivf_trained", "sim_pq_topk",
       "sim_pca_project", "sim_ivf_append", "sim_ivf_delete",
-      "sim_ann_recall_eval")
+      "sim_ann_recall_eval", "sim_ivf_compact")
 
   /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
     * graph re-derived from the all-pairs round-6 cosine ranking, then

@@ -312,6 +312,33 @@ class OpsSpec extends AnyFunSuite {
     assert(fired > 0, "control: wrong tombstone set not flagged")
   }
 
+  test("IVF compact: fold equals MoR view; wrong compacted set fires n_mismatch") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = ops.SimilarityOps.kmeansFit(
+      emb.filter(col("vec_id") % 10 < 8))._2
+    val mor = ops.SimilarityOps.ivfAssignTo(emb, cents)
+      .join(emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), lit(1L).as("__del")), Seq("vec_id"), "left")
+      .localCheckpoint(true)
+    val compacted = mor.filter(col("__del").isNull)
+      .select(col("vec_id"), col("vq"), col("centroid_id"))
+    val rec = ops.SimilarityOps.ivfCompactReconcile(mor, compacted)
+      .collect()
+    assert(rec.nonEmpty)
+    assert(rec.forall(_.getLong(5) == 0L),
+      s"fold != MoR: ${rec.filter(_.getLong(5) != 0).mkString(", ")}")
+    // per-centroid accounting: out = in_base + in_delta - tombstoned
+    rec.foreach(r => assert(
+      r.getLong(4) === r.getLong(1) + r.getLong(2) - r.getLong(3)))
+    assert(rec.map(_.getLong(3)).sum > 0, "no tombstones folded")
+    // NON-VACUITY control: a compacted set that leaked a tombstone
+    // must fire
+    val leaky = mor.select(col("vec_id"), col("vq"), col("centroid_id"))
+    val fired = ops.SimilarityOps.ivfCompactReconcile(mor, leaky)
+      .agg(sum(col("n_mismatch"))).head().getLong(0)
+    assert(fired > 0, "control: tombstone leak not flagged")
+  }
+
   test("ANN recall eval: monotone curve, exact level self-checks, hits match brute force") {
     val rows = ops.SimilarityOps.annRecallEval(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
