@@ -1185,7 +1185,13 @@ object DedupOps {
     * applies. The reassembly concat is bounded by the document
     * length. */
   def paragraphDedup(s: SparkSession, d: String): DataFrame =
-    paragraphDedupOn(Tables.documents(s, d))
+    // pure function of the documents snapshot → content-addressed and
+    // SERVED (the tfidf/clusters_lsh discipline): paragraph dedup runs
+    // at ingest, consumers read the deduplicated table
+    graft.ArtifactStore.parquet(s, "paragraph_dedup",
+      s"$d/documents.parquet", version = 1) {
+      paragraphDedupOn(Tables.documents(s, d))
+    }.orderBy(col("doc_id"))
 
   /** Core of [[paragraphDedup]], parameterized for the spec. */
   private[graft] def paragraphDedupOn(docs: DataFrame): DataFrame = {

@@ -1114,7 +1114,16 @@ object SimilarityOps {
     * 4-group count. Evaluating recall on a SAMPLE of queries against
     * the full index is exactly how the tuning loop runs at 100 TB —
     * the corpus is never cross-joined. */
-  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+  def annRecallEval(s: SparkSession, d: String): DataFrame =
+    // a pure function of the embeddings snapshot (4 report rows) —
+    // tuned once per snapshot, then served (the kmeans16 protocol)
+    graft.ArtifactStore.parquet(s, "ann_recall_eval",
+      s"$d/embeddings.parquet", version = 1) {
+      annRecallEvalOn(s, d)
+    }.orderBy(col("probes"))
+
+  /** Build path of [[annRecallEval]]. */
+  private def annRecallEvalOn(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val scores = centroidScoresLocal(trainedKmeans(s, d).centroids,
       col("embedding"))
