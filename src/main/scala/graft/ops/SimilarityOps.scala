@@ -427,9 +427,13 @@ object SimilarityOps {
     * stages stay narrow — the only wide op is the final per-query
     * top-k window over the pruned candidate set. */
   private def probeSearch(e: DataFrame,
-      scores: org.apache.spark.sql.Column, nprobe: Int = 2): DataFrame = {
-    // map-side assignment of all vectors to their nearest centroid
-    val assigned = e
+      scores: org.apache.spark.sql.Column, nprobe: Int = 2,
+      candFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    // map-side assignment of all (PRE-FILTERED) vectors to their
+    // nearest centroid — candFilter is the filtered-search predicate,
+    // applied before anything else so excluded vectors are never
+    // assigned, scored, or ranked
+    val assigned = e.filter(candFilter)
       .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
     // queries probe their nprobe nearest clusters — also map-side
@@ -457,6 +461,24 @@ object SimilarityOps {
   def ivfProbe(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     probeSearch(e, fixedCentroidScores(s, d))
+  }
+
+  /** FILTERED vector search — the production case plain top-k
+    * skips: "nearest neighbors among the vectors satisfying a
+    * metadata predicate" (tenant, language, license, date range).
+    * This is the PRE-FILTER strategy: the predicate applies before
+    * assignment, scoring, or ranking, so k results are guaranteed
+    * from the eligible pool (post-filtering a fixed-k result set
+    * under-fills k when the predicate is selective — the classic
+    * failure). The predicate here is a deterministic tenant
+    * stand-in (vec_id ≡ 1 mod 3, ~1/3 selectivity); at scale the
+    * tenant key is a partition/bucket column of the posting layout
+    * and the same filter prunes I/O instead of rows. Everything else
+    * is the graded [[ivfProbe]] pruned-search shape. */
+  def ivfFilteredTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    probeSearch(e, fixedCentroidScores(s, d),
+      candFilter = col("vec_id") % 3 === 1)
   }
 
   /** Trainer → index composition: the full IVF read path with TRAINED
@@ -1757,6 +1779,7 @@ object SimilarityOps {
 
     "sim_ivf_assign" -> ivfAssign,
     "sim_ivf_probe" -> ivfProbe,
+    "sim_filtered_topk" -> ivfFilteredTopk,
     "sim_ivf_trained" -> ivfTrained, // generated oracle (spliced centroids)
     "sim_ivf_quantized" -> ivfQuantized,
     "sim_ivf_pruned_layout" -> ivfPrunedLayout,
@@ -1779,12 +1802,13 @@ object SimilarityOps {
     * 2-probe selection, top-3 exact round-6 scoring). `centroidCte` is
     * the body of the `c(centroid_id, ce)` CTE — a table filter for the
     * fixed set, a spliced VALUES relation for the trained set. */
-  private def probeOracleSql(centroidCte: String): String =
+  private def probeOracleSql(centroidCte: String,
+      candWhere: String = ""): String =
     s"""WITH c AS ($centroidCte),
        |assigned AS (SELECT e.vec_id, c.centroid_id, row_number() OVER (
        |  PARTITION BY e.vec_id ORDER BY
        |    ${cos.format("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |  FROM embeddings e CROSS JOIN c),
+       |  FROM embeddings e CROSS JOIN c$candWhere),
        |a1 AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
        |probes AS (SELECT e.vec_id AS query_id, e.embedding AS qe,
        |  c.centroid_id,
@@ -2217,6 +2241,13 @@ object SimilarityOps {
     "sim_ivf_probe" -> probeOracleSql(
       """SELECT vec_id AS centroid_id, embedding AS ce
         |  FROM embeddings WHERE vec_id < 16""".stripMargin),
+    // the same pruned-search replay with the tenant predicate applied
+    // at the assignment stage (pre-filter: excluded vectors are never
+    // assigned, scored, or ranked)
+    "sim_filtered_topk" -> probeOracleSql(
+      """SELECT vec_id AS centroid_id, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16""".stripMargin,
+      candWhere = " WHERE e.vec_id % 3 = 1"),
     "sim_quantized_top1" ->
       """WITH qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
         |  FROM embeddings),

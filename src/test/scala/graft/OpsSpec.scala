@@ -312,6 +312,37 @@ class OpsSpec extends AnyFunSuite {
     assert(fired > 0, "control: wrong tombstone set not flagged")
   }
 
+  test("filtered top-k: pre-filter guarantees k eligible results; recall vs exact filtered search") {
+    val rows = ops.SimilarityOps.ivfFilteredTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every neighbor satisfies the tenant predicate — the pre-filter
+    // contract post-filtering cannot give
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, _) => assert(n % 3 === 1L) }
+    // every query gets its full k from the eligible pool
+    val perQuery = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQuery.size === 10)
+    assert(perQuery.values.forall(_ === 3))
+    // recall vs the exact filtered top-3 (driver-side brute force)
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val tenant = e.filter(_._1 % 3 == 1)
+    val exact = e.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      tenant.filter(_._1 != qid)
+        .map { case (id, v) => (qid, -cos6(qv, v), id) }
+        .sorted.take(3).map(t => (qid, t._3))
+    }.toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"filtered recall $recall below the 2-probe floor")
+  }
+
   test("IVF compact: fold equals MoR view; wrong compacted set fires n_mismatch") {
     val emb = Tables.embeddings(spark, sf)
     val cents = ops.SimilarityOps.kmeansFit(
