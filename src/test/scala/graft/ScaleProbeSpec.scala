@@ -57,7 +57,15 @@ class ScaleProbeSpec extends AnyFunSuite {
     // plus the corpus-linear r10 newcomer (bounded query side × full
     // embedding scan; the bounded-slice newcomers er_resolve and the
     // unigram trainer are flat by construction and not probed)
-    "dedup_simhash", "scan_dpp_prune", "mm_crossmodal_topk")
+    "dedup_simhash", "scan_dpp_prune", "mm_crossmodal_topk",
+    // round-11: the corpus-heavy newcomers — the NSW beam search
+    // (bench's heaviest serve path; graph build is artifact-logged
+    // separately) and paragraph dedup's two linear shuffles on the
+    // serve/build split (artifact-served, so the probed path is the
+    // read; the bounded report queries — recall sweep, PSI, the
+    // maintenance reconciliations — are flat by construction and not
+    // probed)
+    "sim_nsw_topk", "dedup_paragraph")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
