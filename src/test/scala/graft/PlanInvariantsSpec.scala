@@ -65,10 +65,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // nested-loop build, which at 4 rows is a map-side constant
     "mm_crossmodal_topk",
     // bounded entry fan-out: the 8-row query side crossJoins the
-    // 12-row deterministic entry set (96 rows) to seed the beam walk;
-    // every subsequent join is an equi-join on node id. The all-pairs
-    // graph BUILD runs eagerly into the artifact store and never
-    // appears in the served plan.
+    // NswBeam-row deterministic entry set to seed the beam walk;
+    // every subsequent join is an equi-join on node id. The graph
+    // BUILD (bucketed since r12 — candidate pairs from the 16-cell
+    // IVF assignment, no corpus crossJoin anywhere) runs eagerly
+    // into the artifact store and never appears in the served plan.
     "sim_nsw_topk"
   )
 
