@@ -53,7 +53,11 @@ object ScaledOracles {
       "aux_srp_t04" -> ((s, d) =>
         SimilarityOps.srpBandsFrame(Tables.embeddings(s, d), 8, 64, 42L)),
       "aux_nsw_edges" -> ((s, d) =>
-        SimilarityOps.nswBuild(Tables.embeddings(s, d))))
+        SimilarityOps.nswBuild(Tables.embeddings(s, d))),
+      // the frozen snapshot graph nswAppend inserts into
+      "aux_nsw_snap_edges" -> ((s, d) =>
+        SimilarityOps.nswBuild(Tables.embeddings(s, d)
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 10 < 8))))
     // tuned geometry exists only after the session ran semanticLsh —
     // the generated-oracle protocol (Verify runs queries first)
     val sem = SimilarityOps.tunedSrpParams(0.3).toSeq.flatMap {
@@ -81,7 +85,8 @@ object ScaledOracles {
     "dedup_clusters_lsh" -> DedupOps.clustersLshScaledSql(DocSample),
     "dedup_simhash" -> DedupOps.simhashScaledSql(DocSample),
     "sim_threshold_lsh" -> SimilarityOps.thresholdLshScaledSql(VecSample),
-    // the walk replays in full; only the n² edge derivation samples
-    "sim_nsw_topk" -> SimilarityOps.nswOracleSql(VecSample)
+    // the walk replays in full; only the edge derivation samples
+    "sim_nsw_topk" -> SimilarityOps.nswOracleSql(VecSample),
+    "sim_nsw_append" -> SimilarityOps.nswAppendOracleSql(VecSample)
   ) ++ DedupOps.semanticLshScaledOracle(VecSample)
 }

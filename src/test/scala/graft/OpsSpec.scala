@@ -268,6 +268,63 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == first.toSeq, "search is not deterministic")
   }
 
+  test("NSW append: delta links recall vs exact top-d; corrupted graph fires") {
+    import ops.SimilarityOps._
+    val emb = Tables.embeddings(spark, sf)
+    val snap = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val edges = ops.SimilarityOps.nswBuild(snap).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val v = snap.select(col("vec_id").as("node"), col("embedding").as("ve"),
+      functions.Vectors.normCol(col("embedding")).as("vn"))
+      .localCheckpoint(true)
+    val q = batch.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"),
+      functions.Vectors.normCol(col("embedding")).as("qn"))
+    val delta = ops.SimilarityOps.nswSearchOn(v, und, q,
+        hops = NswAppendHops, broadcastQ = false)
+      .filter(col("rank") <= NswDegree)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every batch node got linked, bounded degree
+    val srcs = delta.map(_._1)
+    assert(srcs == batch.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet, "a batch node got no links")
+    // link quality: exact top-NswDegree (over the snapshot) per batch
+    // node — the insert's beam walk should recover most of them
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val exact = v.select(col("node"), col("ve")).crossJoin(broadcast(q))
+      .withColumn("score",
+        functions.Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NswDegree)
+      .select(col("query_id"), col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & delta).size.toDouble / exact.size
+    info(s"NSW append link recall vs exact top-d: $recall")
+    // measured 0.94 at sf0.001 with NswAppendHops=2 (0.96 at 4 hops
+    // — the insert walk only needs to LAND in the neighborhood, so 2
+    // hops buy half the maintenance cost for 2 recall points)
+    assert(recall >= 0.85,
+      s"append link recall $recall too low at sf0.001")
+    // corrupted-graph control: searching an EMPTY graph degrades to
+    // entry-set-only links — the output must actually depend on the
+    // graph searched, or the maintenance grade is vacuous
+    val noEdges = und.filter(lit(false)).localCheckpoint(true)
+    val degraded = ops.SimilarityOps.nswSearchOn(v, noEdges, q,
+        hops = NswAppendHops, broadcastQ = false)
+      .filter(col("rank") <= NswDegree)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(degraded != delta,
+      "corrupted-graph control: output ignored the graph")
+    val degRecall = (exact & degraded).size.toDouble / exact.size
+    assert(degRecall < recall,
+      s"control recall $degRecall not below healthy $recall")
+  }
+
   test("IVF append: delta assignment equals full rebuild; wrong centroids fire n_mismatch") {
     val emb = Tables.embeddings(spark, sf)
     val cents = ops.SimilarityOps.kmeansFit(
