@@ -268,6 +268,33 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == first.toSeq, "search is not deterministic")
   }
 
+  test("corpus_build_report: funnel conserves docs and tokens across stages") {
+    val rows = ops.TextOps.corpusBuildReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def docs(p: String) = rows.filter(_._1.startsWith(p)).map(_._2).sum
+    def toks(p: String) = rows.filter(_._1.startsWith(p)).map(_._3).sum
+    // every raw doc lands in exactly one of: heldout, a clean-drop
+    // stage, or cleaned
+    assert(docs("00_") == docs("01_") + docs("10_") + docs("11_") +
+      docs("12_") + docs("13_"), s"doc conservation broke: $rows")
+    assert(toks("00_") == toks("01_") + toks("10_") + toks("11_") +
+      toks("12_") + toks("13_"), "token conservation broke at clean")
+    // cleaned docs either empty out at the paragraph stage or survive
+    assert(docs("13_") == docs("21_") + docs("22_"))
+    // paragraph stage removes exactly the pruned token mass
+    assert(toks("22_") == toks("13_") - toks("20_"))
+    // paragraph survivors split into neardup-dropped, contaminated,
+    // and the per-source training set
+    assert(docs("22_") == docs("30_") + docs("40_") + docs("50_"))
+    assert(toks("22_") == toks("30_") + toks("40_") + toks("50_"))
+    // packing conserves the training token mass
+    assert(toks("70_") == toks("50_"))
+    // the pipeline actually did work at every major stage
+    assert(docs("10_") + docs("11_") > 0, "clean dropped nothing")
+    assert(toks("20_") > 0, "paragraph dedup pruned nothing")
+    assert(docs("50_") > 0 && toks("70_") > 0)
+  }
+
   test("NSW append: delta links recall vs exact top-d; corrupted graph fires") {
     import ops.SimilarityOps._
     val emb = Tables.embeddings(spark, sf)
