@@ -289,8 +289,12 @@ object MultimodalOps {
     // masks to 6 bits) where DuckDB's does not. Checked, not
     // commented: one footer-cheap max over the scan the query reads
     // anyway (the equidepthHistogram precedent) — fail loud.
-    val dim = Tables.embeddings(s, d)
-      .agg(max(size(col("embedding")))).head().getInt(0)
+    val dimRow = Tables.embeddings(s, d)
+      .agg(max(size(col("embedding")))).head()
+    require(!dimRow.isNullAt(0),
+      s"crossmodalTopk: embeddings table under $d is empty — " +
+        "cannot derive the embedding dim (missing/empty fixture?)")
+    val dim = dimRow.getInt(0)
     require(dim <= 64,
       s"crossmodalTopk bridges through a 64-bit dHash; embedding dim " +
         s"$dim > 64 would wrap the bit shift — extend the hash")

@@ -57,7 +57,11 @@ object ScaledOracles {
       // the frozen snapshot graph nswAppend inserts into
       "aux_nsw_snap_edges" -> ((s, d) =>
         SimilarityOps.nswBuild(Tables.embeddings(s, d)
-          .filter(org.apache.spark.sql.functions.col("vec_id") % 10 < 8))))
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 10 < 8))),
+      // the compacted (survivor-only) graph nswCompact rebuilds
+      "aux_nsw_compact_edges" -> ((s, d) =>
+        SimilarityOps.nswBuild(Tables.embeddings(s, d)
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 3))))
     // tuned geometry exists only after the session ran semanticLsh —
     // the generated-oracle protocol (Verify runs queries first)
     val sem = SimilarityOps.tunedSrpParams(0.3).toSeq.flatMap {
@@ -87,6 +91,9 @@ object ScaledOracles {
     "sim_threshold_lsh" -> SimilarityOps.thresholdLshScaledSql(VecSample),
     // the walk replays in full; only the edge derivation samples
     "sim_nsw_topk" -> SimilarityOps.nswOracleSql(VecSample),
-    "sim_nsw_append" -> SimilarityOps.nswAppendOracleSql(VecSample)
+    "sim_nsw_append" -> SimilarityOps.nswAppendOracleSql(VecSample),
+    // delete shares sim_nsw_topk's aux (same frozen graph, MoR filter)
+    "sim_nsw_delete" -> SimilarityOps.nswDeleteOracleSql(VecSample),
+    "sim_nsw_compact" -> SimilarityOps.nswCompactOracleSql(VecSample)
   ) ++ DedupOps.semanticLshScaledOracle(VecSample)
 }

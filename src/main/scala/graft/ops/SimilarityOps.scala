@@ -168,7 +168,14 @@ object SimilarityOps {
     * 0-difference against the explicit ordered list_reduce fold over
     * the real corpus, and ~50× cheaper — the fold was the sf1
     * bottleneck, r11). Dim-agnostic, unlike the fold's hardcoded
-    * range(1, 65). */
+    * range(1, 65). That accumulation order is an UNPINNED DuckDB
+    * implementation detail (ADVICE r11: a future FMA/SIMD
+    * reassociation would break every SRP hash confusingly), so the
+    * CTE chain carries a standing sentinel: `accchk` re-computes a
+    * ~1/64 md5-sampled vec subset × 8 bits with the explicit ordered
+    * fold and the banding is gated on zero bit-exact divergence — an
+    * accumulation-order change now fails as "SRP oracle returned 0
+    * rows, accchk tripped", not a silent hash drift. */
   private[ops] def srpCtesSql(bits: Int, bands: Int, seed: Long): String =
     srpCtesSql(bits, bands, seed, vecSample = "", auxTable = "")
 
@@ -213,7 +220,8 @@ object SimilarityOps {
          |    CAST(SUM(CASE WHEN acc > 0
          |      THEN ($powInBand)[(bit % $bits) + 1] ELSE 0 END) AS BIGINT)
          |      AS bucket
-         |  FROM accs GROUP BY vec_id, bit // $bits""".stripMargin
+         |  FROM accs WHERE (SELECT n_bad FROM accchk) = 0
+         |  GROUP BY vec_id, bit // $bits""".stripMargin
     val candSql = if (!withCand) "" else
       s""",
          |cand AS MATERIALIZED (
@@ -269,6 +277,14 @@ object SimilarityOps {
        |accs AS MATERIALIZED (
        |  SELECT v.vec_id, s.bit, list_dot_product(v.ve, s.sl) AS acc
        |  FROM vecs v CROSS JOIN slists s$accsWhere),
+       |accchk AS MATERIALIZED (
+       |  SELECT COUNT(*) AS n_bad FROM (
+       |    SELECT list_dot_product(v.ve, s.sl) AS fast,
+       |      list_reduce(list_transform(range(1, len(v.ve) + 1),
+       |        i -> v.ve[i] * s.sl[i]), (a, b) -> a + b) AS slow
+       |    FROM vecs v CROSS JOIN slists s
+       |    WHERE md5(CAST(v.vec_id AS VARCHAR)) <= '04' AND s.bit < 8)
+       |  WHERE fast <> slow),
        |$bucketsSql$candSql""".stripMargin
   }
 
@@ -708,6 +724,40 @@ object SimilarityOps {
     * graph ANN the serving-path winner at 100 TB; recall vs exact
     * top-k is asserted in ScalaTest. */
   def nswTopk(s: SparkSession, d: String): DataFrame = {
+    val (v, undirected) = nswServeArtifacts(s, d)
+    val q = v.filter(col("node") < NswQueries)
+      .select(col("node").as("query_id"), col("ve").as("qe"),
+        col("vn").as("qn"))
+    nswSearchOn(v, undirected, q)
+  }
+
+  /** The symmetrized (undirected) form of a directed top-d edge set —
+    * the WALK's view of the graph (see [[nswSearch]]'s doc for why
+    * navigability needs it). */
+  private def symEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+
+  /** The serve path's loop-invariant relations for the FULL-corpus
+    * snapshot graph — (normed vectors, symmetrized edges) — shared by
+    * [[nswTopk]] (serving) and [[nswDelete]] (merge-on-read: the
+    * delete NEVER rewrites them).
+    *
+    * VERDICT r11 #3: both are content-addressed ARTIFACTS (the
+    * ivf_layout discipline), not per-construction localCheckpoints: a
+    * serving tier materializes its index once per corpus snapshot and
+    * every session/bench rep after that is a scan, not an
+    * executor-storage materialization. Artifact FILE COUNT is sized
+    * to content, not to the builder's shuffle parallelism: a
+    * 32-partition distinct would write 32 tiny files that every hop
+    * of the walk re-lists and re-opens (5× per query — measured +1 s
+    * serve cost at bench scale). ~400k rows ≈ 128 MB per file for
+    * these schemas; at 100 TB the same rule yields a normal
+    * multi-file layout. */
+  private def nswServeArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val input = s"$d/embeddings.parquet"
     val emb = Tables.embeddings(s, d)
     // v2: the bucketed build (VERDICT r11 #1) — the version bump is
@@ -715,27 +765,11 @@ object SimilarityOps {
     // store would silently serve all-pairs-built graphs
     val edges = graft.ArtifactStore.parquet(s, "nsw_graph", input,
       version = 2) { nswBuild(emb) }
-    // VERDICT r11 #3: the serve path's two loop-invariant relations —
-    // the undirected edge set and the normed vector table — are
-    // content-addressed ARTIFACTS (the ivf_layout discipline), not
-    // per-construction localCheckpoints: a serving tier materializes
-    // its index once per corpus snapshot and every session/bench rep
-    // after that is a scan, not an executor-storage materialization.
-    // artifact FILE COUNT is sized to content, not to the builder's
-    // shuffle parallelism: a 32-partition distinct would write 32
-    // tiny files that every hop of the walk re-lists and re-opens
-    // (5× per query — measured +1 s serve cost at bench scale).
-    // ~400k rows ≈ 128 MB per file for these schemas; at 100 TB the
-    // same rule yields a normal multi-file layout.
     val n = Tables.cardinality(s, d, "embeddings")
     def parts(rows: Long): Int = math.max(1, (rows / 400000L).toInt)
     val undirected = graft.ArtifactStore.parquet(s, "nsw_undirected",
       input, version = 3) {
-      edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"),
-          col("src").as("dst")))
-        .distinct()
-        .repartition(parts(2L * NswDegree * n), col("src"))
+      symEdges(edges).repartition(parts(2L * NswDegree * n), col("src"))
     }
     val v = graft.ArtifactStore.parquet(s, "emb_normed", input,
       version = 2) {
@@ -743,10 +777,7 @@ object SimilarityOps {
         Vectors.normCol(col("embedding")).as("vn"))
         .repartition(parts(n))
     }
-    val q = v.filter(col("node") < NswQueries)
-      .select(col("node").as("query_id"), col("ve").as("qe"),
-        col("vn").as("qn"))
-    nswSearchOn(v, undirected, q)
+    (v, undirected)
   }
 
   /** Test adapter over [[nswSearchOn]]: derives the undirected edge
@@ -782,7 +813,8 @@ object SimilarityOps {
     * (artifacts in [[nswTopk]] — VERDICT r11 #3). */
   private[graft] def nswSearchOn(v: DataFrame, undirected: DataFrame,
       q: DataFrame, entriesOpt: Option[DataFrame] = None,
-      hops: Int = NswHops, broadcastQ: Boolean = true): DataFrame = {
+      hops: Int = NswHops, broadcastQ: Boolean = true,
+      exclude: Option[DataFrame] = None): DataFrame = {
     // broadcastQ: the serving query side (8 rows) is hinted; a
     // MAINTENANCE batch (a corpus fraction in nswAppend) must not be
     // — it shuffle-joins on query_id like any other big side (AQE
@@ -827,7 +859,14 @@ object SimilarityOps {
       f = topB(scored(cands))
       if (h % 2 == 0) f = pin(f)
     }
-    f.withColumn("rank", row_number().over(wq).cast("long"))
+    // tombstone merge-on-read ([[nswDelete]]): deleted nodes stay
+    // ROUTABLE all walk long (they were in the frontier above) but
+    // can never be RETURNED — one anti-join on the final beam, ranks
+    // recomputed over the survivors. The tombstone set shuffles like
+    // any other join side; AQE broadcasts it while it is small.
+    val served = exclude.map(t =>
+      f.join(t, Seq("node"), "left_anti")).getOrElse(f)
+    served.withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= NswK)
       .select(col("query_id"), col("rank"), col("node").as("vec_id"),
         col("score"))
@@ -885,6 +924,81 @@ object SimilarityOps {
       .select(col("query_id").as("src"), col("rank"),
         col("vec_id").as("dst"), col("score"))
       .orderBy(col("src"), col("rank"))
+  }
+
+  /** NSW TOMBSTONE DELETE — the second leg of the graph-index
+    * maintenance triptych ([[nswAppend]] grows it, this tombstones
+    * it, [[nswCompact]] folds it), mirroring [[ivfDelete]]'s
+    * merge-on-read contract on the SAME deletion split
+    * (vec_id ≡ 3 mod 10): the frozen graph, its symmetrized serve
+    * form and the normed vector table are NEVER rewritten — the
+    * delete is a tombstone set applied at read time. Deleted nodes
+    * remain ROUTABLE waypoints for the whole walk (the
+    * DiskANN/FreshDiskANN delete discipline: a deleted point keeps
+    * navigating until compaction rewires around it — dropping it
+    * from the frontier would sever paths and silently cost recall)
+    * but can never be RETURNED: one anti-join on the final beam,
+    * ranks recomputed over the survivors, top-[[NswK]] served.
+    *
+    * Scale: the delete itself is O(|tombstones|) metadata — no
+    * corpus-sized job runs at delete time, and the serve-path
+    * overhead is a single anti-join of a query-sized beam against
+    * the tombstone set (AQE broadcasts it while small). Hash-graded
+    * end to end: the oracle replays the full build + walk and applies
+    * the same final-beam exclusion ([[nswDeleteOracleSql]]). */
+  def nswDelete(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
+    val (v, undirected) = nswServeArtifacts(s, d)
+    val tombs = graft.ArtifactStore.parquet(s, "nsw_tombstones", input) {
+      Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id").as("node"))
+    }
+    val q = v.filter(col("node") < NswQueries)
+      .select(col("node").as("query_id"), col("ve").as("qe"),
+        col("vn").as("qn"))
+    nswSearchOn(v, undirected, q, exclude = Some(tombs))
+  }
+
+  /** NSW COMPACTION — the triptych closer: the merge-on-read view
+    * ([[nswDelete]]'s tombstoned graph) is rewritten as a fresh
+    * bucketed build over the SURVIVING nodes only, and the tombstone
+    * set resets — the [[ivfCompact]] lifecycle on the graph index.
+    * Unlike IVF compaction (a partition-layout fold that preserves
+    * results exactly), graph compaction REWIRES: tombstoned nodes
+    * vanish as routing waypoints and survivors re-link among
+    * themselves, so served results may legitimately differ from the
+    * merge-on-read path — the graded contract is therefore the
+    * compacted search itself (deterministic, full build + walk
+    * replay in the oracle) plus a ScalaTest floor on result overlap
+    * vs the merge-on-read view and a no-tombstone invariant. The
+    * query side stays the SAME external query set as
+    * [[nswTopk]]/[[nswDelete]] (all vec_id < [[NswQueries]]),
+    * tombstoned or not — queries are vectors, not graph members.
+    *
+    * Scale: one bucketed rebuild over the survivors (the linear-ish
+    * [[nswBuild]] shape), paid once per compaction cycle and
+    * artifact-amortized, exactly like the IVF fold. */
+  def nswCompact(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/embeddings.parquet"
+    val emb = Tables.embeddings(s, d)
+    val live = emb.filter(col("vec_id") % 10 =!= 3)
+    val edges = graft.ArtifactStore.parquet(s, "nsw_compact_graph",
+      input) { nswBuild(live) }
+    val n = Tables.cardinality(s, d, "embeddings")
+    def parts(rows: Long): Int = math.max(1, (rows / 400000L).toInt)
+    val undirected = graft.ArtifactStore.parquet(s,
+      "nsw_compact_undirected", input) {
+      symEdges(edges).repartition(parts(2L * NswDegree * n), col("src"))
+    }
+    val v = graft.ArtifactStore.parquet(s, "emb_compact_normed", input) {
+      live.select(col("vec_id").as("node"), col("embedding").as("ve"),
+        Vectors.normCol(col("embedding")).as("vn"))
+        .repartition(parts(n))
+    }
+    val q = emb.filter(col("vec_id") < NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        Vectors.normCol(col("embedding")).as("qn"))
+    nswSearchOn(v, undirected, q)
   }
 
   /** Int8 scalar quantization — the storage path for a 100 TB
@@ -1980,6 +2094,8 @@ object SimilarityOps {
     "sim_ivf_compact" -> ivfCompact, // generated oracle (frozen centroids)
     "sim_nsw_topk" -> nswTopk, // oracle: full graph + walk replay
     "sim_nsw_append" -> nswAppend, // oracle: frozen build + batch walks
+    "sim_nsw_delete" -> nswDelete, // oracle: full walk + tombstone MoR
+    "sim_nsw_compact" -> nswCompact, // oracle: survivor build + walk
   )
 
   private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
@@ -2321,6 +2437,27 @@ object SimilarityOps {
       sample = sample, auxTable = "aux_nsw_snap_edges",
       hops = NswAppendHops)
 
+  /** DuckDB replay of [[nswDelete]]: the FULL-corpus walk (identical
+    * to [[nswOracleSql]] — same graph, same entries, same hops), with
+    * the tombstone split excluded from the final beam before the
+    * serving rank — independently re-deriving the merge-on-read
+    * contract end to end. */
+  private[ops] def nswDeleteOracleSql(sample: String = ""): String =
+    nswWalkOracleSql(gPred = "", qPred = s"vec_id < $NswQueries",
+      outK = NswK, outSrc = "query_id", outDst = "vec_id",
+      sample = sample, auxTable = "aux_nsw_edges",
+      outWhere = "node % 10 <> 3")
+
+  /** DuckDB replay of [[nswCompact]]: bucketed build + walk re-derived
+    * over the SURVIVING nodes only (gPred restricts graph membership,
+    * centroids and entries alike — exactly the compacted build's
+    * inputs); the query side stays the full external query set. */
+  private[ops] def nswCompactOracleSql(sample: String = ""): String =
+    nswWalkOracleSql(gPred = "vec_id % 10 <> 3",
+      qPred = s"vec_id < $NswQueries",
+      outK = NswK, outSrc = "query_id", outDst = "vec_id",
+      sample = sample, auxTable = "aux_nsw_compact_edges")
+
   /** Shared generator for the NSW walk oracles: `gPred` restricts
     * GRAPH membership (build inputs, entries — empty = whole corpus),
     * `qPred` selects the query side, `outK`/`outSrc`/`outDst` shape
@@ -2330,7 +2467,7 @@ object SimilarityOps {
   private def nswWalkOracleSql(gPred: String, qPred: String,
       outK: Int, outSrc: String, outDst: String,
       sample: String, auxTable: String,
-      hops: Int = NswHops): String = {
+      hops: Int = NswHops, outWhere: String = ""): String = {
     val gWhere = if (gPred.isEmpty) "" else s" WHERE $gPred"
     val cosQ = "round(list_cosine_similarity(q.qe, vv.ve), 6)"
     // the bucketed candidate rule, shared by both forms: nearest-of-16
@@ -2429,7 +2566,7 @@ object SimilarityOps {
        |  node AS $outDst, score
        |FROM (SELECT query_id, node, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, node) AS rank
-       |  FROM f$hops) t
+       |  FROM f$hops${if (outWhere.isEmpty) "" else s" WHERE $outWhere"}) t
        |WHERE rank <= $outK ORDER BY $outSrc, rank""".stripMargin
   }
 
@@ -2450,6 +2587,8 @@ object SimilarityOps {
     "sim_threshold_lsh" -> thresholdLshOracleSql,
     "sim_nsw_topk" -> nswOracleSql(),
     "sim_nsw_append" -> nswAppendOracleSql(),
+    "sim_nsw_delete" -> nswDeleteOracleSql(),
+    "sim_nsw_compact" -> nswCompactOracleSql(),
     "search_hybrid_rrf" -> hybridRrfOracleSql,
     "sim_centroid_drift" ->
       // same fixed-point centroids: exact integer sums of round(x·1e6),

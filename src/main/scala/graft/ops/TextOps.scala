@@ -189,6 +189,9 @@ object TextOps {
       val t = binned.agg(
         sum(when(inA, 1L).otherwise(0L)),
         sum(when(inB, 1L).otherwise(0L))).head()
+      require(!t.isNullAt(0) && !t.isNullAt(1),
+        s"driftPsi: documents table under $d is empty — PSI snapshot " +
+          "totals are undefined (missing/empty fixture?)")
       (t.getLong(0), t.getLong(1))
     })
     binned.groupBy(col("bin"))
@@ -1258,6 +1261,9 @@ object TextOps {
     val head = Tables.documents(s, d)
       .select(size(tokensNonEmpty(col("text"))).as("len"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
+    require(!head.isNullAt(1),
+      s"bm25Topk: documents table under $d is empty — corpus stats " +
+        "(N, avgdl) are undefined (missing/empty fixture?)")
     val (nDocs, sumLen) = (head.getLong(0), head.getLong(1))
     val tf = Tables.documents(s, d)
       // materialize the token array ONCE per row, then size/explode
@@ -1406,7 +1412,11 @@ object TextOps {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .localCheckpoint(true)
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    val maxLenRow = words.agg(max(length(col("w")))).head()
+    require(!maxLenRow.isNullAt(0),
+      s"unigram trainer: no words found under $d (empty documents " +
+        "table or missing fixture?)")
+    val maxLen = maxLenRow.getInt(0)
     require(maxLen <= UniMaxWordLen,
       s"unigram trainer: corpus word length $maxLen exceeds the oracle's" +
         s" generate_series($UniMaxWordLen) seed cap — raise UniMaxWordLen")

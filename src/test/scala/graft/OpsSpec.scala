@@ -352,6 +352,153 @@ class OpsSpec extends AnyFunSuite {
       s"control recall $degRecall not below healthy $recall")
   }
 
+  test("NSW delete: tombstones excluded, routing preserved, empty-set control") {
+    import ops.SimilarityOps._
+    val emb = Tables.embeddings(spark, sf)
+    val edges = ops.SimilarityOps.nswBuild(emb).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val v = emb.select(col("vec_id").as("node"), col("embedding").as("ve"),
+      functions.Vectors.normCol(col("embedding")).as("vn"))
+      .localCheckpoint(true)
+    val q = emb.filter(col("vec_id") < NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        functions.Vectors.normCol(col("embedding")).as("qn"))
+    val tombs = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("node"))
+    val full = ops.SimilarityOps.nswSearchOn(v, und, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val del = ops.SimilarityOps.nswSearchOn(v, und, q,
+        exclude = Some(tombs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 1. no tombstoned node is ever served
+    assert(del.forall(_._3 % 10 != 3), "tombstoned node served")
+    // 2. the tombstones actually bit: the full results contain
+    //    tombstone-split nodes (else this test is vacuous)
+    assert(full.exists(_._3 % 10 == 3),
+      "vacuous fixture: no tombstoned node in the full top-k")
+    // 3. merge-on-read only FILTERS and PROMOTES — every surviving
+    //    (query, node) of the full top-k keeps its relative order in
+    //    the delete view, and ranks stay contiguous from 1
+    val fullSurv = full.filter(_._3 % 10 != 3)
+      .groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
+    val delByQ = del.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
+    fullSurv.foreach { case (qid, surv) =>
+      assert(delByQ(qid).startsWith(surv),
+        s"query $qid: MoR view reordered the surviving results")
+    }
+    del.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.size).toSeq,
+        "ranks not contiguous after tombstone filter")
+    }
+    // 4. empty-tombstone control: exclusion machinery with an empty
+    //    set must be bit-identical to the plain search
+    val none = tombs.filter(lit(false))
+    val same = ops.SimilarityOps.nswSearchOn(v, und, q,
+        exclude = Some(none)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(same.toSeq == full.toSeq,
+      "empty tombstone set perturbed the search")
+  }
+
+  test("NSW compact: survivor rebuild — no tombstones, overlap vs MoR, graph control") {
+    import ops.SimilarityOps._
+    val emb = Tables.embeddings(spark, sf)
+    val live = emb.filter(col("vec_id") % 10 =!= 3)
+    val cedges = ops.SimilarityOps.nswBuild(live).localCheckpoint(true)
+    val cund = cedges.select(col("src"), col("dst"))
+      .unionByName(cedges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val cv = live.select(col("vec_id").as("node"),
+      col("embedding").as("ve"),
+      functions.Vectors.normCol(col("embedding")).as("vn"))
+      .localCheckpoint(true)
+    val q = emb.filter(col("vec_id") < NswQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        functions.Vectors.normCol(col("embedding")).as("qn"))
+    val comp = ops.SimilarityOps.nswSearchOn(cv, cund, q).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // tombstoned nodes are GONE from the compacted index, not filtered
+    assert(comp.forall(_._2 % 10 != 3), "tombstoned node in compacted result")
+    // recall vs exact top-K over the LIVE corpus: compaction must not
+    // cost meaningful quality vs brute force
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val exact = cv.select(col("node"), col("ve")).crossJoin(broadcast(q))
+      .filter(col("node") =!= col("query_id"))
+      .withColumn("score",
+        functions.Vectors.cosine6(col("qe"), col("ve")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NswK)
+      .select(col("query_id"), col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & comp).size.toDouble / exact.size
+    info(s"NSW compact recall vs exact live top-k: $recall")
+    assert(recall >= 0.85, s"compact recall $recall too low at sf0.001")
+    // the merge-on-read view and the compacted index must agree on
+    // most served results (rewiring may legitimately move the tail)
+    val edges = ops.SimilarityOps.nswBuild(emb).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val v = emb.select(col("vec_id").as("node"), col("embedding").as("ve"),
+      functions.Vectors.normCol(col("embedding")).as("vn"))
+      .localCheckpoint(true)
+    val tombs = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("node"))
+    val mor = ops.SimilarityOps.nswSearchOn(v, und, q,
+        exclude = Some(tombs)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (mor & comp).size.toDouble / math.max(mor.size, 1)
+    info(s"NSW compact overlap vs merge-on-read: $overlap")
+    assert(overlap >= 0.6,
+      s"compacted index diverged from the MoR view: overlap $overlap")
+  }
+
+  test("substring removal: span semantics on planted docs + fixture accounting") {
+    import spark.implicits._
+    val phrase = (1 to ops.DedupOps.SubRemK).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: the phrase + a unique tail — the global FIRST, kept whole
+      (1L, phrase + " u1 u2 u3"),
+      // doc 2: the same phrase + different tail — its 12 phrase
+      // tokens are covered, the tail survives
+      (2L, phrase + " z1 z2 z3"),
+      // doc 3: too short to window — untouched even though its text
+      // is a prefix of the phrase
+      (3L, (1 to 5).map(i => s"w$i").mkString(" ")),
+      // doc 4: self-repeat — the phrase twice; the second occurrence
+      // is covered (pos 12 duplicates pos 0), the first survives
+      (4L, phrase + " " + phrase)
+    ).toDF("doc_id", "text")
+    val got = ops.DedupOps.substringRemoveOn(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((15L, 0L, phrase + " u1 u2 u3")))
+    assert(got(2L) == ((15L, 12L, "z1 z2 z3")))
+    assert(got(3L) == ((5L, 0L, (1 to 5).map(i => s"w$i").mkString(" "))))
+    // doc 4: only windows equal to the full phrase duplicate doc 1's
+    // (pos 0 and pos 12); the straddling windows (pos 1..11) are
+    // unique. pos 0 loses to doc 1, pos 12 loses too → both spans
+    // covered: tokens 0..23 all removed
+    assert(got(4L) == ((24L, 24L, "")))
+    // fixture accounting: the corpus has duplicate 12-grams (43 docs
+    // at sf0.001) and conservation holds per doc
+    val fx = ops.DedupOps.substringRemoveOn(
+      Tables.documents(spark, sf)).collect()
+    assert(fx.exists(_.getLong(2) > 0), "fixture removal was vacuous")
+    fx.foreach { r =>
+      val keptN =
+        if (r.getString(3).isEmpty) 0 else r.getString(3).split(" ").length
+      assert(keptN == r.getLong(1) - r.getLong(2),
+        s"doc ${r.getLong(0)}: kept tokens != n_tokens - n_removed")
+    }
+  }
+
   test("IVF append: delta assignment equals full rebuild; wrong centroids fire n_mismatch") {
     val emb = Tables.embeddings(spark, sf)
     val cents = ops.SimilarityOps.kmeansFit(

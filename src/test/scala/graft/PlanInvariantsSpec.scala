@@ -70,7 +70,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // BUILD (bucketed since r12 — candidate pairs from the 16-cell
     // IVF assignment, no corpus crossJoin anywhere) runs eagerly
     // into the artifact store and never appears in the served plan.
-    "sim_nsw_topk"
+    "sim_nsw_topk",
+    // same walk machinery as sim_nsw_topk (identical frozen
+    // artifacts; the only delta is a final-beam anti-join against
+    // the tombstone set, an equi-join)
+    "sim_nsw_delete",
+    // same walk machinery over the survivor-rebuilt artifacts; the
+    // compacted BUILD is the same bucketed rule (no corpus crossJoin)
+    // and runs eagerly into the artifact store
+    "sim_nsw_compact"
   )
 
   private def planned: Seq[(String, org.apache.spark.sql.DataFrame)] =
