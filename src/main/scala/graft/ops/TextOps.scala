@@ -923,6 +923,67 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // --------------------------------------------- DSIR data selection
+
+  /** Selection size for [[dsirSelect]]. */
+  private[graft] val DsirK = 50
+
+  /** DSIR-STYLE DATA SELECTION (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the curation step
+    * between quality filtering and mixing: rank candidate documents
+    * by the log importance ratio of a TARGET unigram LM over the RAW
+    * corpus LM, Σ_tokens ln(p_target(w)/p_raw(w)), and keep the
+    * top-[[DsirK]]. Target here: the `lang = 'en'` slice (select the
+    * non-English-LABELED docs whose content is most English-like —
+    * the label is metadata, the score reads the text).
+    *
+    * Exactness: per-word Laplace-smoothed log ratios follow the
+    * [[driftPsi]] discipline — identical divide/ln trees in both
+    * engines, quantized to the 10⁻⁹ lattice as LONGs — and the
+    * per-doc weight is the EXACT INTEGER sum of its tokens' lattice
+    * terms (no cross-token float sum to diverge by addition order).
+    *
+    * Scale: two linear token-stream aggregates (vocab counts, doc
+    * scores), one vocab-keyed equi-join, a single-row totals
+    * aggregate on a constant-key broadcast (the corpus_mix pattern),
+    * and a TakeOrdered top-K — no pair join, no global window. At
+    * 100 TB the paper's form hashes features into a FIXED bucket
+    * count (10⁴ hashed n-grams), making the term model bounded and
+    * broadcastable, and doc scoring becomes one map-side pass; the
+    * raw-vocab join here is the oracle-replayable small-SF twin of
+    * that bounded model. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelectOn(Tables.documents(s, d))
+
+  /** Core of [[dsirSelect]], parameterized for the spec. */
+  private[graft] def dsirSelectOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(tokensNonEmpty(col("text"))).as("w"))
+    val isT = col("lang") === "en"
+    val vocab = toks.groupBy(col("w"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = vocab.agg(sum(col("ct")).as("nt"),
+        sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      .withColumn("__k", lit(1))
+    val terms = vocab.withColumn("__k", lit(1))
+      .join(broadcast(tot), Seq("__k"))
+      .withColumn("term_e9", round(
+        log(((col("ct") + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double") /
+            (col("nr") + col("v")).cast("double"))) * 1e9)
+        .cast("long"))
+      .select(col("w"), col("term_e9"))
+    toks.filter(!isT)
+      .join(terms, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("term_e9")).as("weight_e9"))
+      .orderBy(col("weight_e9").desc, col("doc_id"))
+      .limit(DsirK)
+  }
+
   /** Corpus-overlap matrix: exact shingle-set Jaccard between every
     * pair of sources — the dataset-overlap / cross-corpus-contamination
     * estimate run before mixing corpora into a training blend (distinct
@@ -1745,6 +1806,7 @@ object TextOps {
     "text_repetition" -> repetition,
     "text_oov_rate" -> oovRate,
     "corpus_mix" -> corpusMix,
+    "corpus_dsir_select" -> dsirSelect,
     "corpus_temperature_mix" -> temperatureMix,
     "corpus_epoch_plan" -> epochPlan,
     "text_dup_ngrams" -> dupNgrams,
@@ -1927,6 +1989,35 @@ object TextOps {
     "corpus_build_report" -> corpusBuildReportOracleSql,
     // same smoothing, same identical ln/divide tree, same 10⁻⁹
     // quantization per bin; totals derive from the same filters
+    // same Laplace-smoothed divide/ln trees on the 10⁻⁹ lattice (the
+    // drift-PSI discipline), per-doc weight an exact integer sum
+    "corpus_dsir_select" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS w
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT w,
+         |    COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+         |    COUNT(*) AS cr
+         |  FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         |  CAST(SUM(cr) AS BIGINT) AS nr, COUNT(*) AS v FROM vocab),
+         |terms AS MATERIALIZED (
+         |  SELECT w,
+         |    CAST(round(ln(
+         |      (CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) /
+         |      (CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS term_e9
+         |  FROM vocab, tot)
+         |SELECT t.doc_id, t.lang, t.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(term_e9) AS BIGINT) AS weight_e9
+         |FROM toks t JOIN terms USING (w)
+         |WHERE t.lang <> 'en'
+         |GROUP BY t.doc_id, t.lang, t.source
+         |ORDER BY weight_e9 DESC, doc_id LIMIT $DsirK""".stripMargin,
     "quality_drift_psi" ->
       s"""WITH binned AS (
          |  SELECT doc_id,

@@ -459,6 +459,49 @@ class OpsSpec extends AnyFunSuite {
       s"compacted index diverged from the MoR view: overlap $overlap")
   }
 
+  test("DSIR selection: target-likeness ordering + exact lattice weights") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "s0"),
+      (2L, "alpha beta gamma", "en", "s0"),
+      // candidate 10: all target-frequent words — must rank first
+      (10L, "alpha beta alpha", "de", "s1"),
+      // candidate 11: only the never-in-target word — must rank last
+      (11L, "zeta zeta zeta", "de", "s1"),
+      (12L, "alpha zeta", "fr", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = ops.TextOps.dsirSelectOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L),
+      "selection must contain exactly the non-target docs")
+    val byId = got.toMap
+    assert(byId(10L) > byId(12L) && byId(12L) > byId(11L),
+      s"importance ordering broke: $byId")
+    // exact lattice check: recompute every weight with plain JVM math
+    // over the planted corpus — the engine's distributed sum must be
+    // integer-identical
+    val all = Seq(
+      1L -> ("alpha beta alpha beta", "en"),
+      2L -> ("alpha beta gamma", "en"),
+      10L -> ("alpha beta alpha", "de"),
+      11L -> ("zeta zeta zeta", "de"),
+      12L -> ("alpha zeta", "fr"))
+    val tokens = all.flatMap { case (id, (t, l)) =>
+      t.split(" ").map(w => (id, l, w)) }
+    val ct = tokens.filter(_._2 == "en").groupBy(_._3)
+      .map { case (w, g) => w -> g.size.toLong }.withDefaultValue(0L)
+    val cr = tokens.groupBy(_._3)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (nt, nr, v) =
+      (ct.values.sum, cr.values.sum, cr.size.toLong)
+    def termE9(w: String): Long = math.round(math.log(
+      ((ct(w) + 1).toDouble / (nt + v)) /
+        ((cr(w) + 1).toDouble / (nr + v))) * 1e9)
+    val expect = tokens.filter(_._2 != "en").groupBy(_._1)
+      .map { case (id, g) => id -> g.map(t => termE9(t._3)).sum }
+    assert(byId == expect, s"lattice weights diverge: $byId vs $expect")
+  }
+
   test("substring removal: span semantics on planted docs + fixture accounting") {
     import spark.implicits._
     val phrase = (1 to ops.DedupOps.SubRemK).map(i => s"w$i").mkString(" ")

@@ -50,6 +50,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // same scalar-join shape: corpus doc count N is a SINGLE-ROW
     // broadcast against the doc-term stream (idf denominator)
     "text_tfidf_topk",
+    // same scalar-join shape: the 1-row (nt, nr, v) LM totals
+    // aggregate broadcast against the vocab-keyed term frame
+    "corpus_dsir_select",
     // the semantic ranker's query side is ONE row (vec_id = 0)
     // broadcast against the corpus scan — the sim_cosine_topk shape
     // at single-query degeneracy
