@@ -1304,6 +1304,115 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------ right-to-be-forgotten cascade
+
+  /** Composite (doc_id, blk) encoding for the paragraph-winner legs
+    * of [[forgetReport]]: lexicographic argmin as one integer min.
+    * blk is bounded by doc length / [[ParaWords]] — the require in
+    * [[forgetReportOn]] fails loud before the encoding could wrap.
+    * At 100 TB the same leg is a struct argmin (min of (doc_id, blk)
+    * pairs); the integer form keeps the DuckDB replay a plain MIN. */
+  private[graft] val ForgetBlkBase = 1048576L
+
+  /** RIGHT-TO-BE-FORGOTTEN CASCADE REPORT (`corpus_forget_report`) —
+    * the deletion-side composition the maintenance triptychs
+    * (ivf/nsw append-delete-compact) imply but don't show: when a
+    * tombstone set of documents (doc_id ≡ 3 mod 10, the shared
+    * deletion split) must be purged, every DERIVED artifact the
+    * engine serves has to account for the cascade. One graded report,
+    * one row per artifact family:
+    *
+    *  - `10_docs` / `11_tokens`: raw purge mass (docs, tokens);
+    *  - `20_postings`: inverted-index posting rows to drop (the
+    *    layout_inverted (doc, distinct-term) projection — same
+    *    definition, so report and index cannot drift);
+    *  - `30_exact_clusters`: exact-dup groups (the dedup_exact
+    *    sha-256 key) that VANISH (every member purged) vs groups
+    *    whose canonical doc (min doc_id) was purged but a survivor
+    *    remains — the canonical REASSIGNS (rewired);
+    *  - `40_paragraphs`: distinct paragraph blocks (the
+    *    dedup_paragraph grammar) whose content disappears entirely
+    *    vs blocks whose first-wins WINNER was purged and a later
+    *    occurrence takes over.
+    *
+    * The rewired counts are the operationally scary part of a purge:
+    * they are rows in SERVED artifacts whose values change without
+    * their own inputs being deleted — exactly what an incremental
+    * purge job must rewrite beyond the tombstoned rows themselves.
+    *
+    * Scale: every leg is one linear scan + one hash aggregate on the
+    * family's own key (digest / term / paragraph text) with
+    * conditional-min/filter measures folded into the same aggregate —
+    * no joins, no windows, no pair stage; the five single-row funnels
+    * union driver-side. */
+  def forgetReport(s: SparkSession, d: String): DataFrame =
+    forgetReportOn(Tables.documents(s, d))
+
+  /** Core of [[forgetReport]], parameterized for the spec. */
+  private[graft] def forgetReportOn(docs: DataFrame): DataFrame = {
+    val del = col("doc_id") % 10 === 3
+    def shape(stage: String, df: DataFrame): DataFrame =
+      df.select(lit(stage).as("stage"), col("n_before"),
+        col("n_purged"), col("n_rewired"))
+    val s1 = shape("10_docs", docs.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(del, 1L).otherwise(0L)).as("n_purged"))
+      .withColumn("n_rewired", lit(0L)))
+    val toks = docs.select(del.as("d"),
+      size(TextOps.tokensNonEmpty(col("text"))).cast("long").as("nt"))
+    val s2 = shape("11_tokens", toks.agg(
+      sum(col("nt")).as("n_before"),
+      sum(when(col("d"), col("nt")).otherwise(0L)).as("n_purged"))
+      .withColumn("n_rewired", lit(0L)))
+    val posts = docs.select(col("doc_id"), del.as("d"),
+      explode(array_distinct(TextOps.tokensNonEmpty(col("text"))))
+        .as("term"))
+    val s3 = shape("20_postings", posts.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("d"), 1L).otherwise(0L)).as("n_purged"))
+      .withColumn("n_rewired", lit(0L)))
+    val groups = docs
+      .groupBy(unhex(sha2(lower(trim(col("text"))), 256)).as("norm"))
+      .agg(min(col("doc_id")).as("first_all"),
+        min(when(!del, col("doc_id"))).as("first_surv"))
+    val s4 = shape("30_exact_clusters", groups.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("first_surv").isNull, 1L).otherwise(0L))
+        .as("n_purged"),
+      sum(when(col("first_surv").isNotNull &&
+          col("first_surv") =!= col("first_all"), 1L).otherwise(0L))
+        .as("n_rewired")))
+    val blocks = docs
+      .select(col("doc_id"), del.as("d"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("d"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $ParaWords),
+           |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords),
+           |                  ' '))""".stripMargin)).as(Seq("blk", "para")))
+      // the assert_true rider makes the encoding bound a PLAN-level
+      // invariant (fails the job loud on overflow) at zero cost on
+      // the happy path — no eager construction-time action
+      .withColumn("key",
+        col("doc_id") * ForgetBlkBase + col("blk") +
+          coalesce(assert_true(col("blk") < lit(ForgetBlkBase),
+            lit(s"forgetReport: blk overflows base $ForgetBlkBase"))
+            .cast("long"), lit(0L)))
+    val paras = blocks
+      .groupBy(col("para"))
+      .agg(min(col("key")).as("first_all"),
+        min(when(!col("d"), col("key"))).as("first_surv"))
+    val s5 = shape("40_paragraphs", paras.agg(
+      count(lit(1)).as("n_before"),
+      sum(when(col("first_surv").isNull, 1L).otherwise(0L))
+        .as("n_purged"),
+      sum(when(col("first_surv").isNotNull &&
+          col("first_surv") =!= col("first_all"), 1L).otherwise(0L))
+        .as("n_rewired")))
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .unionByName(s5)
+      .orderBy(col("stage"))
+  }
+
   // ------------------------------------------ composed entity resolution
 
   private val ErSlice = 1000L // bounded record slice (the fuzzy-join slice)
@@ -1484,6 +1593,7 @@ object DedupOps {
     "er_resolve" -> erResolve,
     "dedup_paragraph" -> paragraphDedup,
     "dedup_substring_remove" -> substringRemove,
+    "corpus_forget_report" -> forgetReport,
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
     "corpus_diff" -> corpusDiff,
@@ -2237,6 +2347,79 @@ object DedupOps {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(lower(trim(text)))
         |ORDER BY keep_id""".stripMargin,
+    // the same five per-family aggregates: sha-256 groups, the
+    // layout_inverted posting projection, the ParaWords block
+    // grammar with the integer-encoded (doc_id, blk) argmin
+    "corpus_forget_report" ->
+      s"""WITH s1 AS (
+         |  SELECT '10_docs' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+         |      AS n_purged,
+         |    CAST(0 AS BIGINT) AS n_rewired
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id % 10 = 3 AS d,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS nt
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT '11_tokens' AS stage,
+         |    CAST(SUM(nt) AS BIGINT) AS n_before,
+         |    CAST(COALESCE(SUM(nt) FILTER (WHERE d), 0) AS BIGINT)
+         |      AS n_purged,
+         |    CAST(0 AS BIGINT) AS n_rewired
+         |  FROM toks),
+         |posts AS (
+         |  SELECT doc_id % 10 = 3 AS d,
+         |    unnest(list_distinct(
+         |      list_filter(string_split(text, ' '), x -> x <> '')))
+         |      AS term
+         |  FROM documents),
+         |s3 AS (
+         |  SELECT '20_postings' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(COUNT(*) FILTER (WHERE d) AS BIGINT) AS n_purged,
+         |    CAST(0 AS BIGINT) AS n_rewired
+         |  FROM posts),
+         |grp AS (
+         |  SELECT MIN(doc_id) AS first_all,
+         |    MIN(doc_id) FILTER (WHERE doc_id % 10 <> 3) AS first_surv
+         |  FROM documents GROUP BY sha256(lower(trim(text)))),
+         |s4 AS (
+         |  SELECT '30_exact_clusters' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(COUNT(*) FILTER (WHERE first_surv IS NULL) AS BIGINT)
+         |      AS n_purged,
+         |    CAST(COUNT(*) FILTER (WHERE first_surv IS NOT NULL
+         |      AND first_surv <> first_all) AS BIGINT) AS n_rewired
+         |  FROM grp),
+         |base AS (
+         |  SELECT doc_id, doc_id % 10 = 3 AS d,
+         |    string_split(text, ' ') AS ws FROM documents),
+         |blocks AS (
+         |  SELECT doc_id, d, s.blk AS blk, s.para AS para,
+         |    doc_id * $ForgetBlkBase + s.blk AS key
+         |  FROM (SELECT doc_id, d, unnest([{'blk': i,
+         |      'para': array_to_string(
+         |        ws[i*$ParaWords+1 : i*$ParaWords+$ParaWords], ' ')}
+         |    for i in range(0, (len(ws) - 1) // $ParaWords + 1)]) AS s
+         |  FROM base)),
+         |pgrp AS (
+         |  SELECT MIN(key) AS first_all,
+         |    MIN(key) FILTER (WHERE NOT d) AS first_surv
+         |  FROM blocks GROUP BY para),
+         |s5 AS (
+         |  SELECT '40_paragraphs' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(COUNT(*) FILTER (WHERE first_surv IS NULL) AS BIGINT)
+         |      AS n_purged,
+         |    CAST(COUNT(*) FILTER (WHERE first_surv IS NOT NULL
+         |      AND first_surv <> first_all) AS BIGINT) AS n_rewired
+         |  FROM pgrp)
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |UNION ALL SELECT * FROM s5 ORDER BY stage""".stripMargin,
     "dedup_first_wins" ->
       """SELECT user_id, event_type, event_id,
         |  CAST(n_total - 1 AS BIGINT) AS n_dropped FROM (

@@ -459,6 +459,31 @@ class OpsSpec extends AnyFunSuite {
       s"compacted index diverged from the MoR view: overlap $overlap")
   }
 
+  test("forget report: hand-computed cascade on a planted corpus") {
+    import spark.implicits._
+    val a16 = (1 to 16).map(i => s"a$i").mkString(" ")
+    // deleted split: doc_id % 10 == 3 → docs 3, 13, 23
+    val docs = Seq(
+      (1L, "t1"), (2L, "t1"), // exact group survives untouched
+      (3L, a16 + " x3"), // deleted; shares block 0 with doc 7
+      (7L, a16 + " y7"),
+      (13L, "only-del"), // unique + deleted → group/para vanish
+      (23L, "dup dup"), (24L, "dup dup") // canonical 23 deleted → rewire
+    ).toDF("doc_id", "text")
+    val got = ops.DedupOps.forgetReportOn(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("10_docs") == ((7L, 3L, 0L)))
+    assert(got("11_tokens") == ((41L, 20L, 0L)))
+    assert(got("20_postings") == ((39L, 19L, 0L)))
+    // groups {1,2} {3} {7} {13} {23,24}: {3},{13} vanish; {23,24}
+    // reassigns its canonical from 23 to 24
+    assert(got("30_exact_clusters") == ((5L, 2L, 1L)))
+    // paras: t1, a16-block, x3, y7, only-del, "dup dup" — x3/only-del
+    // vanish; a16-block and "dup dup" re-win to (7,0)/(24,0)
+    assert(got("40_paragraphs") == ((6L, 2L, 2L)))
+  }
+
   test("DSIR selection: target-likeness ordering + exact lattice weights") {
     import spark.implicits._
     val docs = Seq(
