@@ -932,7 +932,170 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // --------------------------------- incremental connected components
+
+  /** INCREMENTAL CONNECTED COMPONENTS (`graph_cc_incremental`) — IVM
+    * for the graph family, the [[DedupOps.connectedComponents]]
+    * lifecycle the way a 100 TB ingest actually maintains it: the
+    * snapshot labeling is a frozen artifact (orders with
+    * l_orderkey ≡ 0‥7 mod 10 — the shared snapshot split), and an
+    * edge batch (≡ 8,9) is folded in WITHOUT re-iterating the corpus
+    * graph. Algorithm: map each delta edge's endpoints to their
+    * snapshot labels (absent → the node is new, label = own id),
+    * CONTRACT the batch to a label-graph (one edge per pair of
+    * touched components), run the min-label fixpoint on that
+    * contracted graph only — affected-component-sized, not
+    * corpus-sized — and remap. Labels are min reachable ids at every
+    * stage, so the incremental fixpoint equals the full rebuild's
+    * labeling EXACTLY; the oracle proves it by re-deriving BOTH
+    * labelings from scratch (snapshot for provenance, full for the
+    * answer) and aggregating the same report.
+    *
+    * Output, one row per final component: member count, snapshot vs
+    * batch-only membership, and `n_prior_labels` — how many
+    * pre-merge labels (snapshot components + new nodes) fused into
+    * it, the merge-accounting an IVM maintainer audits.
+    *
+    * Scale: batch-time work is the delta pair derivation (linear in
+    * the batch), one label-lookup join of the delta against the label
+    * artifact (hash join on node id), the contracted fixpoint (label
+    * graph — orders of magnitude smaller than the corpus graph), one
+    * remap join, and a linear summary aggregate. NO full-graph
+    * iteration at batch time — that is the entire point. */
+  def ccIncremental(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/lineitem.parquet"
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val snapLabels = graft.ArtifactStore.parquet(s,
+      "cc_snapshot_labels", input) {
+      DedupOps.connectedComponents(
+          ccPairsOf(li.filter(col("ok") % 10 < 8)))
+        .select(col("doc_id").as("id"), col("cluster_id").as("prev"))
+    }
+    ccIncrementalOn(snapLabels,
+      ccPairsOf(li.filter(col("ok") % 10 >= 8)))
+  }
+
+  /** Distinct (a_id < b_id) part co-occurrence pairs of an (ok, pk)
+    * slice — the [[partEdges]] derivation at pair grain. */
+  private[graft] def ccPairsOf(f: DataFrame): DataFrame =
+    f.select(col("ok"), col("pk").as("a_id"))
+      .join(f.select(col("ok"), col("pk").as("b_id")), Seq("ok"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+
+  /** Core of [[ccIncremental]], parameterized for the spec:
+    * `snapLabels` = the frozen (id, prev) snapshot labeling,
+    * `delta` = the batch's (a_id, b_id) pairs. */
+  private[graft] def ccIncrementalOn(snapLabels: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val la = snapLabels.select(col("id").as("a_id"), col("prev").as("la"))
+    val lb = snapLabels.select(col("id").as("b_id"), col("prev").as("lb"))
+    val contracted = delta
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id")).distinct()
+    val remap = DedupOps.connectedComponents(contracted)
+      .select(col("doc_id").as("prev"), col("cluster_id").as("nl"))
+    val snapFinal = snapLabels.join(remap, Seq("prev"), "left")
+      .select(col("id"), col("prev"),
+        coalesce(col("nl"), col("prev")).as("label"),
+        lit(false).as("is_new"))
+    val newFinal = delta.select(col("a_id").as("id"))
+      .unionByName(delta.select(col("b_id").as("id"))).distinct()
+      .join(snapLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(remap.withColumnRenamed("prev", "id"), Seq("id"), "left")
+      .select(col("id"), col("id").as("prev"),
+        coalesce(col("nl"), col("id")).as("label"),
+        lit(true).as("is_new"))
+    snapFinal.unionByName(newFinal)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("is_new"), 0L).otherwise(1L))
+          .as("n_snapshot_members"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_members"),
+        countDistinct(col("prev")).as("n_prior_labels"))
+      .select(col("label").as("cluster_id"), col("n_members"),
+        col("n_snapshot_members"), col("n_new_members"),
+        col("n_prior_labels"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Unrolled Shiloach–Vishkin min-label CC as chained CTEs (the
+    * dedup_clusters oracle shape), PREFIXED so two independent
+    * labelings can coexist in one oracle. Expects `<p>pairs` (a_id,
+    * b_id) to exist; emits `<p>comp` (id, label) gated on
+    * convergence — shortfall empties it, a loud row-count break. */
+  private def ccCtesSql(p: String, iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""${p}l$k AS MATERIALIZED (
+         |  SELECT l.id, least(l.label,
+         |      coalesce(nm.m, l.label), coalesce(pj.label, l.label))
+         |    AS label
+         |  FROM ${p}l${k - 1} l
+         |  LEFT JOIN (SELECT e.src AS id, MIN(x.label) AS m
+         |             FROM ${p}edges e JOIN ${p}l${k - 1} x
+         |               ON x.id = e.dst
+         |             GROUP BY e.src) nm ON nm.id = l.id
+         |  LEFT JOIN ${p}l${k - 1} pj ON pj.id = l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM ${p}pairs
+       |  UNION SELECT b_id, a_id FROM ${p}pairs),
+       |${p}l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS id, src AS label FROM ${p}edges),
+       |$steps,
+       |${p}conv AS (SELECT COUNT(*) AS c FROM
+       |  (SELECT id, label FROM ${p}l$iters
+       |   EXCEPT SELECT id, label FROM ${p}l${iters - 1}) t),
+       |${p}comp AS (SELECT id, label FROM ${p}l$iters
+       |             WHERE (SELECT c FROM ${p}conv) = 0)""".stripMargin
+  }
+
+  /** DuckDB replay of [[ccIncremental]] — from scratch, both
+    * labelings: the full-graph fixpoint answers, the snapshot-graph
+    * fixpoint provides the provenance columns. Incremental-equals-
+    * full-rebuild is exactly what this grades. */
+  private def ccIncrementalOracleSql: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |fpairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS a_id, b.pk AS b_id
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |spairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS a_id, b.pk AS b_id
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  WHERE a.ok % 10 < 8),
+       |${ccCtesSql("f", CcOracleIters)},
+       |${ccCtesSql("s", CcOracleIters)},
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT a_id AS id FROM fpairs
+       |  UNION ALL SELECT b_id FROM fpairs) t),
+       |snodes AS (SELECT DISTINCT id FROM (
+       |  SELECT a_id AS id FROM spairs
+       |  UNION ALL SELECT b_id FROM spairs) t),
+       |fin AS (SELECT n.id,
+       |    COALESCE(fc.label, n.id) AS cluster_id,
+       |    COALESCE(sc.label, n.id) AS prev,
+       |    CASE WHEN sn.id IS NULL THEN 1 ELSE 0 END AS is_new
+       |  FROM nodes n
+       |  LEFT JOIN fcomp fc ON fc.id = n.id
+       |  LEFT JOIN scomp sc ON sc.id = n.id
+       |  LEFT JOIN snodes sn ON sn.id = n.id)
+       |SELECT cluster_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(1 - is_new) AS BIGINT) AS n_snapshot_members,
+       |  CAST(SUM(is_new) AS BIGINT) AS n_new_members,
+       |  CAST(COUNT(DISTINCT prev) AS BIGINT) AS n_prior_labels
+       |FROM fin GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  private val CcOracleIters = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_cc_incremental" -> ccIncremental,
     "stat_benford_digits" -> benfordDigits,
     "stat_autocorr_hourly" -> autocorrHourly,
     "stat_linreg_multi" -> linregMulti,
@@ -953,6 +1116,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_cc_incremental" -> ccIncrementalOracleSql,
     // same floor-then-string first digit (never a rounding cast),
     // same single-tree shares; n is a scalar subquery
     "stat_benford_digits" ->

@@ -459,6 +459,41 @@ class OpsSpec extends AnyFunSuite {
       s"compacted index diverged from the MoR view: overlap $overlap")
   }
 
+  test("incremental CC: planted merges, equals full rebuild, control fires") {
+    import spark.implicits._
+    // snapshot components: {1,2}, {3,4}, {6,7}
+    val snapPairs = Seq((1L, 2L), (3L, 4L), (6L, 7L)).toDF("a_id", "b_id")
+    val snapLabels = ops.DedupOps.connectedComponents(snapPairs)
+      .select(col("doc_id").as("id"), col("cluster_id").as("prev"))
+      .localCheckpoint(true)
+    // delta: merge {1,2}+{3,4} via (2,3); two new nodes (5,9);
+    // an internal edge (6,7) that must change nothing
+    val delta = Seq((2L, 3L), (5L, 9L), (6L, 7L)).toDF("a_id", "b_id")
+    val got = ops.Analytics.ccIncrementalOn(snapLabels, delta).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4L, 0L, 2L)), // {1,2,3,4}: 2 prior labels fused
+      5L -> ((2L, 0L, 2L, 2L)), // {5,9}: both new
+      6L -> ((2L, 2L, 0L, 1L)) // untouched
+    ), s"unexpected summary: $got")
+    // equivalence: the incremental labeling must match a full rebuild
+    val full = ops.DedupOps.connectedComponents(
+      snapPairs.unionByName(delta)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val members = got.flatMap { case (cid, (n, _, _, _)) =>
+      Seq.fill(n.toInt)(cid) }.toSeq.sorted
+    assert(members == full.values.toSeq.sorted,
+      "incremental component sizes diverge from full rebuild")
+    // corrupted-snapshot control: shifting the frozen labels must
+    // change the report — the output depends on the artifact read
+    val corrupt = snapLabels.select(col("id"),
+      (col("prev") + 100L).as("prev"))
+    val bad = ops.Analytics.ccIncrementalOn(corrupt, delta).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(bad != got.keySet, "control: corrupted snapshot not visible")
+  }
+
   test("forget report: hand-computed cascade on a planted corpus") {
     import spark.implicits._
     val a16 = (1 to 16).map(i => s"a$i").mkString(" ")
