@@ -279,6 +279,52 @@ object DedupOps {
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
   }
 
+  /** INCREMENTAL LSH INGEST GATE (`dedup_lsh_append`) — the dedup
+    * index joins the maintenance discipline (ivf/nsw/cc triptychs):
+    * the corpus's banded MinHash buckets are a FROZEN artifact built
+    * once per snapshot (doc_id ≡ 0‥7 mod 10, capped per bucket by
+    * the [[defaultMaxBucket]] rule), and an ingest batch (≡ 8,9) is
+    * checked for near-duplicates of EXISTING content by signing only
+    * the batch (the map-side [[bandBuckets]] projection), capping the
+    * probe buckets the same way (overflow published as
+    * `graft_lsh_append_overflow`), and equi-joining probe against
+    * frozen on (band, bucket). Exact Jaccard ≥ 0.5 verifies the
+    * candidate pairs. Output: (a_id = corpus doc, b_id = incoming
+    * doc, jaccard) — the admit/reject signal an ingest loop consults
+    * before the batch enters the corpus.
+    *
+    * Scale: batch-time cost is |batch| signature projections + one
+    * hash join against the bucket artifact + a candidate-sized exact
+    * verify — the corpus is never re-signed, never re-banded. The
+    * full-corpus pass ([[minhashLshOn]]) remains the
+    * snapshot-(re)build path, exactly like the IVF trainer. */
+  def lshAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val input = s"$d/documents.parquet"
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id"))
+    val frozen = graft.ArtifactStore.parquet(s, "lsh_snap_buckets",
+      input) {
+      bandBuckets(fanOut(docs.filter(col("doc_id") % 10 < 8)))
+        .withColumn("__rank", row_number().over(wB))
+        .filter(col("__rank") <= defaultMaxBucket)
+        .drop("__rank")
+    }
+    val probe = bandBuckets(fanOut(docs.filter(col("doc_id") % 10 >= 8)))
+      .withColumn("__rank", row_number().over(wB))
+      .observe("graft_lsh_append_overflow",
+        sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
+          .as("dropped"))
+      .filter(col("__rank") <= defaultMaxBucket)
+      .drop("__rank")
+    val cand = frozen.as("x").join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, docs).orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Exact-Jaccard verification of an (a_id, b_id) candidate frame
     * against the corpus — the shared tail of [[minhashLshOn]] and the
     * streaming twin. The shingle transform is computed AFTER each
@@ -1609,6 +1655,7 @@ object DedupOps {
     "dedup_jaccard_prefix" -> jaccardPrefixJoin,
     "fuzzy_join_edit1" -> fuzzyJoinEdit1,
     "dedup_minhash_lsh" -> minhashLsh, // oracle: full SQL replay (minhashOracleSql)
+    "dedup_lsh_append" -> lshAppend, // oracle: split-capped replay
     "dedup_simhash" -> simhashNearDup, // oracle: full SQL replay (simhashOracleSql)
     "dedup_winnow" -> winnowNearDup, // oracle: full SQL replay (winnowOracleSql)
     "dedup_clusters" -> clusters,
@@ -1965,6 +2012,52 @@ object DedupOps {
        |SELECT a_id, b_id, jaccard FROM verified
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  /** Oracle for [[lshAppend]]: the same signature chain, then
+    * PER-SPLIT capped bucket frames (rank within the snapshot's
+    * buckets and within the batch's buckets independently — exactly
+    * the frozen-index + probe discipline), the snapshot×batch
+    * bucket join, and the exact-Jaccard verify. `spliceAux` follows
+    * the [[minhashCtesSql]] scaled mechanism: the raw bucket frame
+    * is the gated `aux_minhash_buckets` dump instead of the derived
+    * chain, and shingle verification reads the full corpus. */
+  private def lshAppendOracleSql(docsWhere: String,
+      spliceAux: Boolean): String = {
+    val h63u = "9223372036854775808"
+    val M64 = "18446744073709551616"
+    val rawSql = if (!spliceAux)
+      s"""rawb AS MATERIALIZED (
+         |  SELECT doc_id, band, st AS bucket FROM x4g)""".stripMargin
+    else
+      s"""rawb AS MATERIALIZED (
+         |  SELECT doc_id, band, bucket FROM auxm
+         |  WHERE (SELECT COUNT(*) FROM mism) = 0)""".stripMargin
+    val verifySrc = if (spliceAux) "shv" else "sh"
+    def cap(name: String, pred: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id, band, bucket, row_number() OVER (
+         |      PARTITION BY band, bucket ORDER BY doc_id) AS rn
+         |    FROM rawb WHERE $pred)
+         |  WHERE rn <= $defaultMaxBucket)""".stripMargin
+    s"""WITH ${minhashCtesSql(docsWhere, spliceAux)},
+       |$rawSql,
+       |${cap("scapx", "doc_id % 10 < 8")},
+       |${cap("bcapx", "doc_id % 10 >= 8")},
+       |candx AS MATERIALIZED (
+       |  SELECT DISTINCT s.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM scapx s JOIN bcapx b
+       |    ON s.band = b.band AND s.bucket = b.bucket),
+       |verifiedx AS MATERIALIZED (
+       |  SELECT c.a_id, c.b_id,
+       |    round(CAST(len(list_intersect(sa.sha, sb.sha)) AS DOUBLE) /
+       |      (len(sa.sha) + len(sb.sha) -
+       |        len(list_intersect(sa.sha, sb.sha))), 6) AS jaccard
+       |  FROM candx c JOIN $verifySrc sa ON sa.doc_id = c.a_id
+       |  JOIN $verifySrc sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM verifiedx
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** [[minhashCtesSql]] + the `dedup_clusters` recursive-CTE
     * clustering tail over the verified LSH pairs — the full-corpus
     * composition, now cross-engine-replayed end to end. */
@@ -1991,6 +2084,11 @@ object DedupOps {
     s"""WITH ${minhashCtesSql(sample, spliceAux = true)}
        |SELECT a_id, b_id, jaccard FROM verified
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  /** SCALED lshAppend oracle: sampled chain replay vs
+    * `aux_minhash_buckets` + the full per-split relational tail. */
+  private[ops] def lshAppendScaledSql(sample: String): String =
+    lshAppendOracleSql(sample, spliceAux = true)
 
   /** SCALED simhash oracle: sampled FNV/vote-chain replay against
     * `aux_simhash` + the full block/verify tail. */
@@ -2160,6 +2258,7 @@ object DedupOps {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    "dedup_lsh_append" -> lshAppendOracleSql("", spliceAux = false),
     // same positional block grammar, same global first-wins rule,
     // same in-order reassembly (string_agg ORDER BY blk ≡ the sorted
     // transform join)

@@ -83,6 +83,9 @@ object ScaledOracles {
   def oracles: Map[String, String] = Map(
     "dedup_winnow" -> DedupOps.winnowScaledSql(DocSample),
     "dedup_minhash_lsh" -> DedupOps.minhashScaledSql(DocSample),
+    // shares aux_minhash_buckets (same signature chain; per-split
+    // re-capping happens oracle-side over the gated dump)
+    "dedup_lsh_append" -> DedupOps.lshAppendScaledSql(DocSample),
     // the streaming twin shares the batch oracle verbatim (same
     // SparkEntry wiring as the full form)
     "stream_dedup_neardup" -> DedupOps.minhashScaledSql(DocSample),

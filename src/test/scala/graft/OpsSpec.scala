@@ -459,6 +459,25 @@ class OpsSpec extends AnyFunSuite {
       s"compacted index diverged from the MoR view: overlap $overlap")
   }
 
+  test("LSH append gate: equals full-LSH cross pairs, splits respected") {
+    val got = ops.DedupOps.lshAppend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(got.forall { case (a, b, _) => a % 10 < 8 && b % 10 >= 8 },
+      "pair orientation must be (corpus, incoming)")
+    // in the sub-cap regime the frozen-index + probe path must find
+    // EXACTLY the full-LSH pairs with one endpoint in each split
+    val full = ops.DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = full.flatMap { case (a, b, j) =>
+      if (a % 10 < 8 && b % 10 >= 8) Some((a, b, j))
+      else if (b % 10 < 8 && a % 10 >= 8) Some((b, a, j))
+      else None
+    }.toSet
+    assert(got.toSet == cross,
+      "append gate diverges from the full-LSH cross-split pairs")
+  }
+
   test("incremental CC: planted merges, equals full rebuild, control fires") {
     import spark.implicits._
     // snapshot components: {1,2}, {3,4}, {6,7}
