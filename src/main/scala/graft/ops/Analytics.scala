@@ -1036,7 +1036,12 @@ object Analytics {
     * dedup_clusters oracle shape), PREFIXED so two independent
     * labelings can coexist in one oracle. Expects `<p>pairs` (a_id,
     * b_id) to exist; emits `<p>comp` (id, label) gated on
-    * convergence — shortfall empties it, a loud row-count break. */
+    * convergence — shortfall empties it. NOTE the consumer's
+    * COALESCE(label, id) fallback turns an empty comp into a
+    * full-sized all-singleton labeling, NOT an empty result: the
+    * correctness gate still fails — via hash mismatch against the
+    * converged Spark answer — but a row-count-only check would NOT
+    * catch a non-converged oracle (advisor finding). */
   private def ccCtesSql(p: String, iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""${p}l$k AS MATERIALIZED (

@@ -307,6 +307,13 @@ object DedupOps {
       input) {
       bandBuckets(fanOut(docs.filter(col("doc_id") % 10 < 8)))
         .withColumn("__rank", row_number().over(wB))
+        // snapshot-side cap overflow is published like every other
+        // capped path (probe side, minhashLshOn, simhash) — a
+        // silently truncated snapshot bucket is a recall loss the
+        // operator must be able to see (advisor finding)
+        .observe("graft_lsh_snap_overflow",
+          sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
+            .as("dropped"))
         .filter(col("__rank") <= defaultMaxBucket)
         .drop("__rank")
     }

@@ -751,13 +751,17 @@ object TextOps {
     * final sum/count division, rounded to 6 dp (the house pattern).
     *
     * Scale shape: bigram extraction is a narrow zip_with over each
-    * token array; the model is two hash aggregates (bigram counts,
-    * first-token counts); scoring re-joins the doc-bigram stream to
-    * both count tables on their keys — hash joins whose build side is
-    * one row per key, so hot bigrams ("the the") cannot explode rows.
-    * V (vocab size) is a single-row aggregate joined back on a
-    * constant key broadcast (the corpus_mix pattern). Everything is
-    * corpus-linear; no pairwise anything. */
+    * token array, immediately compressed to (doc, bigram, k) grain by
+    * ONE hash aggregate with map-side partial combine — every
+    * downstream stage (the two count-model aggregates, both count
+    * joins, the per-doc sum) runs over that compressed grain, so the
+    * join shuffle shrinks by the in-doc repetition factor (natural
+    * text repeats bigrams heavily; r12's driver tail flagged the
+    * uncompressed join as the query's dominant cost). The count
+    * tables stay one row per key, so hot bigrams ("the the") cannot
+    * explode rows. V (vocab size) is a single-row aggregate joined
+    * back on a constant key broadcast (the corpus_mix pattern).
+    * Everything is corpus-linear; no pairwise anything. */
   def lmScore(s: SparkSession, d: String): DataFrame =
     lmScoreOn(Tables.documents(s, d))
 
@@ -774,20 +778,25 @@ object TextOps {
             concat(a, lit(" "), b).as("bg")))).as("p"))
       .select(col("doc_id"), col("source"),
         col("p.w1").as("w1"), col("p.bg").as("bg"))
-    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val w1Counts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // Compress to per-doc (bg, k) grain BEFORE the model joins: the
+    // surprisal of a bigram is the same for every in-doc repetition,
+    // so join once per distinct (doc, bg) and weight by k.
+    val docBg = bg.groupBy(col("doc_id"), col("source"), col("w1"),
+        col("bg")).agg(count(lit(1)).as("k"))
+    val bgCounts = docBg.groupBy(col("bg")).agg(sum(col("k")).as("c2"))
+    val w1Counts = docBg.groupBy(col("w1")).agg(sum(col("k")).as("c1"))
     val vocab = toks.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
       .withColumn("__k", lit(1))
-    bg.join(bgCounts, Seq("bg"))
+    docBg.join(bgCounts, Seq("bg"))
       .join(w1Counts, Seq("w1"))
       .withColumn("__k", lit(1))
       .join(broadcast(vocab), Seq("__k"))
       .withColumn("sp",
         (length(bin(expr("(c1 + v) DIV (c2 + 1)"))) - 1).cast("long"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("sp")).as("sum_surprisal"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("sp") * col("k")).as("sum_surprisal"))
       .withColumn("avg_surprisal",
         round(col("sum_surprisal").cast("double") /
           col("n_bigrams").cast("double"), 6))
