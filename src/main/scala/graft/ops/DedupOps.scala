@@ -1466,6 +1466,162 @@ object DedupOps {
       .orderBy(col("stage"))
   }
 
+  /** Deterministic duplicate layer for the forget-APPLY corpus: every
+    * doc_id ≡ 0 (mod 5) gains an exact copy at doc_id + offset. The
+    * fixture's documents carry no exact-duplicate texts at any SF
+    * (verified by digest-grouping all three), so a purge over the raw
+    * table could never exercise the canonical-reassignment path —
+    * this layer is a pure function of the table (the er_resolve
+    * SynthVoters discipline: the oracle recomputes it with one
+    * UNION ALL), and the offset is ≡ 2 (mod 4) so the `% 4 == 0`
+    * tombstone split hits originals and copies INDEPENDENTLY: the
+    * cascade's three cases (drop, vanish, rewire) all occur at every
+    * SF (25/25/251 exact rewires at sf0.001/0.01/0.1). */
+  private[graft] val ForgetCopyOff = 1000002L
+  private[graft] def forgetCorpusOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + ForgetCopyOff).as("doc_id"),
+          col("text")))
+
+  /** The tombstone split of the forget-apply corpus. `% 4`, not the
+    * report's `% 10 == 3`: the duplicate layer's ids are what carry
+    * rewire coverage, and ≡ 2 (mod 4) offset × `% 4 == 0` is the
+    * smallest split where a canonical can die while its copy
+    * survives AND vice versa. */
+  private[graft] val forgetTomb: Column = col("doc_id") % 4 === 0
+
+  private[graft] def forgetPostingsOn(corpus: DataFrame): DataFrame =
+    fanOut(corpus).select(col("doc_id"),
+      explode(array_distinct(TextOps.tokensNonEmpty(col("text"))))
+        .as("term"))
+
+  private[graft] def forgetExactMembersOn(corpus: DataFrame): DataFrame =
+    fanOut(corpus).select(
+      sha2(lower(trim(col("text"))), 256).as("norm"), col("doc_id"))
+
+  private[graft] def forgetParaMembersOn(corpus: DataFrame): DataFrame =
+    fanOut(corpus)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) div $ParaWords),
+           |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords),
+           |                  ' '))""".stripMargin)).as(Seq("blk", "para")))
+      .select(md5(col("para")).as("pk"),
+        (col("doc_id") * ForgetBlkBase + col("blk") +
+          coalesce(assert_true(col("blk") < lit(ForgetBlkBase),
+            lit(s"forgetApply: blk overflows base $ForgetBlkBase"))
+            .cast("long"), lit(0L))).as("key"))
+
+  /** EXECUTED RIGHT-TO-BE-FORGOTTEN CASCADE (`corpus_forget_apply`,
+    * VERDICT r12 #2) — [[forgetReport]] counts what a purge must
+    * touch; this operator PERFORMS it on frozen serving artifacts and
+    * emits the post-purge state, graded by an oracle that REBUILDS
+    * the same artifacts from scratch on the survivors — the
+    * `graph_cc_incremental` proof discipline (incremental ≡ rebuild)
+    * applied to compliance deletion.
+    *
+    * Serving artifacts (content-addressed, built once per snapshot):
+    * the inverted-posting projection (doc, distinct term), the
+    * exact-dup membership + canonical map (sha-256 of normalized
+    * text → min doc_id — the dedup_exact rule), and the paragraph
+    * first-wins membership + winner map (md5 paragraph fingerprint →
+    * min integer-encoded (doc, blk) key; grouping by the 128-bit
+    * fingerprint instead of the text is the dedup_exact digest-key
+    * discipline — the corpus body never becomes a shuffle payload).
+    *
+    * Batch-time purge, bounded by tombstone mass + affected-group
+    * membership — the corpus is never re-scanned:
+    *  - postings: tombstone semi-join counts the dropped rows;
+    *  - canonicals: groups whose canonical is tombstoned (map ⋈
+    *    tombstones — affected-fraction rows) re-derive their min
+    *    over SURVIVING members of those groups only; groups with no
+    *    survivor vanish;
+    *  - paragraph winners: identical shape on the winner map, the
+    *    owning doc recovered from the key by integer division.
+    *
+    * Output: per-family before/after funnel rows (key = '') plus ONE
+    * ROW PER REWIRED ARTIFACT ENTRY — (family key, old value, new
+    * value) — the rows a serving index must rewrite without their
+    * own inputs being deleted, i.e. exactly what the report called
+    * the operationally scary part. The oracle knows nothing of the
+    * artifacts: it rebuilds both states from the corpus directly, so
+    * a hash match PROVES the incremental rewrite equals a from-
+    * scratch survivor rebuild. */
+  def forgetApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val input = s"$d/documents.parquet"
+    val corpus = forgetCorpusOn(docs)
+    val postings = graft.ArtifactStore.parquet(s, "forget_postings",
+      input)(forgetPostingsOn(corpus))
+    val exactMembers = graft.ArtifactStore.parquet(s,
+      "forget_exact_members", input)(forgetExactMembersOn(corpus))
+    val exactMap = graft.ArtifactStore.parquet(s, "forget_exact_map",
+      input)(exactMembers.groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("canonical")))
+    val paraMembers = graft.ArtifactStore.parquet(s,
+      "forget_para_members", input)(forgetParaMembersOn(corpus))
+    val paraWinners = graft.ArtifactStore.parquet(s,
+      "forget_para_winners", input)(paraMembers.groupBy(col("pk"))
+        .agg(min(col("key")).as("winner")))
+    forgetApplyOn(corpus, postings, exactMembers, exactMap,
+      paraMembers, paraWinners)
+  }
+
+  /** Core of [[forgetApply]], parameterized on the artifact frames so
+    * the spec can drive it with planted artifacts (and corrupt one to
+    * prove the output reads the store, not the corpus). */
+  private[graft] def forgetApplyOn(corpus: DataFrame,
+      postings: DataFrame, exactMembers: DataFrame, exactMap: DataFrame,
+      paraMembers: DataFrame, paraWinners: DataFrame): DataFrame = {
+    val tombIds = corpus.filter(forgetTomb).select(col("doc_id"))
+    def one(df: DataFrame): DataFrame = df.withColumn("__k", lit(1))
+    // postings: dropped rows = tombstone semi-join; after = before − dropped
+    val s1 = one(postings.agg(count(lit(1)).as("old_id")))
+      .join(one(postings.join(tombIds, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("dr"))), Seq("__k"))
+      .select(lit("10_postings").as("stage"), lit("").as("key"),
+        col("old_id"), (col("old_id") - col("dr")).as("new_id"))
+    // exact canonicals: affected = canonical tombstoned; of those,
+    // groups with a surviving member REWIRE to the surviving min,
+    // the rest vanish — nothing outside the affected groups is read
+    val affE = exactMap.join(
+      tombIds.withColumnRenamed("doc_id", "canonical"),
+      Seq("canonical"), "left_semi")
+    val rewE = exactMembers.join(affE, Seq("norm"))
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("norm"), col("canonical"))
+      .agg(min(col("doc_id")).as("new_id"))
+    val s2 = one(exactMap.agg(count(lit(1)).as("old_id")))
+      .join(one(affE.agg(count(lit(1)).as("na"))), Seq("__k"))
+      .join(one(rewE.agg(count(lit(1)).as("nr"))), Seq("__k"))
+      .select(lit("20_exact_clusters").as("stage"), lit("").as("key"),
+        col("old_id"),
+        (col("old_id") - (col("na") - col("nr"))).as("new_id"))
+    val s3 = rewE.select(lit("30_exact_rewired").as("stage"),
+      col("norm").as("key"), col("canonical").as("old_id"),
+      col("new_id"))
+    // paragraph winners: same shape; owning doc = key div base
+    val affP = paraWinners
+      .withColumn("doc_id", expr(s"winner DIV $ForgetBlkBase"))
+      .join(tombIds, Seq("doc_id"), "left_semi").drop("doc_id")
+    val rewP = paraMembers.join(affP, Seq("pk"))
+      .withColumn("doc_id", expr(s"key DIV $ForgetBlkBase"))
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("pk"), col("winner"))
+      .agg(min(col("key")).as("new_id"))
+    val s4 = one(paraWinners.agg(count(lit(1)).as("old_id")))
+      .join(one(affP.agg(count(lit(1)).as("na"))), Seq("__k"))
+      .join(one(rewP.agg(count(lit(1)).as("nr"))), Seq("__k"))
+      .select(lit("40_para_clusters").as("stage"), lit("").as("key"),
+        col("old_id"),
+        (col("old_id") - (col("na") - col("nr"))).as("new_id"))
+    val s5 = rewP.select(lit("50_para_rewired").as("stage"),
+      col("pk").as("key"), col("winner").as("old_id"), col("new_id"))
+    s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+      .orderBy(col("stage"), col("key"))
+  }
+
   // ------------------------------------------ composed entity resolution
 
   private val ErSlice = 1000L // bounded record slice (the fuzzy-join slice)
@@ -1647,6 +1803,7 @@ object DedupOps {
     "dedup_paragraph" -> paragraphDedup,
     "dedup_substring_remove" -> substringRemove,
     "corpus_forget_report" -> forgetReport,
+    "corpus_forget_apply" -> forgetApply,
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incremental,
     "corpus_diff" -> corpusDiff,
@@ -2456,6 +2613,66 @@ object DedupOps {
     // the same five per-family aggregates: sha-256 groups, the
     // layout_inverted posting projection, the ParaWords block
     // grammar with the integer-encoded (doc_id, blk) argmin
+    // from-scratch survivor rebuild — knows nothing of the frozen
+    // artifacts; hash equality proves incremental purge ≡ rebuild
+    "corpus_forget_apply" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ForgetCopyOff, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |posts AS (
+         |  SELECT doc_id % 4 = 0 AS d FROM (
+         |    SELECT doc_id, unnest(list_distinct(
+         |      list_filter(string_split(text, ' '), x -> x <> '')))
+         |    FROM corpus) t),
+         |s1 AS (
+         |  SELECT '10_postings' AS stage, '' AS key,
+         |    CAST(COUNT(*) AS BIGINT) AS old_id,
+         |    CAST(COUNT(*) FILTER (WHERE NOT d) AS BIGINT) AS new_id
+         |  FROM posts),
+         |grp AS (
+         |  SELECT sha256(lower(trim(text))) AS h, MIN(doc_id) AS fa,
+         |    MIN(doc_id) FILTER (WHERE doc_id % 4 <> 0) AS fs
+         |  FROM corpus GROUP BY 1),
+         |s2 AS (
+         |  SELECT '20_exact_clusters' AS stage, '' AS key,
+         |    CAST(COUNT(*) AS BIGINT) AS old_id,
+         |    CAST(COUNT(*) FILTER (WHERE fs IS NOT NULL) AS BIGINT)
+         |      AS new_id
+         |  FROM grp),
+         |s3 AS (
+         |  SELECT '30_exact_rewired' AS stage, h AS key,
+         |    fa AS old_id, fs AS new_id
+         |  FROM grp WHERE fs IS NOT NULL AND fs <> fa),
+         |base AS (
+         |  SELECT doc_id, doc_id % 4 = 0 AS d,
+         |    string_split(text, ' ') AS ws FROM corpus),
+         |blocks AS (
+         |  SELECT s.para AS para, d,
+         |    doc_id * $ForgetBlkBase + s.blk AS key
+         |  FROM (SELECT doc_id, d, unnest([{'blk': i,
+         |      'para': array_to_string(
+         |        ws[i*$ParaWords+1 : i*$ParaWords+$ParaWords], ' ')}
+         |    for i in range(0, (len(ws) - 1) // $ParaWords + 1)]) AS s
+         |  FROM base)),
+         |pgrp AS (
+         |  SELECT md5(para) AS pk, MIN(key) AS fa,
+         |    MIN(key) FILTER (WHERE NOT d) AS fs
+         |  FROM blocks GROUP BY 1),
+         |s4 AS (
+         |  SELECT '40_para_clusters' AS stage, '' AS key,
+         |    CAST(COUNT(*) AS BIGINT) AS old_id,
+         |    CAST(COUNT(*) FILTER (WHERE fs IS NOT NULL) AS BIGINT)
+         |      AS new_id
+         |  FROM pgrp),
+         |s5 AS (
+         |  SELECT '50_para_rewired' AS stage, pk AS key,
+         |    fa AS old_id, fs AS new_id
+         |  FROM pgrp WHERE fs IS NOT NULL AND fs <> fa)
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |UNION ALL SELECT * FROM s5 ORDER BY stage, key""".stripMargin,
     "corpus_forget_report" ->
       s"""WITH s1 AS (
          |  SELECT '10_docs' AS stage,

@@ -538,6 +538,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got("40_paragraphs") == ((6L, 2L, 2L)))
   }
 
+  test("forget apply: hand-computed purge + corrupted-artifact control") {
+    import spark.implicits._
+    val B = 1048576L // ForgetBlkBase
+    // tombstones: doc_id % 4 == 0 → docs 4, 8
+    val corpus = Seq(
+      (1L, "t1"), (2L, "t1"), // group untouched (canonical 1 lives)
+      (4L, "dup dup"), (5L, "dup dup"), // canonical 4 dies → rewire to 5
+      (8L, "gone gone"), // tombstoned singleton → vanishes
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    def artifacts(em: org.apache.spark.sql.DataFrame) = {
+      val posts = ops.DedupOps.forgetPostingsOn(corpus)
+      val eMap = em.groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("canonical"))
+      val pm = ops.DedupOps.forgetParaMembersOn(corpus)
+      val pw = pm.groupBy(col("pk")).agg(min(col("key")).as("winner"))
+      ops.DedupOps.forgetApplyOn(corpus, posts, em, eMap, pm, pw)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+    }
+    val got = artifacts(ops.DedupOps.forgetExactMembersOn(corpus))
+    val counts = got.filter(_._2 == "").map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(counts("10_postings") == ((6L, 4L)))
+    assert(counts("20_exact_clusters") == ((4L, 3L)))
+    assert(counts("40_para_clusters") == ((4L, 3L)))
+    val rewE = got.filter(_._1 == "30_exact_rewired")
+    assert(rewE.map(r => (r._3, r._4)).toSeq == Seq((4L, 5L)))
+    val rewP = got.filter(_._1 == "50_para_rewired")
+    assert(rewP.map(r => (r._3, r._4)).toSeq == Seq((4L * B, 5L * B)))
+    // corrupted-artifact control: re-pointing every membership row at
+    // doc 4 must change the purge — the output depends on the frozen
+    // store, not on a silent corpus re-derivation
+    val bad = artifacts(ops.DedupOps.forgetExactMembersOn(corpus)
+      .select(col("norm"), lit(4L).as("doc_id")))
+    assert(bad.toSet != got.toSet,
+      "control: corrupted exact-membership artifact not visible")
+  }
+
+  test("forget apply: fixture-scale rewires are non-vacuous") {
+    val got = ops.DedupOps.forgetApply(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val rewE = got.filter(_._1 == "30_exact_rewired")
+    val rewP = got.filter(_._1 == "50_para_rewired")
+    assert(rewE.length == 25, s"exact rewires: ${rewE.length}")
+    assert(rewP.nonEmpty, "paragraph rewires vacuous")
+    assert((rewE ++ rewP).forall(r => r._2 != r._3),
+      "a rewired row must actually change value")
+  }
+
   test("DSIR selection: target-likeness ordering + exact lattice weights") {
     import spark.implicits._
     val docs = Seq(
