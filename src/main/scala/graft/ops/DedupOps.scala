@@ -848,6 +848,76 @@ object DedupOps {
     SimilarityOps.thresholdLshAuto(emb, 0.3, knownN = knownN)
       .select(col("a_id"), col("b_id"))
 
+  /** SEMANTIC (EMBEDDING) INGEST GATE (`dedup_semantic_append`,
+    * VERDICT r12 #3) — the [[lshAppend]] discipline applied to the
+    * one dedup family that still rebuilt per snapshot: the corpus's
+    * SRP band-buckets (fixed 8-bit × 64-band geometry, seed 42 — the
+    * `sim_threshold_lsh` static geometry, so the oracle is a full
+    * cross-engine SRP replay, not rows-only) are a FROZEN
+    * content-addressed artifact over the snapshot split (vec_id ≡
+    * 0‥7 mod 10), capped per (band, bucket) by [[defaultMaxBucket]]
+    * with snapshot-side overflow observed; an ingest batch (≡ 8,9)
+    * is signed ALONE, capped the same way (probe overflow observed),
+    * and equi-joined against the frozen buckets on (band, bucket).
+    * Exact round-6 cosine ≥ 0.4 verifies the candidates. Output:
+    * (a_id = corpus vec, b_id = incoming vec, cosine) — the
+    * admit/reject signal before the batch enters the corpus.
+    *
+    * Batch-time cost is |batch| SRP signings + one hash join against
+    * the bucket artifact + a candidate-sized exact verify — the
+    * corpus is never re-signed, never re-banded. This closes the
+    * SCALE.md "residual-risk asymmetry": the semantic family now has
+    * a bounded, hash-graded incremental path alongside the
+    * full-corpus [[semanticLsh]] snapshot (re)build. */
+  def semanticAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val input = s"$d/embeddings.parquet"
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("vec_id"))
+    def capped(df: DataFrame, metric: String): DataFrame =
+      df.withColumn("__rank", row_number().over(wB))
+        .observe(metric,
+          sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
+            .as("dropped"))
+        .filter(col("__rank") <= defaultMaxBucket)
+        .drop("__rank")
+    val frozen = graft.ArtifactStore.parquet(s, "srp_snap_buckets",
+      input) {
+      capped(SimilarityOps.srpBandsFrame(
+        emb.filter(col("vec_id") % 10 < 8), 8, 64, 42L),
+        "graft_srp_snap_overflow")
+    }
+    val probe = capped(SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 >= 8), 8, 64, 42L),
+      "graft_srp_append_overflow")
+    semanticAppendOn(emb, frozen, probe, 0.4)
+  }
+
+  /** Core of [[semanticAppend]], parameterized on the frozen/probe
+    * bucket frames so the spec can drive the wrong-bucket control
+    * (shifted probe buckets must change the answer — the equi-join
+    * is load-bearing, not decorative). */
+  private[graft] def semanticAppendOn(emb: DataFrame, frozen: DataFrame,
+      probe: DataFrame, threshold: Double): DataFrame = {
+    val cand = frozen.as("x").join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.Vectors.normCol(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .withColumn("cosine", graft.functions.Vectors.cosine6WithNorms(
+        col("ae"), col("an"), col("be"), col("bn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Incremental dedup: clean a NEW batch against an already-published
     * corpus snapshot — the steady-state form of exact dedup once a
     * pipeline runs continuously (the ETL twin is
@@ -1814,6 +1884,7 @@ object DedupOps {
     "dedup_containment" -> containment,
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
+    "dedup_semantic_append" -> semanticAppend, // oracle: split-capped SRP replay
     "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_jaccard_prefix" -> jaccardPrefixJoin,
@@ -2184,6 +2255,35 @@ object DedupOps {
     * the [[minhashCtesSql]] scaled mechanism: the raw bucket frame
     * is the gated `aux_minhash_buckets` dump instead of the derived
     * chain, and shingle verification reads the full corpus. */
+  /** Static oracle for `dedup_semantic_append`: the full SRP replay
+    * ([[SimilarityOps.srpCtesSql]], fixed 8×64 geometry, seed 42)
+    * stopped at `bucketsx`, then the split-capped frozen/probe
+    * bucket frames, the cross-split candidate join, and the exact
+    * round-6 cosine verify — the [[lshAppendOracleSql]] shape for
+    * embeddings. */
+  private def semanticAppendOracleSql: String = {
+    def cap(name: String, pred: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket, row_number() OVER (
+         |      PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM bucketsx WHERE $pred) t
+         |  WHERE rn <= $defaultMaxBucket)""".stripMargin
+    s"""WITH ${SimilarityOps.srpCtesSql(8, 64, 42L, "", "", withCand = false)},
+       |${cap("scapx", "vec_id % 10 < 8")},
+       |${cap("bcapx", "vec_id % 10 >= 8")},
+       |candx AS MATERIALIZED (
+       |  SELECT DISTINCT s.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM scapx s JOIN bcapx b
+       |    ON s.band = b.band AND s.bucket = b.bucket)
+       |SELECT c.a_id, c.b_id,
+       |  round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+       |FROM candx c JOIN vecs a ON a.vec_id = c.a_id
+       |JOIN vecs b ON b.vec_id = c.b_id
+       |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private def lshAppendOracleSql(docsWhere: String,
       spliceAux: Boolean): String = {
     val h63u = "9223372036854775808"
@@ -2423,6 +2523,7 @@ object DedupOps {
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
     "dedup_lsh_append" -> lshAppendOracleSql("", spliceAux = false),
+    "dedup_semantic_append" -> semanticAppendOracleSql,
     // same positional block grammar, same global first-wins rule,
     // same in-order reassembly (string_agg ORDER BY blk ≡ the sorted
     // transform join)

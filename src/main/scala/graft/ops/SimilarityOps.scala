@@ -313,7 +313,7 @@ object SimilarityOps {
 
   /** The (vec_id, band, bucket) SRP banding frame — the scaled-oracle
     * aux dump, ONE definition shared with [[thresholdLshOn]]. */
-  private[ops] def srpBandsFrame(emb: DataFrame, bitsPerBand: Int,
+  private[graft] def srpBandsFrame(emb: DataFrame, bitsPerBand: Int,
       nBands: Int, seed: Long): DataFrame =
     fanOut(emb).select(col("vec_id"),
       posexplode(graft.functions.GraftFunctions.srpBands(col("embedding"),

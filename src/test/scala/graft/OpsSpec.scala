@@ -478,6 +478,38 @@ class OpsSpec extends AnyFunSuite {
       "append gate diverges from the full-LSH cross-split pairs")
   }
 
+  test("semantic append gate: equals full-SRP cross pairs, wrong-bucket control") {
+    val got = ops.DedupOps.semanticAppend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture should contain cross-split semantic pairs")
+    assert(got.forall { case (a, b, _) => a % 10 < 8 && b % 10 >= 8 },
+      "pair orientation must be (corpus, incoming)")
+    // sub-cap regime: the frozen-index + probe path must find EXACTLY
+    // the full SRP-LSH pairs with one endpoint in each split
+    val full = ops.SimilarityOps.thresholdLshOn(
+      Tables.embeddings(spark, sf), 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = full.flatMap { case (a, b, c) =>
+      if (a % 10 < 8 && b % 10 >= 8) Some((a, b, c))
+      else if (b % 10 < 8 && a % 10 >= 8) Some((b, a, c))
+      else None
+    }.toSet
+    assert(got.toSet == cross,
+      "append gate diverges from the full-SRP cross-split pairs")
+    // wrong-bucket control: shifting the probe's bucket ids must
+    // change the answer — the (band, bucket) equi-join is load-bearing
+    val emb = Tables.embeddings(spark, sf)
+    val frozen = ops.SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 < 8), 8, 64, 42L)
+    val probeBad = ops.SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 >= 8), 8, 64, 42L)
+      .withColumn("bucket", col("bucket") + 1L)
+    val bad = ops.DedupOps.semanticAppendOn(emb, frozen, probeBad, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bad != got.map(t => (t._1, t._2)).toSet,
+      "control: shifted probe buckets not visible in the result")
+  }
+
   test("incremental CC: planted merges, equals full rebuild, control fires") {
     import spark.implicits._
     // snapshot components: {1,2}, {3,4}, {6,7}
