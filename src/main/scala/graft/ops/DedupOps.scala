@@ -2261,7 +2261,20 @@ object DedupOps {
     * bucket frames, the cross-split candidate join, and the exact
     * round-6 cosine verify — the [[lshAppendOracleSql]] shape for
     * embeddings. */
-  private def semanticAppendOracleSql: String = {
+  private def semanticAppendOracleSql: String =
+    semanticAppendOracleSql("", "")
+
+  /** Scaled (sf1) form of the `dedup_semantic_append` oracle: the SRP
+    * accumulator fold replays over the md5-sampled vec subset against
+    * the shared `aux_srp_t04` dump (the `sim_threshold_lsh` aux —
+    * same geometry, same banding frame definition), and the capped
+    * split + cross-join + cosine-verify tail replays in FULL from the
+    * gated dump — the [[lshAppendScaledSql]] mechanism. */
+  private[graft] def semanticAppendScaledSql(sample: String): String =
+    semanticAppendOracleSql(sample, "aux_srp_t04")
+
+  private def semanticAppendOracleSql(vecSample: String,
+      auxTable: String): String = {
     def cap(name: String, pred: String) =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, band, bucket FROM (
@@ -2269,7 +2282,8 @@ object DedupOps {
          |      PARTITION BY band, bucket ORDER BY vec_id) AS rn
          |    FROM bucketsx WHERE $pred) t
          |  WHERE rn <= $defaultMaxBucket)""".stripMargin
-    s"""WITH ${SimilarityOps.srpCtesSql(8, 64, 42L, "", "", withCand = false)},
+    s"""WITH ${SimilarityOps.srpCtesSql(8, 64, 42L, vecSample, auxTable,
+      withCand = false)},
        |${cap("scapx", "vec_id % 10 < 8")},
        |${cap("bcapx", "vec_id % 10 >= 8")},
        |candx AS MATERIALIZED (

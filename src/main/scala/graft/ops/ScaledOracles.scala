@@ -92,6 +92,9 @@ object ScaledOracles {
     "dedup_clusters_lsh" -> DedupOps.clustersLshScaledSql(DocSample),
     "dedup_simhash" -> DedupOps.simhashScaledSql(DocSample),
     "sim_threshold_lsh" -> SimilarityOps.thresholdLshScaledSql(VecSample),
+    // shares aux_srp_t04 (same 8×64 geometry; split capping happens
+    // oracle-side over the gated dump)
+    "dedup_semantic_append" -> DedupOps.semanticAppendScaledSql(VecSample),
     // the walk replays in full; only the edge derivation samples
     "sim_nsw_topk" -> SimilarityOps.nswOracleSql(VecSample),
     "sim_nsw_append" -> SimilarityOps.nswAppendOracleSql(VecSample),
