@@ -766,7 +766,13 @@ object TextOps {
     lmScoreOn(Tables.documents(s, d))
 
   /** Core of [[lmScore]], parameterized for tests and reuse. */
-  def lmScoreOn(docs: DataFrame): DataFrame = {
+  def lmScoreOn(docs: DataFrame): DataFrame =
+    lmScoredDocs(docs).orderBy(col("doc_id"))
+
+  /** [[lmScoreOn]] without the catalog ORDER BY — the shared scoring
+    * core [[pplBucketsOn]] composes (its window re-shuffles anyway;
+    * an upstream sort would be pure waste). */
+  private[graft] def lmScoredDocs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
         tokensNonEmpty(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -800,7 +806,70 @@ object TextOps {
       .withColumn("avg_surprisal",
         round(col("sum_surprisal").cast("double") /
           col("n_bigrams").cast("double"), 6))
-      .orderBy(col("doc_id"))
+  }
+
+  /** CCNET-STYLE PERPLEXITY BUCKETING (`corpus_ppl_buckets`) — the
+    * Wenzek et al. 2020 head/middle/tail split every CommonCrawl
+    * recipe applies: score each document with the corpus's own LM
+    * ([[lmScoredDocs]] — the integer-exact bigram surprisal model),
+    * rank within each language, and cut into tertiles (tile 1 =
+    * head = lowest surprisal = most fluent). Output: per (lang,
+    * tile) doc counts, bigram mass and the surprisal range — the
+    * table a sampling recipe consumes ("keep head+middle, drop
+    * tail").
+    *
+    * The per-language rank is computed WITHOUT a per-language
+    * single-task window (a language is corpus-sized at 100 TB — the
+    * corpus_shuffle discipline, here on a FLOAT key): avg surprisal
+    * is bounded in [0, 64] by construction (it averages integer bit
+    * lengths of 64-bit quotients), so fixed 0.25-wide key ranges
+    * give ≤ 257 data-independent buckets; ranks are parallel windows
+    * within (lang, bucket), and the bounded (lang, bucket) histogram
+    * — ≤ 257 × |langs| rows, the 16-centroid collect class — turns
+    * into additive offsets. Bit-identical to `row_number() OVER
+    * (PARTITION BY lang ORDER BY avg_surprisal, doc_id)`, which is
+    * what the oracle runs. The tertile is pure rank arithmetic
+    * (`(r−1)·3 DIV n + 1`), identical in both engines. Docs with
+    * < 2 tokens carry no bigram and are out of scope in both. */
+  def pplBuckets(s: SparkSession, d: String): DataFrame =
+    pplBucketsOn(Tables.documents(s, d))
+
+  /** Core of [[pplBuckets]], parameterized for tests. */
+  private[graft] def pplBucketsOn(docs: DataFrame): DataFrame = {
+    val scored = lmScoredDocs(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val keyed = scored.withColumn("__b",
+      floor(col("avg_surprisal") * 4).cast("int"))
+    // bounded histogram → per-(lang, bucket) exclusive offsets and
+    // per-lang totals, driver-side (≤ 257 × |langs| rows)
+    val hist = keyed.groupBy(col("lang"), col("__b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+    val offsets: Map[String, Long] = hist.groupBy(_._1._1).flatMap {
+      case (lang, rows) =>
+        val sorted = rows.sortBy(_._1._2)
+        sorted.map(_._1).zip(
+          sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+          .map { case ((l, b), off) => s"$l:$b" -> off }
+    }
+    val totals: Map[String, Long] =
+      hist.groupBy(_._1._1).map { case (l, rows) => l -> rows.map(_._2).sum }
+    val offsetCol = element_at(typedLit(offsets),
+      concat(col("lang"), lit(":"), col("__b")))
+    val totalCol = element_at(typedLit(totals), col("lang"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("__b"))
+      .orderBy(col("avg_surprisal"), col("doc_id"))
+    keyed
+      .withColumn("r", row_number().over(wLocal).cast("long") + offsetCol)
+      .withColumn("n", totalCol)
+      .withColumn("tile", expr("(r - 1) * 3 DIV n + 1"))
+      .groupBy(col("lang"), col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        min(col("avg_surprisal")).as("min_avg_surprisal"),
+        max(col("avg_surprisal")).as("max_avg_surprisal"))
+      .orderBy(col("lang"), col("tile"))
   }
 
   /** Deterministic corpus shuffle: the reproducible global
@@ -1803,6 +1872,7 @@ object TextOps {
     "text_chunk" -> textChunks,
     "corpus_overlap" -> corpusOverlap,
     "text_lm_score" -> lmScore,
+    "corpus_ppl_buckets" -> pplBuckets,
     "corpus_shuffle" -> corpusShuffle,
     "text_token_bpe" -> tokenCounts,
     "text_stats" -> textStats,
@@ -1834,6 +1904,34 @@ object TextOps {
     * the running-sum packing — each stage's SQL is the SAME idiom its
     * standalone oracle grades, chained over the previous stage's CTE
     * instead of `documents`. */
+  /** Shared DuckDB CTE chain of the bigram-LM scoring core
+    * ([[lmScoredDocs]]) up to the per-doc `scored` frame — ONE
+    * definition graded by both `text_lm_score` and
+    * `corpus_ppl_buckets`, so the model replay cannot drift between
+    * the score and the bucketing built on it. */
+  private def lmScoreCtesSql: String =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |t2 AS (SELECT * FROM toks WHERE len(t) >= 2),
+      |bgi AS (SELECT doc_id, source, t,
+      |    unnest(range(1, len(t))) AS i FROM t2),
+      |bg AS (SELECT doc_id, source, t[i] AS w1,
+      |    t[i] || ' ' || t[i+1] AS bg FROM bgi),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(t) AS tok FROM t2)),
+      |sc AS (SELECT b.doc_id, b.source,
+      |    length(bin((c1.c1 + v.v) // (c2.c2 + 1))) - 1 AS sp
+      |  FROM bg b JOIN c2 ON b.bg = c2.bg
+      |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+      |scored AS (SELECT doc_id, source, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(sp) AS BIGINT) AS sum_surprisal,
+      |    round(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+      |  FROM sc GROUP BY doc_id, source)""".stripMargin
+
   private def corpusBuildReportOracleSql: String = {
     val sh = DedupOps.shinglesSql
     val pw = DedupOps.ParaWords
@@ -2178,27 +2276,27 @@ object TextOps {
     "text_lm_score" ->
       // same integer-exact surprisal: bit length of the smoothed
       // integer quotient; // is DuckDB's integer floor division
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |t2 AS (SELECT * FROM toks WHERE len(t) >= 2),
-        |bgi AS (SELECT doc_id, source, t,
-        |    unnest(range(1, len(t))) AS i FROM t2),
-        |bg AS (SELECT doc_id, source, t[i] AS w1,
-        |    t[i] || ' ' || t[i+1] AS bg FROM bgi),
-        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS v
-        |      FROM (SELECT unnest(t) AS tok FROM t2)),
-        |sc AS (SELECT b.doc_id, b.source,
-        |    length(bin((c1.c1 + v.v) // (c2.c2 + 1))) - 1 AS sp
-        |  FROM bg b JOIN c2 ON b.bg = c2.bg
-        |  JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v)
-        |SELECT doc_id, source, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(sp) AS BIGINT) AS sum_surprisal,
-        |  round(CAST(SUM(sp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
-        |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtesSql
+         |SELECT doc_id, source, n_bigrams, sum_surprisal,
+         |  avg_surprisal
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "corpus_ppl_buckets" ->
+      // the same scoring chain; the tertile is pure rank arithmetic
+      // over the naive global window (the engine's bucketed rank is
+      // proven equal by the hash match — the PrefixSum discipline)
+      s"""WITH $lmScoreCtesSql,
+         |wl AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_surprisal
+         |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY avg_surprisal, doc_id) AS r,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM wl)
+         |SELECT lang, CAST((r - 1) * 3 // n + 1 AS BIGINT) AS tile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |  MIN(avg_surprisal) AS min_avg_surprisal,
+         |  MAX(avg_surprisal) AS max_avg_surprisal
+         |FROM rk GROUP BY 1, 2
+         |ORDER BY lang, tile""".stripMargin,
     "corpus_shuffle" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (

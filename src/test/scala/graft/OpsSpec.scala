@@ -570,6 +570,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got("40_paragraphs") == ((6L, 2L, 2L)))
   }
 
+  test("MMR diversification: diversity term reorders a redundant top-k") {
+    import spark.implicits._
+    // query 0 along x; v10 ≈ v11 (redundant pair, mutual sim ≈0.998
+    // ABOVE either's relevance), v12 diverse (rel 0.6, sim to v10
+    // only 0.32). Pure relevance ranks (10, 11, 12); MMR demotes the
+    // near-duplicate: mmr(11) = 0.93 − 0.998 < 0 < 0.28 = mmr(12) →
+    // selection order (10, 12, 11). The query must NOT coincide with
+    // v10, else rel(d) ≡ sim(d, v10) and every mmr ties at 0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.95f, 0.31225f)),
+      (11L, Array(0.93f, 0.36756f)),
+      (12L, Array(0.6f, -0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = ops.SimilarityOps.mmrDiversifyOn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq == Seq(10L, 12L, 11L),
+      s"MMR order wrong: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L),
+      "ranks must be dense from 1")
+  }
+
+  test("ppl buckets: tertile arithmetic and bucketed rank on a planted corpus") {
+    import spark.implicits._
+    // 7 scoreable docs in one lang with strictly increasing surprisal
+    // (distinct texts of growing vocabulary) → tile sizes 3/2/2 by
+    // (r−1)·3 DIV 7 + 1. One doc with <2 tokens is out of scope.
+    val texts = Seq(
+      "a a a a", "a a a b", "a a b c", "a b c d",
+      "a b c d e", "a b c d e f", "a b c d e f g")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, "s0", t, "en")
+    } :+ ((99L, "s0", "solo", "en"))
+    val df = docs.toDF("doc_id", "source", "text", "lang")
+    val got = ops.TextOps.pplBucketsOn(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 2L)),
+      s"tertile sizes wrong: ${got.toSeq}")
+  }
+
   test("forget apply: hand-computed purge + corrupted-artifact control") {
     import spark.implicits._
     val B = 1048576L // ForgetBlkBase

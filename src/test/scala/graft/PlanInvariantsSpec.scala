@@ -53,6 +53,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // same scalar-join shape: the 1-row (nt, nr, v) LM totals
     // aggregate broadcast against the vocab-keyed term frame
     "corpus_dsir_select",
+    // scalar joins only: each per-family funnel row composes 1-row
+    // COUNT aggregates on a constant key (before ⋈ dropped ⋈
+    // rewired counts); the rewire stages themselves are equi-joins
+    // on norm/pk/doc_id — no pair stage anywhere
+    "corpus_forget_apply",
+    // same scalar-join shape as text_lm_score (it IS the lm core
+    // composed): the single-row vocab-size broadcast against the
+    // doc-bigram stream; the tertile rank is bucketed parallel
+    // windows, not a join
+    "corpus_ppl_buckets",
     // the semantic ranker's query side is ONE row (vec_id = 0)
     // broadcast against the corpus scan — the sim_cosine_topk shape
     // at single-query degeneracy
