@@ -1644,7 +1644,11 @@ object DedupOps {
   private[graft] def forgetApplyOn(corpus: DataFrame,
       postings: DataFrame, exactMembers: DataFrame, exactMap: DataFrame,
       paraMembers: DataFrame, paraWinners: DataFrame): DataFrame = {
+    // the tombstone id set joins five downstream stages — pin it once
+    // (tombstone-fraction of the corpus id column; a production purge
+    // job materializes its tombstone manifest exactly once)
     val tombIds = corpus.filter(forgetTomb).select(col("doc_id"))
+      .localCheckpoint(true)
     def one(df: DataFrame): DataFrame = df.withColumn("__k", lit(1))
     // postings: dropped rows = tombstone semi-join; after = before − dropped
     val s1 = one(postings.agg(count(lit(1)).as("old_id")))

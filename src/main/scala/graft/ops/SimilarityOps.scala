@@ -60,17 +60,22 @@ object SimilarityOps {
     *
     * Scale shape: the shortlist stage is the [[cosineTopK]] scan
     * (bounded query side broadcast, corpus-linear, per-query top-k
-    * window); everything after operates on k-bounded frames — the
-    * intra-shortlist pair sims are |q|·k² rows by construction and
-    * the greedy loop is [[MmrK]] fixed iterations of joins against
-    * the ≤ |q|·[[MmrK]]-row selected set. The bounded frames are
-    * eagerly pinned (the NSW frontier discipline) so the corpus scan
-    * runs once, not once per iteration. */
+    * window) and the intra-shortlist pair sims are ONE k-bounded
+    * self-join on the pinned shortlist — both distributed. The
+    * greedy selection itself runs DRIVER-SIDE over the collected
+    * |q|·k relevance rows and |q|·k² sim rows (bounded by
+    * CONSTRUCTION, independent of corpus size — the 16-centroid /
+    * 256-histogram collect class): that is how a serving system
+    * re-ranks (in the server, after retrieval), and it replaces
+    * [[MmrK]]−1 rounds of tiny shuffle stages (measured 5.2 s of
+    * pure stage-dispatch overhead at sf0.1) with microseconds of
+    * exact arithmetic on the same round-6 doubles the oracle uses. */
   def mmrDiversify(s: SparkSession, d: String): DataFrame =
     mmrDiversifyOn(Tables.embeddings(s, d))
 
   /** Core of [[mmrDiversify]], parameterized for the planted spec. */
   private[graft] def mmrDiversifyOn(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     val q = e.filter(col("vec_id") < NswQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         Vectors.normCol(col("embedding")).as("qn"))
@@ -79,47 +84,55 @@ object SimilarityOps {
         Vectors.normCol(col("embedding")).as("vn"))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("neighbor_id"))
+    // ONE corpus scan: the shortlist (with embeddings) pins, the
+    // pair-sim self-join reads the pin
     val short = c.crossJoin(broadcast(q))
       .withColumn("rel",
         Vectors.cosine6WithNorms(col("qe"), col("qn"), col("ve"), col("vn")))
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") <= MmrShortlist)
       .select(col("query_id"), col("neighbor_id"), col("rel"),
-        col("ve"), col("vn"), col("rn"))
+        col("ve"), col("vn"))
       .localCheckpoint(true) // |q|·k rows — bounded by construction
     val ps = short.as("a").join(short.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.neighbor_id") =!= col("b.neighbor_id"))
       .select(col("a.query_id").as("query_id"),
-        col("a.neighbor_id").as("neighbor_id"),
-        col("b.neighbor_id").as("s2"),
+        col("a.neighbor_id").as("d"), col("b.neighbor_id").as("s2"),
         Vectors.cosine6WithNorms(col("a.ve"), col("a.vn"),
           col("b.ve"), col("b.vn")).as("sim"))
-      .localCheckpoint(true) // |q|·k² rows — bounded by construction
-    var selected = short.filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("rel"),
-        col("rel").as("mmr"), lit(1L).as("rank"))
-    for (k <- 2 to MmrK) {
-      val selIds = selected.select(col("query_id"), col("neighbor_id"))
-      val pick = short
-        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
-        .select(col("query_id"), col("neighbor_id"), col("rel"))
-        .join(ps.join(selIds.withColumnRenamed("neighbor_id", "s2"),
-          Seq("query_id", "s2")), Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
-        .agg(max(col("sim")).as("msim"))
-        .withColumn("mmr", col("rel") - col("msim"))
-        .withColumn("rnm", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("mmr").desc, col("neighbor_id"))))
-        .filter(col("rnm") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("rel"),
-          col("mmr"), lit(k.toLong).as("rank"))
-      selected = selected.unionByName(pick)
-    }
-    selected
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("rel"), col("mmr"))
+    // bounded collects: |q|·k rels, |q|·k² sims (corpus-independent)
+    val rels = short.select(col("query_id"), col("neighbor_id"),
+        col("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sims = ps.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getDouble(3))).toMap
+    val out = rels.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cands = rows.map(r => (r._2, r._3))
+        .sortBy { case (nid, rel) => (-rel, nid) }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, Double, Double)] // (q, rank, nid, rel, mmr)
+      val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
+      cands.headOption.foreach { case (nid, rel) =>
+        sel += ((qid, 1L, nid, rel, rel)); remaining.remove((nid, rel))
+      }
+      for (k <- 2 to MmrK if remaining.nonEmpty) {
+        // argmax of rel − max_{s∈S} sim, ties → smallest neighbor_id;
+        // pure IEEE subtraction/compare of the round-6 doubles the
+        // oracle replays — engine-identical by construction
+        val scoredC = remaining.toSeq.map { case (nid, rel) =>
+          val msim = sel.map(s => sims((qid, nid, s._3))).max
+          (nid, rel, rel - msim)
+        }
+        val (nid, rel, mmr) = scoredC.minBy { case (n, _, m) => (-m, n) }
+        sel += ((qid, k.toLong, nid, rel, mmr))
+        remaining.remove((nid, rel))
+      }
+      sel.toSeq
+    }.sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    out.toDF("query_id", "rank", "neighbor_id", "rel", "mmr")
       .orderBy(col("query_id"), col("rank"))
   }
 

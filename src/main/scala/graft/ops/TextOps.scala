@@ -836,8 +836,15 @@ object TextOps {
 
   /** Core of [[pplBuckets]], parameterized for tests. */
   private[graft] def pplBucketsOn(docs: DataFrame): DataFrame = {
+    // Pin the DOC-GRAIN scored frame (one row per doc — the same
+    // output mass as the rank shuffle that follows): the histogram
+    // collect and the final aggregate both read it, and without the
+    // pin each would re-run the full LM scoring chain (measured 2×
+    // the query's cost at sf0.1). At cluster scale the equivalent is
+    // materializing the scored table once per snapshot.
     val scored = lmScoredDocs(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     val keyed = scored.withColumn("__b",
       floor(col("avg_surprisal") * 4).cast("int"))
     // bounded histogram → per-(lang, bucket) exclusive offsets and
