@@ -58,6 +58,18 @@ class DegenerateInputSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("doc_id"),
         ops.DedupOps.shingles(
           org.apache.spark.sql.functions.col("text")).as("sh")))),
+    "pplBucketsOn" -> ops.TextOps.pplBucketsOn,
+    "forgetApplyOn" -> ((d: DataFrame) => {
+      import org.apache.spark.sql.functions.{col, min}
+      val corpus = ops.DedupOps.forgetCorpusOn(d)
+      val em = ops.DedupOps.forgetExactMembersOn(corpus)
+      val eMap = em.groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("canonical"))
+      val pm = ops.DedupOps.forgetParaMembersOn(corpus)
+      val pw = pm.groupBy(col("pk")).agg(min(col("key")).as("winner"))
+      ops.DedupOps.forgetApplyOn(corpus,
+        ops.DedupOps.forgetPostingsOn(corpus), em, eMap, pm, pw)
+    }),
   )
 
   test("document cores survive an empty corpus") {
@@ -86,6 +98,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       "thresholdJoinOn" ->
         ((d: DataFrame) => ops.SimilarityOps.thresholdJoinOn(d, 0.9)),
       "centroidDriftOn" -> ops.SimilarityOps.centroidDriftOn,
+      "mmrDiversifyOn" -> ops.SimilarityOps.mmrDiversifyOn,
+      "semanticAppendOn" -> ((d: DataFrame) => {
+        import org.apache.spark.sql.functions.col
+        ops.DedupOps.semanticAppendOn(d,
+          ops.SimilarityOps.srpBandsFrame(
+            d.filter(col("vec_id") % 10 < 8), 8, 64, 42L),
+          ops.SimilarityOps.srpBandsFrame(
+            d.filter(col("vec_id") % 10 >= 8), 8, 64, 42L), 0.4)
+      }),
     )
     val single = emb(Seq((7L, Seq.fill(64)(0.25f), 0)))
     cores.foreach { case (name, fn) =>
