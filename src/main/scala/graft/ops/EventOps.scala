@@ -150,6 +150,62 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** X9 with `direction='nearest'` (the pandas merge_asof variant the
+    * backward/forward pair doesn't cover): each event matches the
+    * order of the same customer with the SMALLEST absolute time gap,
+    * ties going backward (the at-or-before match). Same union-merge
+    * shape as [[asofJoin]] — one shuffle on the key, one sort, and
+    * BOTH directional carries read the same sorted frame (backward =
+    * `last` over the preceding frame, forward = `first` over the
+    * following frame): no second shuffle, no range join. Matches at
+    * the exact event timestamp belong to the backward carry (orders
+    * sort before events at equal ts), so the forward side is strictly
+    * after — mirroring the oracle's `<=`/`>` split. Tie rules within
+    * a direction: backward takes the latest (date, orderkey), forward
+    * the earliest — the [[asofJoin]] convention. Emits the matched
+    * key and the signed-direction gap in seconds. */
+  def asofJoinNearest(s: SparkSession, d: String): DataFrame =
+    asofJoinNearestOn(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")))
+
+  /** Core of [[asofJoinNearest]], parameterized for the planted spec. */
+  private[graft] def asofJoinNearestOn(events: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id"), lit(1).as("is_event"),
+        lit(null).cast(LongType).as("o_orderkey"))
+    val ord = orders
+      .select(col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+        lit(null).cast(LongType).as("event_id"), lit(0).as("is_event"),
+        col("o_orderkey"))
+    val tagged = ev.unionByName(ord)
+      .withColumn("om", when(col("is_event") === 0,
+        struct(col("ts").as("ots"), col("o_orderkey").as("okey"))))
+    def w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("is_event"), col("o_orderkey"))
+    tagged
+      .withColumn("bm", last(col("om"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("fm", first(col("om"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("is_event") === 1)
+      .withColumn("bgap",
+        unix_timestamp(col("ts")) - unix_timestamp(col("bm.ots")))
+      .withColumn("fgap",
+        unix_timestamp(col("fm.ots")) - unix_timestamp(col("ts")))
+      .withColumn("useB", col("bm").isNotNull &&
+        (col("fm").isNull || col("bgap") <= col("fgap")))
+      .select(col("event_id"), col("key").as("user_id"), col("ts"),
+        when(col("useB"), col("bm.okey")).otherwise(col("fm.okey"))
+          .as("nearest_orderkey"),
+        when(col("useB"), col("bgap"))
+          .when(col("fm").isNotNull, col("fgap")).as("nearest_gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** X5 typed path: `from_json` with a declared schema (the idiomatic
     * form when the JSON shape is known — parses once into a struct,
     * no per-path re-parse like get_json_object). */
@@ -496,6 +552,7 @@ object EventOps {
     "sessionize_gap30m" -> sessionize,
     "join_interval_overlap" -> intervalOverlap,
     "join_asof_orders" -> asofJoin,
+    "join_asof_nearest" -> asofJoinNearest,
     "join_asof_native" -> asofJoinNative,
     "join_asof_tolerance" -> asofJoinTolerance,
   )
@@ -744,5 +801,29 @@ object EventOps {
         |  AS asof_orderkey_bounded
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH x AS (SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS bk,
+        |  (SELECT o.o_orderdate FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS bts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+        |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS fk,
+        |  (SELECT o.o_orderdate FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+        |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS fts
+        |  FROM events e),
+        |y AS (SELECT *, bk IS NOT NULL AND (fk IS NULL OR
+        |    date_diff('second', bts, ts) <= date_diff('second', ts, fts))
+        |    AS useb FROM x)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN useb THEN bk ELSE fk END AS nearest_orderkey,
+        |  CAST(CASE WHEN useb THEN date_diff('second', bts, ts)
+        |    WHEN fk IS NOT NULL THEN date_diff('second', ts, fts)
+        |    END AS BIGINT) AS nearest_gap_sec
+        |FROM y ORDER BY event_id""".stripMargin,
   )
 }

@@ -123,6 +123,53 @@ object MultimodalOps {
         min(col("media_id")).as("min_media_id"))
       .orderBy(col("dhash"))
 
+  private val SceneCutDist = 5L // cut when hamming(dhash, prev) > this
+
+  /** SHOT-BOUNDARY DETECTION (`mm_scene_cuts`) — the content-detector
+    * core of every video ingestion pipeline (PySceneDetect-class:
+    * threshold the perceptual distance between consecutive frames):
+    * each source's media sequence, time-ordered by media_id, is
+    * treated as that source's sampled frame stream; every frame gets
+    * the REAL decode dHash ([[graft.functions.ImageDHash]] — the
+    * same expression `mm_phash_families` grades), and a CUT fires
+    * where the Hamming distance to the previous frame exceeds
+    * [[SceneCutDist]]. Output per source: frame count, cut count,
+    * scene count (= cuts + 1), total and max inter-frame distance —
+    * the segmentation summary a frame-sampling recipe consumes.
+    *
+    * Scale shape: decode-hash is a narrow per-row map over the
+    * artifact-served PNG table; the lag window partitions by VIDEO
+    * (source) — a video's frame count is bounded by the medium
+    * (hours × fps), so per-video windows are the scale-correct
+    * partitioning, unlike per-corpus ones; one partial-agg shuffle
+    * on source ends it. The oracle re-derives every dHash bit from
+    * the pixel generator and replays lag + bit_count(xor) — a decode
+    * or packing divergence fails the hash gate. */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    val frames = pngTable(s, d)
+      .withColumn("dhash", imageDHash(col("blob")))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("media_id"))
+    frames
+      .withColumn("pd", lag(col("dhash"), 1).over(w))
+      .withColumn("dist",
+        when(col("pd").isNotNull,
+          expr("bit_count(dhash ^ pd)").cast("long")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("dist") > SceneCutDist, 1L).otherwise(0L))
+          .as("n_cuts"),
+        sum(coalesce(col("dist"), lit(0L))).as("sum_dist"),
+        coalesce(max(col("dist")), lit(0L)).as("max_dist"))
+      .withColumn("n_scenes", col("n_cuts") + 1L)
+      .select(col("source"), col("n_frames"), col("n_cuts"),
+        col("n_scenes"), col("sum_dist"), col("max_dist"))
+      .orderBy(col("source"))
+  }
+
   /** Chunk-level blob dedup — the content-addressable-storage scan a
     * media lake runs: split each blob into fixed 64-byte chunks, hash
     * each chunk, report per-source total vs distinct chunk counts and
@@ -329,9 +376,52 @@ object MultimodalOps {
     "mm_decode_features" -> decodeFeatures,
     "mm_decode_mappartitions" -> decodeMapPartitions,
     "mm_phash_families" -> phashFamilies,
+    "mm_scene_cuts" -> sceneCuts,
   )
 
   val oracles: Map[String, String] = Map(
+    // the mm_phash_families pixel-generator replay, then the scene
+    // detector verbatim: lag over (source, media_id), bit_count(xor),
+    // threshold, per-source funnel
+    "mm_scene_cuts" ->
+      s"""WITH g AS (SELECT doc_id AS media_id,
+         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+         |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
+         |  FROM documents),
+         |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
+         |xs AS (SELECT media_id, w, nb, y,
+         |    unnest(range(0, w - 1)) AS x FROM ys),
+         |lums AS (SELECT media_id, w, y, x,
+         |    CASE WHEN nb = 1
+         |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
+         |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
+         |         + (media_id * 17 + 7 * x + 13 * y) % 256
+         |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
+         |    CASE WHEN nb = 1
+         |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+         |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+         |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
+         |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
+         |  FROM xs),
+         |q AS (SELECT media_id, CAST(SUM(CASE WHEN l1 > l0
+         |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
+         |      ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM lums GROUP BY media_id),
+         |j AS (SELECT d.source, q.media_id, q.dhash
+         |  FROM q JOIN documents d ON d.doc_id = q.media_id),
+         |lg AS (SELECT source, media_id, dhash, lag(dhash) OVER (
+         |    PARTITION BY source ORDER BY media_id) AS pd FROM j),
+         |di AS (SELECT source,
+         |    CASE WHEN pd IS NOT NULL
+         |      THEN bit_count(xor(dhash, pd)) END AS dist FROM lg)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COALESCE(SUM(CASE WHEN dist > $SceneCutDist
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+         |  CAST(COALESCE(SUM(CASE WHEN dist > $SceneCutDist
+         |    THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS n_scenes,
+         |  CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_dist,
+         |  CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_dist
+         |FROM di GROUP BY source ORDER BY source""".stripMargin,
     // the sample-generator replay: sv = (id·31 + i·7919) mod 2¹⁶ −
     // 2¹⁵ over n = (id mod 5 + 2)·256 samples — energy/peak exact
     // integers, zero-crossings from the lag sign flip

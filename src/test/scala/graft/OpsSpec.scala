@@ -570,6 +570,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got("40_paragraphs") == ((6L, 2L, 2L)))
   }
 
+  test("asof nearest: direction picks, tie goes backward, no-match is null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val ev = Seq(
+      (1L, 1L, t("10:30")), // backward closer (1800 vs 5400)
+      (2L, 1L, t("11:30")), // forward closer
+      (3L, 1L, t("11:00")), // exact tie → backward
+      (4L, 1L, t("09:00")), // no backward → forward
+      (5L, 2L, t("10:00")), // user without orders → null
+      (6L, 1L, t("12:00")) // equal-ts order → backward, gap 0
+    ).toDF("event_id", "user_id", "ts")
+    val ord = Seq((1L, t("10:00"), 100L), (1L, t("12:00"), 200L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val got = ops.EventOps.asofJoinNearestOn(ev, ord).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((100L, 1800L)), 2L -> ((200L, 1800L)),
+      3L -> ((100L, 3600L)), 4L -> ((100L, 3600L)),
+      5L -> ((-1L, -1L)), 6L -> ((200L, 0L))), s"got $got")
+  }
+
+  test("scene cuts: funnel invariants and non-vacuity") {
+    val rows = ops.MultimodalOps.sceneCuts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == 500L, "every doc is a frame exactly once")
+    assert(rows.forall { case (_, _, cuts, scenes) => scenes == cuts + 1 },
+      "scene count must be cuts + 1")
+    assert(rows.exists(_._3 > 0), "threshold vacuously never fires")
+    assert(rows.exists { case (_, f, cuts, _) => cuts < f - 1 },
+      "threshold vacuously always fires")
+  }
+
   test("MMR diversification: diversity term reorders a redundant top-k") {
     import spark.implicits._
     // query 0 along x; v10 ≈ v11 (redundant pair, mutual sim ≈0.998
