@@ -298,32 +298,41 @@ object DedupOps {
     * verify — the corpus is never re-signed, never re-banded. The
     * full-corpus pass ([[minhashLshOn]]) remains the
     * snapshot-(re)build path, exactly like the IVF trainer. */
-  def lshAppend(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val input = s"$d/documents.parquet"
+  /** ONE definition of the per-(band, bucket) cap both ingest gates
+    * share (review finding: it was written out four times): rank by
+    * `orderCol`, publish the overflow as the observed metric, keep
+    * the first [[defaultMaxBucket]]. NOTE the snapshot-side metrics
+    * fire on the run that BUILDS the frozen artifact; a warm serve
+    * scans the store and does not re-observe them — steady-state
+    * monitoring reads the build run's metrics, not the serve's. */
+  private def cappedBuckets(df: DataFrame, orderCol: String,
+      metric: String): DataFrame = {
     val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("doc_id"))
-    val frozen = graft.ArtifactStore.parquet(s, "lsh_snap_buckets",
-      input) {
-      bandBuckets(fanOut(docs.filter(col("doc_id") % 10 < 8)))
-        .withColumn("__rank", row_number().over(wB))
-        // snapshot-side cap overflow is published like every other
-        // capped path (probe side, minhashLshOn, simhash) — a
-        // silently truncated snapshot bucket is a recall loss the
-        // operator must be able to see (advisor finding)
-        .observe("graft_lsh_snap_overflow",
-          sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
-            .as("dropped"))
-        .filter(col("__rank") <= defaultMaxBucket)
-        .drop("__rank")
-    }
-    val probe = bandBuckets(fanOut(docs.filter(col("doc_id") % 10 >= 8)))
-      .withColumn("__rank", row_number().over(wB))
-      .observe("graft_lsh_append_overflow",
+      .orderBy(col(orderCol))
+    df.withColumn("__rank", row_number().over(wB))
+      .observe(metric,
         sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
           .as("dropped"))
       .filter(col("__rank") <= defaultMaxBucket)
       .drop("__rank")
+  }
+
+  def lshAppend(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val input = s"$d/documents.parquet"
+    // snapshot-side cap overflow is published like every other capped
+    // path (probe side, minhashLshOn, simhash) — a silently truncated
+    // snapshot bucket is a recall loss the operator must be able to
+    // see at build time (advisor finding)
+    val frozen = graft.ArtifactStore.parquet(s, "lsh_snap_buckets",
+      input) {
+      cappedBuckets(
+        bandBuckets(fanOut(docs.filter(col("doc_id") % 10 < 8))),
+        "doc_id", "graft_lsh_snap_overflow")
+    }
+    val probe = cappedBuckets(
+      bandBuckets(fanOut(docs.filter(col("doc_id") % 10 >= 8))),
+      "doc_id", "graft_lsh_append_overflow")
     val cand = frozen.as("x").join(probe.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket"))
@@ -872,24 +881,15 @@ object DedupOps {
   def semanticAppend(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val input = s"$d/embeddings.parquet"
-    val wB = Window.partitionBy(col("band"), col("bucket"))
-      .orderBy(col("vec_id"))
-    def capped(df: DataFrame, metric: String): DataFrame =
-      df.withColumn("__rank", row_number().over(wB))
-        .observe(metric,
-          sum(when(col("__rank") > defaultMaxBucket, 1L).otherwise(0L))
-            .as("dropped"))
-        .filter(col("__rank") <= defaultMaxBucket)
-        .drop("__rank")
     val frozen = graft.ArtifactStore.parquet(s, "srp_snap_buckets",
       input) {
-      capped(SimilarityOps.srpBandsFrame(
+      cappedBuckets(SimilarityOps.srpBandsFrame(
         emb.filter(col("vec_id") % 10 < 8), 8, 64, 42L),
-        "graft_srp_snap_overflow")
+        "vec_id", "graft_srp_snap_overflow")
     }
-    val probe = capped(SimilarityOps.srpBandsFrame(
+    val probe = cappedBuckets(SimilarityOps.srpBandsFrame(
       emb.filter(col("vec_id") % 10 >= 8), 8, 64, 42L),
-      "graft_srp_append_overflow")
+      "vec_id", "graft_srp_append_overflow")
     semanticAppendOn(emb, frozen, probe, 0.4)
   }
 

@@ -151,24 +151,34 @@ object EventOps {
   }
 
   /** X9 with `direction='nearest'` (the pandas merge_asof variant the
-    * backward/forward pair doesn't cover): each event matches the
-    * order of the same customer with the SMALLEST absolute time gap,
-    * ties going backward (the at-or-before match). Same union-merge
-    * shape as [[asofJoin]] — one shuffle on the key, one sort, and
-    * BOTH directional carries read the same sorted frame (backward =
+    * backward/forward pair doesn't cover): each CLICK event matches
+    * the PURCHASE event of the same user with the SMALLEST absolute
+    * time gap, ties going backward (the at-or-before match) — the
+    * attribution question "which purchase is this click closest to".
+    * Clicks and purchases INTERLEAVE in the fixture, so the forward
+    * branch, the nearest comparison and the tie rule are all live
+    * under the oracle gate (the first cut matched events to orders,
+    * whose dates all precede every event — the forward branch was
+    * hash-gate-vacuous; review finding). Same union-merge shape as
+    * [[asofJoin]] — one shuffle on the key, one sort, and BOTH
+    * directional carries read the same sorted frame (backward =
     * `last` over the preceding frame, forward = `first` over the
     * following frame): no second shuffle, no range join. Matches at
-    * the exact event timestamp belong to the backward carry (orders
-    * sort before events at equal ts), so the forward side is strictly
-    * after — mirroring the oracle's `<=`/`>` split. Tie rules within
-    * a direction: backward takes the latest (date, orderkey), forward
-    * the earliest — the [[asofJoin]] convention. Emits the matched
-    * key and the signed-direction gap in seconds. */
-  def asofJoinNearest(s: SparkSession, d: String): DataFrame =
+    * the exact click timestamp belong to the backward carry (right
+    * rows sort before left rows at equal ts), so the forward side is
+    * strictly after — mirroring the oracle's `<=`/`>` split. Tie
+    * rules within a direction: backward takes the latest (ts, id),
+    * forward the earliest. The gap is SIGNED: positive = the match
+    * precedes the click, negative = it follows. */
+  def asofJoinNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
     asofJoinNearestOn(
-      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
-      Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")))
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("o_custkey"), col("ts").as("o_orderdate"),
+          col("event_id").as("o_orderkey")))
+  }
 
   /** Core of [[asofJoinNearest]], parameterized for the planted spec. */
   private[graft] def asofJoinNearestOn(events: DataFrame,
@@ -200,9 +210,9 @@ object EventOps {
         (col("fm").isNull || col("bgap") <= col("fgap")))
       .select(col("event_id"), col("key").as("user_id"), col("ts"),
         when(col("useB"), col("bm.okey")).otherwise(col("fm.okey"))
-          .as("nearest_orderkey"),
+          .as("nearest_id"),
         when(col("useB"), col("bgap"))
-          .when(col("fm").isNotNull, col("fgap")).as("nearest_gap_sec"))
+          .when(col("fm").isNotNull, -col("fgap")).as("nearest_gap_sec"))
       .orderBy(col("event_id"))
   }
 
@@ -802,27 +812,27 @@ object EventOps {
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
     "join_asof_nearest" ->
-      """WITH x AS (SELECT e.event_id, e.user_id, e.ts,
-        |  (SELECT o.o_orderkey FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS bk,
-        |  (SELECT o.o_orderdate FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS bts,
-        |  (SELECT o.o_orderkey FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
-        |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS fk,
-        |  (SELECT o.o_orderdate FROM orders o
-        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts
-        |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS fts
-        |  FROM events e),
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS k, ts AS rts, event_id AS rid
+        |  FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT l.event_id, l.user_id, l.ts,
+        |  (SELECT r.rid FROM r WHERE r.k = l.user_id AND r.rts <= l.ts
+        |   ORDER BY r.rts DESC, r.rid DESC LIMIT 1) AS bk,
+        |  (SELECT r.rts FROM r WHERE r.k = l.user_id AND r.rts <= l.ts
+        |   ORDER BY r.rts DESC, r.rid DESC LIMIT 1) AS bts,
+        |  (SELECT r.rid FROM r WHERE r.k = l.user_id AND r.rts > l.ts
+        |   ORDER BY r.rts ASC, r.rid ASC LIMIT 1) AS fk,
+        |  (SELECT r.rts FROM r WHERE r.k = l.user_id AND r.rts > l.ts
+        |   ORDER BY r.rts ASC, r.rid ASC LIMIT 1) AS fts
+        |  FROM l),
         |y AS (SELECT *, bk IS NOT NULL AND (fk IS NULL OR
         |    date_diff('second', bts, ts) <= date_diff('second', ts, fts))
         |    AS useb FROM x)
         |SELECT event_id, user_id, ts,
-        |  CASE WHEN useb THEN bk ELSE fk END AS nearest_orderkey,
+        |  CASE WHEN useb THEN bk ELSE fk END AS nearest_id,
         |  CAST(CASE WHEN useb THEN date_diff('second', bts, ts)
-        |    WHEN fk IS NOT NULL THEN date_diff('second', ts, fts)
+        |    WHEN fk IS NOT NULL THEN -date_diff('second', ts, fts)
         |    END AS BIGINT) AS nearest_gap_sec
         |FROM y ORDER BY event_id""".stripMargin,
   )

@@ -379,36 +379,45 @@ object MultimodalOps {
     "mm_scene_cuts" -> sceneCuts,
   )
 
+  /** ONE definition of the dHash pixel-generator replay (CTE chain
+    * `g/ys/xs/lums/dh` from `documents` to per-media `dhash`) shared
+    * by every oracle that re-derives the hash — phash families, the
+    * cross-modal query slice, scene cuts. A pixel-formula or
+    * bit-packing change now edits ONE string (review finding: the
+    * first scene-cuts oracle duplicated the chain verbatim). */
+  private def dhashCtesSql(docsWhere: String): String =
+    s"""g AS (SELECT doc_id AS media_id,
+       |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+       |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
+       |  FROM documents$docsWhere),
+       |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
+       |xs AS (SELECT media_id, w, nb, y,
+       |    unnest(range(0, w - 1)) AS x FROM ys),
+       |lums AS (SELECT media_id, w, y, x,
+       |    CASE WHEN nb = 1
+       |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
+       |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
+       |         + (media_id * 17 + 7 * x + 13 * y) % 256
+       |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
+       |    CASE WHEN nb = 1
+       |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+       |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
+       |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
+       |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
+       |  FROM xs),
+       |dh AS (SELECT media_id, CAST(SUM(CASE WHEN l1 > l0
+       |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
+       |      ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM lums GROUP BY media_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // the mm_phash_families pixel-generator replay, then the scene
-    // detector verbatim: lag over (source, media_id), bit_count(xor),
+    // the shared pixel-generator replay, then the scene detector
+    // verbatim: lag over (source, media_id), bit_count(xor),
     // threshold, per-source funnel
     "mm_scene_cuts" ->
-      s"""WITH g AS (SELECT doc_id AS media_id,
-         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
-         |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
-         |  FROM documents),
-         |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
-         |xs AS (SELECT media_id, w, nb, y,
-         |    unnest(range(0, w - 1)) AS x FROM ys),
-         |lums AS (SELECT media_id, w, y, x,
-         |    CASE WHEN nb = 1
-         |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
-         |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
-         |         + (media_id * 17 + 7 * x + 13 * y) % 256
-         |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
-         |    CASE WHEN nb = 1
-         |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-         |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-         |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
-         |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
-         |  FROM xs),
-         |q AS (SELECT media_id, CAST(SUM(CASE WHEN l1 > l0
-         |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
-         |      ELSE 0 END) AS BIGINT) AS dhash
-         |  FROM lums GROUP BY media_id),
-         |j AS (SELECT d.source, q.media_id, q.dhash
-         |  FROM q JOIN documents d ON d.doc_id = q.media_id),
+      s"""WITH ${dhashCtesSql("")},
+         |j AS (SELECT d.source, dh.media_id, dh.dhash
+         |  FROM dh JOIN documents d ON d.doc_id = dh.media_id),
          |lg AS (SELECT source, media_id, dhash, lag(dhash) OVER (
          |    PARTITION BY source ORDER BY media_id) AS pd FROM j),
          |di AS (SELECT source,
@@ -467,30 +476,8 @@ object MultimodalOps {
     // then the sign-projected exact-integer dot against every
     // embedding and the same per-query top-k
     "mm_crossmodal_topk" ->
-      s"""WITH g AS (SELECT doc_id AS media_id,
-         |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
-         |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
-         |  FROM documents WHERE doc_id < $XmQueries),
-         |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
-         |xs AS (SELECT media_id, w, nb, y,
-         |    unnest(range(0, w - 1)) AS x FROM ys),
-         |lums AS (SELECT media_id, w, y, x,
-         |    CASE WHEN nb = 1
-         |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
-         |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
-         |         + (media_id * 17 + 7 * x + 13 * y) % 256
-         |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
-         |    CASE WHEN nb = 1
-         |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-         |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-         |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
-         |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
-         |  FROM xs),
-         |q AS (SELECT media_id,
-         |    CAST(SUM(CASE WHEN l1 > l0
-         |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
-         |      ELSE 0 END) AS BIGINT) AS dhash
-         |  FROM lums GROUP BY media_id),
+      s"""WITH ${dhashCtesSql(s" WHERE doc_id < $XmQueries")},
+         |q AS (SELECT media_id, dhash FROM dh),
          |s AS (SELECT q.media_id, e.vec_id,
          |    list_sum([CASE WHEN (q.dhash >> (i - 1)) & 1 = 1
          |        THEN CAST(round(e.embedding[i] * 1048576) AS BIGINT)
@@ -509,32 +496,9 @@ object MultimodalOps {
     // luminance l = Σ_c (id·w_c + 7x + 13y) mod 256 (gray = band 0
     // only), bit k = y·(w−1)+x set iff l(x+1) > l(x)
     "mm_phash_families" ->
-      """WITH g AS (SELECT doc_id AS media_id,
-        |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
-        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
-        |  FROM documents),
-        |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
-        |xs AS (SELECT media_id, w, nb, y,
-        |    unnest(range(0, w - 1)) AS x FROM ys),
-        |lums AS (SELECT media_id, w, y, x,
-        |    CASE WHEN nb = 1
-        |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
-        |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
-        |         + (media_id * 17 + 7 * x + 13 * y) % 256
-        |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
-        |    CASE WHEN nb = 1
-        |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-        |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-        |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
-        |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
-        |  FROM xs),
-        |bits AS (SELECT media_id,
-        |    CAST(SUM(CASE WHEN l1 > l0
-        |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
-        |      ELSE 0 END) AS BIGINT) AS dhash
-        |  FROM lums GROUP BY media_id)
-        |SELECT dhash, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
-        |FROM bits GROUP BY dhash ORDER BY dhash""".stripMargin,
+      s"""WITH ${dhashCtesSql("")}
+         |SELECT dhash, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
+         |FROM dh GROUP BY dhash ORDER BY dhash""".stripMargin,
     "mm_blob_stats" ->
       """SELECT source, COUNT(*) AS n_blobs,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

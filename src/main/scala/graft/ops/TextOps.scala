@@ -842,8 +842,12 @@ object TextOps {
     // pin each would re-run the full LM scoring chain (measured 2×
     // the query's cost at sf0.1). At cluster scale the equivalent is
     // materializing the scored table once per snapshot.
+    // NULL lang would become a NULL map key in the offset lookup and
+    // silently diverge from the oracle's normal NULL partition
+    // (review finding) — normalize to '' on BOTH sides instead
     val scored = lmScoredDocs(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang")), Seq("doc_id"))
       .localCheckpoint(true)
     val keyed = scored.withColumn("__b",
       floor(col("avg_surprisal") * 4).cast("int"))
@@ -2292,7 +2296,8 @@ object TextOps {
       // over the naive global window (the engine's bucketed rank is
       // proven equal by the hash match — the PrefixSum discipline)
       s"""WITH $lmScoreCtesSql,
-         |wl AS (SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_surprisal
+         |wl AS (SELECT s.doc_id, COALESCE(d.lang, '') AS lang,
+         |    s.n_bigrams, s.avg_surprisal
          |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
          |rk AS (SELECT *, row_number() OVER (
          |    PARTITION BY lang ORDER BY avg_surprisal, doc_id) AS r,

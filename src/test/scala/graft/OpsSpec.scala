@@ -589,9 +589,15 @@ class OpsSpec extends AnyFunSuite {
         if (r.isNullAt(3)) -1L else r.getLong(3),
         if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
     assert(got == Map(
-      1L -> ((100L, 1800L)), 2L -> ((200L, 1800L)),
-      3L -> ((100L, 3600L)), 4L -> ((100L, 3600L)),
+      1L -> ((100L, 1800L)), 2L -> ((200L, -1800L)),
+      3L -> ((100L, 3600L)), 4L -> ((100L, -3600L)),
       5L -> ((-1L, -1L)), 6L -> ((200L, 0L))), s"got $got")
+    // fixture non-vacuity: BOTH directions must fire under the oracle
+    // gate (review finding: the first cut's forward branch never did)
+    val gaps = ops.EventOps.asofJoinNearest(spark, sf).collect()
+      .filter(!_.isNullAt(4)).map(_.getLong(4))
+    assert(gaps.exists(_ > 0) && gaps.exists(_ < 0),
+      "both asof directions must occur in the graded fixture result")
   }
 
   test("scene cuts: funnel invariants and non-vacuity") {
