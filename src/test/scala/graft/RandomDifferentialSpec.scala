@@ -341,4 +341,198 @@ class RandomDifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("asof nearest on random interleaved streams == brute force") {
+    val rnd = new scala.util.Random(13)
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // dense ts collisions across 8 keys → live ties in BOTH the
+    // equal-ts and the equal-distance sense
+    val left = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(50)))
+    val right = (1 to 150).map(i =>
+      ((i + 1000).toLong, rnd.nextInt(8).toLong, rnd.nextInt(50)))
+    val evDf = left.map { case (id, u, s) => (id, u, t(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val ordDf = right.map { case (id, u, s) => (u, t(s), id) }
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val expected = left.map { case (id, u, s) =>
+      val cands = right.filter(_._2 == u)
+      val bwd = cands.filter(_._3 <= s).sortBy(c => (c._3, c._1)).lastOption
+      val fwd = cands.filter(_._3 > s).sortBy(c => (c._3, c._1)).headOption
+      id -> ((bwd, fwd) match {
+        case (Some(b), f) if f.isEmpty || (s - b._3) <= (f.get._3 - s) =>
+          Some((b._1, (s - b._3).toLong))
+        case (_, Some(f)) => Some((f._1, -(f._3 - s).toLong))
+        case _ => None
+      })
+    }.toMap
+    val got = ops.EventOps.asofJoinNearestOn(evDf, ordDf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+      .toMap
+    assert(got == expected,
+      s"diff: ${(expected.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  /** The exact arithmetic [[graft.functions.Vectors.cosine6]] performs:
+    * left-to-right double accumulation of float-widened products,
+    * dot/(|a|·|b|), then BigDecimal HALF_UP at scale 6 (Spark round). */
+  private def cos6(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("MMR greedy on random embeddings == sequential reference") {
+    val rnd = new scala.util.Random(99)
+    val vecs: Seq[(Long, Array[Float])] =
+      ((0L until 3L) ++ (10L until 40L)).map { id =>
+        val v = Array.fill(4)((rnd.nextInt(21) - 10).toFloat)
+        v(0) = (rnd.nextInt(10) + 1).toFloat // no zero vectors
+        id -> v
+      }
+    val byId = vecs.toMap
+    val queries = vecs.map(_._1).filter(_ < 8)
+    val corpus = vecs.map(_._1).filter(_ >= 10)
+    val expected = queries.flatMap { q =>
+      val rel = corpus.map(n => n -> cos6(byId(q), byId(n)))
+        .sortBy { case (n, r) => (-r, n) }
+      var sel = List((q, 1L, rel.head._1, rel.head._2, rel.head._2))
+      var remaining = rel.tail
+      for (k <- 2 to 5 if remaining.nonEmpty) {
+        val scored = remaining.map { case (n, r) =>
+          val msim = sel.map(s => cos6(byId(n), byId(s._3))).max
+          (n, r, r - msim)
+        }
+        val (n, r, m) = scored.minBy { case (n, _, m) => (-m, n) }
+        sel = sel :+ ((q, k.toLong, n, r, m))
+        remaining = remaining.filter(_._1 != n)
+      }
+      sel
+    }.toSet
+    val got = ops.SimilarityOps.mmrDiversifyOn(
+      vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected,
+      s"diff: ${(expected -- got).take(3)} vs ${(got -- expected).take(3)}")
+  }
+
+  test("forget apply on a random duplicate-dense corpus == sequential model") {
+    val rnd = new scala.util.Random(5)
+    val B = 1048576L
+    val Off = 1000002L
+    val docsSeq = (0L until 60L).map { id =>
+      (id, (0 until 1 + rnd.nextInt(40))
+        .map(_ => "w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    def sha(s: String): String = hex(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")))
+    def md5hex(s: String): String = hex(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")))
+    // sequential model over corpus = docs ∪ (+Off copies of id%5==0)
+    val corpus = docsSeq ++ docsSeq.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + Off, t) }
+    def tomb(id: Long) = id % 4 == 0
+    val postAll = corpus.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).distinct.map(id -> _) }
+    val postAfter = postAll.count(p => !tomb(p._1))
+    val grp = corpus.groupBy { case (_, t) => sha(t.toLowerCase.trim) }
+    val exRew = grp.toSeq.flatMap { case (h, members) =>
+      val ids = members.map(_._1)
+      val canon = ids.min
+      val surv = ids.filter(!tomb(_))
+      if (tomb(canon) && surv.nonEmpty) Some((h, canon, surv.min)) else None
+    }
+    val exVanish = grp.count { case (_, m) => m.forall(x => tomb(x._1)) }
+    val blocks = corpus.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to (ws.length - 1) / 16).map { i =>
+        (md5hex(ws.slice(i * 16, i * 16 + 16).mkString(" ")),
+          id * B + i, tomb(id))
+      }
+    }
+    val pgrp = blocks.groupBy(_._1)
+    val paRew = pgrp.toSeq.flatMap { case (pk, ms) =>
+      val win = ms.map(_._2).min
+      val surv = ms.filter(!_._3).map(_._2)
+      if (tomb(win / B) && surv.nonEmpty) Some((pk, win, surv.min)) else None
+    }
+    val paVanish = pgrp.count { case (_, ms) => ms.forall(_._3) }
+    val expected = (Set(
+      ("10_postings", "", postAll.size.toLong, postAfter.toLong),
+      ("20_exact_clusters", "", grp.size.toLong,
+        (grp.size - exVanish).toLong),
+      ("40_para_clusters", "", pgrp.size.toLong,
+        (pgrp.size - paVanish).toLong)) ++
+      exRew.map { case (h, o, n) => ("30_exact_rewired", h, o, n) } ++
+      paRew.map { case (p, o, n) => ("50_para_rewired", p, o, n) })
+    // engine path: same artifact construction the planted spec uses
+    val c = ops.DedupOps.forgetCorpusOn(df)
+    val em = ops.DedupOps.forgetExactMembersOn(c)
+    val eMap = em.groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("canonical"))
+    val pm = ops.DedupOps.forgetParaMembersOn(c)
+    val pw = pm.groupBy(col("pk")).agg(min(col("key")).as("winner"))
+    val got = ops.DedupOps.forgetApplyOn(c,
+      ops.DedupOps.forgetPostingsOn(c), em, eMap, pm, pw)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(exRew.nonEmpty && paRew.nonEmpty, "model must be non-vacuous")
+    assert(got == expected,
+      s"diff: ${(expected -- got).take(3)} vs ${(got -- expected).take(3)}")
+  }
+
+  test("ppl tertiles on a random corpus == sequential scoring model") {
+    val rnd = new scala.util.Random(21)
+    val langs = Array("aa", "bb", "cc")
+    val docsSeq = (0L until 80L).map { id =>
+      (id, "s0",
+        (0 until rnd.nextInt(12)).map(_ => "w" + rnd.nextInt(5)).mkString(" "),
+        langs(rnd.nextInt(3)))
+    }
+    val df = docsSeq.toDF("doc_id", "source", "text", "lang")
+    // model: integer-exact bigram LM over the whole corpus
+    val toks = docsSeq.map { case (id, _, t, l) =>
+      (id, l, t.split(" ", -1).filter(_.nonEmpty).toSeq) }
+    val scoreable = toks.filter(_._3.length >= 2)
+    val bgs = scoreable.flatMap { case (id, l, ts) =>
+      ts.sliding(2).map(p => (id, l, p.head, p.head + " " + p(1))).toSeq }
+    val c2 = bgs.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val c1 = bgs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val v = scoreable.flatMap(_._3).distinct.size.toLong
+    def bitlen(q: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    val scored = scoreable.map { case (id, l, ts) =>
+      val sps = ts.sliding(2).map { p =>
+        bitlen((c1(p.head) + v) / (c2(p.head + " " + p(1)) + 1)) }.toSeq
+      val avg = BigDecimal(sps.sum.toDouble / sps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, l, sps.length.toLong, avg)
+    }
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (l, rows) =>
+      val ranked = rows.sortBy(r => (r._4, r._1)).zipWithIndex
+      val n = rows.length
+      ranked.map { case ((id, _, nb, avg), i) =>
+        (l, i.toLong * 3 / n + 1, id, nb, avg) }
+    }.groupBy(r => (r._1, r._2)).map { case ((l, tile), rows) =>
+      (l, tile, rows.size.toLong, rows.map(_._4).sum,
+        rows.map(_._5).min, rows.map(_._5).max)
+    }.toSet
+    val got = ops.TextOps.pplBucketsOn(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"diff: ${(expected -- got).take(3)} vs ${(got -- expected).take(3)}")
+  }
 }
