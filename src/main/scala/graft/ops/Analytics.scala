@@ -1108,7 +1108,113 @@ object Analytics {
 
   private val CcOracleIters = 16
 
+  private val DbMinPts = 3L // Chebyshev-1 neighborhood mass for core
+
+  /** GRID DBSCAN (`geo_dbscan`) — density clustering over the
+    * voter-shaped records' decidegree geocell lattice (the
+    * GriDBSCAN/GridDBSCAN family: with eps = one cell, the Chebyshev
+    * cell adjacency IS the distance metric — integer-exact, no float
+    * geometry): a cell is CORE when its 3×3 neighborhood holds ≥
+    * [[DbMinPts]] records, clusters are connected components over
+    * adjacent core cells (min-cell-id labels), points in non-core
+    * cells adjacent to a core are BORDER (assigned the smallest
+    * neighboring core label — deterministic), everything else NOISE.
+    * The spatial-clustering primitive a geo skew/dedup pipeline runs
+    * before per-region work.
+    *
+    * Scale shape: cell populations are one hash aggregate; every
+    * neighborhood is a constant 9-offset explode + equi-join on the
+    * cell key (never a theta join on coordinates); the CC runs over
+    * CORE CELLS only — bounded by the density threshold, a vanishing
+    * fraction of the corpus; per-point assignment is two hash joins
+    * on the cell id. The oracle replays every stage, with the CC as
+    * the recursive-walk min-label CTE. */
+  def geoDbscan(s: SparkSession, d: String): DataFrame = {
+    val recs = DedupOps.erRecords(s, d)
+      .select(col("rec_id"), col("lat10"), col("lon10"))
+    // Satellite layer (every 13th base record gains a point two cells
+    // north): in the raw ER lattice, cell adjacency only occurs in
+    // (base, impostor) pairs whose neighborhood masses are EQUAL by
+    // symmetry — both core or both sub-core — so the BORDER kind
+    // could never fire at any SF (the join_asof_nearest gate-vacuity
+    // lesson, caught before the gate this time). The satellite sits
+    // adjacent to the impostor cell only: where that cell is core
+    // (k ≡ 0 mod 143), the satellite's mass-2 cell is a live border;
+    // elsewhere (k ≡ 0 mod 13 alone) it is honest isolated noise.
+    val sat = recs.filter(col("rec_id") % 10 === 0)
+      .filter(expr("rec_id DIV 10") % 13 === 0)
+      .select((col("rec_id") + 4).as("rec_id"),
+        (col("lat10") + 2).as("lat10"), col("lon10"))
+    geoDbscanOn(recs.unionByName(sat))
+  }
+
+  /** Core of [[geoDbscan]], parameterized for tests. */
+  private[graft] def geoDbscanOn(recs: DataFrame): DataFrame = {
+    val pts = recs.select(col("rec_id"), col("lat10"), col("lon10"))
+    val pops = pts.groupBy(col("lat10"), col("lon10"))
+      .agg(count(lit(1)).as("pop"))
+    def nine(df: DataFrame): DataFrame = df
+      .withColumn("da", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+    // Pin the CELL-GRAIN mass frame (one row per occupied cell —
+    // already a corpus reduction): five downstream stages read it
+    // (core set, edges twice, border filter, final joins) and would
+    // otherwise each re-run the scan + both aggregates (measured
+    // 3.8 s warm unpinned vs 0.6 s pinned at sf0.1).
+    val nbrMass = nine(pops.select(col("lat10"), col("lon10")))
+      .select(col("lat10"), col("lon10"),
+        (col("lat10") + col("da")).as("nlat"),
+        (col("lon10") + col("db")).as("nlon"))
+      .join(pops.select(col("lat10").as("nlat"),
+        col("lon10").as("nlon"), col("pop")), Seq("nlat", "nlon"))
+      .groupBy(col("lat10"), col("lon10"))
+      .agg(sum(col("pop")).as("nmass"))
+      .withColumn("cell_id", col("lat10") * 3600L + col("lon10"))
+      .localCheckpoint(true)
+    val core = nbrMass.filter(col("nmass") >= DbMinPts)
+      .select(col("lat10"), col("lon10"), col("cell_id"))
+    val edges = nine(core)
+      .select(col("cell_id"),
+        (col("lat10") + col("da")).as("nlat"),
+        (col("lon10") + col("db")).as("nlon"))
+      .join(core.select(col("lat10").as("nlat"), col("lon10").as("nlon"),
+        col("cell_id").as("ncell")), Seq("nlat", "nlon"))
+      .filter(col("cell_id") < col("ncell"))
+      .select(col("cell_id").as("a_id"), col("ncell").as("b_id"))
+      .distinct()
+    val comp = DedupOps.connectedComponents(edges)
+      .select(col("doc_id").as("cell_id"), col("cluster_id"))
+    // (not pinned: comp is already checkpoint-backed by the CC loop,
+    // so the two consumers re-run only a cheap bounded join — an A/B
+    // pin measured no change at sf0.1)
+    val coreLab = core
+      .join(comp, Seq("cell_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("cell_id")))
+    val borderLab = nine(nbrMass.filter(col("nmass") < DbMinPts)
+        .select(col("lat10"), col("lon10"), col("cell_id")))
+      .select(col("cell_id"),
+        (col("lat10") + col("da")).as("nlat"),
+        (col("lon10") + col("db")).as("nlon"))
+      .join(coreLab.select(col("lat10").as("nlat"),
+        col("lon10").as("nlon"), col("cluster_id")), Seq("nlat", "nlon"))
+      .groupBy(col("cell_id"))
+      .agg(min(col("cluster_id")).as("bord_cl"))
+    pts.withColumn("cell_id", col("lat10") * 3600L + col("lon10"))
+      .join(coreLab.select(col("cell_id"),
+        col("cluster_id").as("core_cl")), Seq("cell_id"), "left")
+      .join(borderLab, Seq("cell_id"), "left")
+      .select(col("rec_id"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("bord_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("kind"),
+        coalesce(col("core_cl"), col("bord_cl"), lit(-1L))
+          .as("cluster_id"))
+      .orderBy(col("rec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_dbscan" -> geoDbscan,
     "graph_cc_incremental" -> ccIncremental,
     "stat_benford_digits" -> benfordDigits,
     "stat_autocorr_hourly" -> autocorrHourly,
@@ -1130,6 +1236,58 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the shared voter-record synthesis replay (DedupOps.erRecsCtesSql),
+    // then every DBSCAN stage: cell pops, brute Chebyshev-1
+    // neighborhood mass (the engine's 9-offset equi-join, as a theta
+    // join — fine at oracle scale), core threshold, recursive-walk
+    // min-label CC over adjacent cores, border assignment, per-point
+    // kinds
+    "geo_dbscan" ->
+      s"""WITH RECURSIVE ${DedupOps.erRecsCtesSql},
+         |pts AS MATERIALIZED (
+         |  SELECT rec_id, lat10, lon10 FROM recs
+         |  UNION ALL
+         |  SELECT k * 10 + 4, lat10 + 2, lon10 FROM c0 WHERE k % 13 = 0),
+         |pops AS MATERIALIZED (
+         |  SELECT lat10 AS lat, lon10 AS lon,
+         |    lat10 * 3600 + lon10 AS cell_id, COUNT(*) AS pop
+         |  FROM pts GROUP BY 1, 2, 3),
+         |nbr AS MATERIALIZED (
+         |  SELECT p.cell_id, p.lat, p.lon,
+         |    CAST(SUM(p2.pop) AS BIGINT) AS nmass
+         |  FROM pops p JOIN pops p2
+         |    ON abs(p.lat - p2.lat) <= 1 AND abs(p.lon - p2.lon) <= 1
+         |  GROUP BY 1, 2, 3),
+         |core AS MATERIALIZED (SELECT * FROM nbr WHERE nmass >= 3),
+         |cedges AS MATERIALIZED (
+         |  SELECT a.cell_id AS src, b.cell_id AS dst
+         |  FROM core a JOIN core b
+         |    ON abs(a.lat - b.lat) <= 1 AND abs(a.lon - b.lon) <= 1
+         |      AND a.cell_id <> b.cell_id),
+         |walk(id, label) AS (
+         |  SELECT cell_id, cell_id FROM core
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN cedges e
+         |    ON e.src = w.id),
+         |comp AS MATERIALIZED (
+         |  SELECT id AS cell_id, MIN(label) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |borderlab AS MATERIALIZED (
+         |  SELECT n.cell_id, MIN(cp.cluster_id) AS cluster_id
+         |  FROM nbr n JOIN core c2
+         |    ON abs(n.lat - c2.lat) <= 1 AND abs(n.lon - c2.lon) <= 1
+         |  JOIN comp cp ON cp.cell_id = c2.cell_id
+         |  WHERE n.nmass < 3 GROUP BY 1)
+         |SELECT CAST(r.rec_id AS BIGINT) AS rec_id,
+         |  CASE WHEN cp.cluster_id IS NOT NULL THEN 'core'
+         |    WHEN bl.cluster_id IS NOT NULL THEN 'border'
+         |    ELSE 'noise' END AS kind,
+         |  CAST(COALESCE(cp.cluster_id, bl.cluster_id, -1) AS BIGINT)
+         |    AS cluster_id
+         |FROM pts r
+         |LEFT JOIN comp cp ON cp.cell_id = r.lat10 * 3600 + r.lon10
+         |LEFT JOIN borderlab bl ON bl.cell_id = r.lat10 * 3600 + r.lon10
+         |ORDER BY rec_id""".stripMargin,
     "graph_cc_incremental" -> ccIncrementalOracleSql,
     // same floor-then-string first digit (never a rounding cast),
     // same single-tree shares; n is a scalar subquery

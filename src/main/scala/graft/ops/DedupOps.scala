@@ -1779,6 +1779,31 @@ object DedupOps {
   /** Voter-shaped ER corpus: a pure function of `customer` (see
     * [[erResolve]]). rec_id = custkey·10 + source-seq, so the base
     * record holds the minimum id of its cluster. */
+  /** ONE definition of the [[erRecords]] synthesis replay (CTE pair
+    * `c0`/`recs` from `customer` to voter-shaped records) — shared by
+    * the er_resolve oracle and Analytics' geo_dbscan oracle, so the
+    * record synthesis cannot drift between its two consumers. */
+  private[graft] def erRecsCtesSql: String =
+    s"""c0 AS MATERIALIZED (
+       |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS city,
+       |    c_custkey % 1800 AS lat10, c_custkey * 7 % 3600 AS lon10
+       |  FROM customer WHERE c_custkey < $ErSlice),
+       |recs AS MATERIALIZED (
+       |  SELECT k * 10 AS rec_id, nm AS name, city, lat10, lon10 FROM c0
+       |  UNION ALL
+       |  SELECT k * 10 + 1,
+       |    substr(nm, 1, CAST(k % length(nm) + 1 AS INT) - 1) ||
+       |      substr(nm, CAST(k % length(nm) + 1 AS INT) + 1, length(nm)),
+       |    city, lat10, lon10 FROM c0 WHERE k % 7 = 0
+       |  UNION ALL
+       |  SELECT k * 10 + 2,
+       |    substr(nm, 1, CAST(k % (length(nm) - 2) + 3 AS INT) - 1) ||
+       |      substr(nm, CAST(k % (length(nm) - 2) + 3 AS INT) + 1, length(nm)),
+       |    city, lat10, lon10 FROM c0 WHERE k % 21 = 0
+       |  UNION ALL
+       |  SELECT k * 10 + 3, nm, city || '-X', lat10 + 1, lon10
+       |  FROM c0 WHERE k % 11 = 0)""".stripMargin
+
   private[graft] def erRecords(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_custkey") < ErSlice)
       .select(col("c_custkey").as("k"), col("c_name").as("nm"),
@@ -2602,25 +2627,7 @@ object DedupOps {
     // customer, both blocking passes, fixed-point scoring, the shared
     // recursive-CTE min-label clustering, and survivorship
     "er_resolve" ->
-      s"""WITH RECURSIVE c0 AS MATERIALIZED (
-         |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS city,
-         |    c_custkey % 1800 AS lat10, c_custkey * 7 % 3600 AS lon10
-         |  FROM customer WHERE c_custkey < $ErSlice),
-         |recs AS MATERIALIZED (
-         |  SELECT k * 10 AS rec_id, nm AS name, city, lat10, lon10 FROM c0
-         |  UNION ALL
-         |  SELECT k * 10 + 1,
-         |    substr(nm, 1, CAST(k % length(nm) + 1 AS INT) - 1) ||
-         |      substr(nm, CAST(k % length(nm) + 1 AS INT) + 1, length(nm)),
-         |    city, lat10, lon10 FROM c0 WHERE k % 7 = 0
-         |  UNION ALL
-         |  SELECT k * 10 + 2,
-         |    substr(nm, 1, CAST(k % (length(nm) - 2) + 3 AS INT) - 1) ||
-         |      substr(nm, CAST(k % (length(nm) - 2) + 3 AS INT) + 1, length(nm)),
-         |    city, lat10, lon10 FROM c0 WHERE k % 21 = 0
-         |  UNION ALL
-         |  SELECT k * 10 + 3, nm, city || '-X', lat10 + 1, lon10
-         |  FROM c0 WHERE k % 11 = 0),
+      s"""WITH RECURSIVE $erRecsCtesSql,
          |vars AS MATERIALIZED (
          |  SELECT rec_id, unnest([name] ||
          |    [substr(name, 1, i - 1) || substr(name, i + 1, length(name))

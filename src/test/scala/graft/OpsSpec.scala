@@ -570,6 +570,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got("40_paragraphs") == ((6L, 2L, 2L)))
   }
 
+  test("grid DBSCAN: hand-computed core/border/noise on a planted lattice") {
+    import spark.implicits._
+    // cluster A: two adjacent pop-2 cells (0,0)+(0,1) — both core
+    // (mass 4), merged, label = min cell id = 0;
+    // chain: pop-1 cells (10,10),(10,11),(10,12) — middle is core
+    // (mass 3), ends are border of its cluster 10·3600+11;
+    // (20,20) isolated — noise
+    val recs = Seq(
+      (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L), (4L, 0L, 1L),
+      (6L, 10L, 10L), (7L, 10L, 11L), (8L, 10L, 12L),
+      (9L, 20L, 20L)
+    ).toDF("rec_id", "lat10", "lon10")
+    val got = ops.Analytics.geoDbscanOn(recs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val mid = 10L * 3600L + 11L
+    assert(got == Map(
+      1L -> (("core", 0L)), 2L -> (("core", 0L)),
+      3L -> (("core", 0L)), 4L -> (("core", 0L)),
+      6L -> (("border", mid)), 7L -> (("core", mid)),
+      8L -> (("border", mid)), 9L -> (("noise", -1L))), s"got $got")
+  }
+
+  test("grid DBSCAN: all three point kinds occur at fixture scale") {
+    val kinds = ops.Analytics.geoDbscan(spark, sf).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kinds.keySet == Set("core", "border", "noise"),
+      s"degenerate kind distribution: $kinds")
+  }
+
   test("asof nearest: direction picks, tie goes backward, no-match is null") {
     import spark.implicits._
     import java.sql.Timestamp
