@@ -1108,6 +1108,48 @@ object Analytics {
 
   private val CcOracleIters = 16
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST (`stat_ks_test`) — the
+    * distribution-drift check PSI can't replace (PSI needs binning;
+    * KS is binning-free and sensitive to location shifts anywhere in
+    * the CDF): D = sup_v |F̂₁(v) − F̂₂(v)| between the R-flag and
+    * N-flag extendedprice distributions. Exactness discipline: prices
+    * live on the cents lattice (exact DECIMAL → long), and D is
+    * carried as the INTEGER cross-multiplied numerator
+    * max |c₁(v)·N₂ − c₂(v)·N₁| — no per-step float CDFs; the only
+    * float is one final division, rounded to 6 dp. The argmax value
+    * is reported (ties → smallest v).
+    *
+    * Scale shape: one hash aggregate to (value, per-sample counts),
+    * then the running CDF counts via [[PrefixSum.runningSum]] — the
+    * two-phase bucketed prefix sum, NO single-task global window
+    * (bit-identical to the naive window, which is what the oracle
+    * runs) — and a TakeOrdered(1) for the argmax. Corpus-linear. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast(D18_2) * 100)
+      .cast("long")
+    val vals = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select(cents.as("v"), col("l_returnflag").as("f"))
+    val perV = vals.groupBy(col("v")).agg(
+      sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))
+    // both CDF counts in ONE pass of the three-phase machinery
+    val run = PrefixSum.runningSums(perV, Seq.empty, "v",
+      Seq("c1" -> "r1", "c2" -> "r2"))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      .withColumn("__k", lit(1))
+    run.withColumn("__k", lit(1))
+      .join(broadcast(tot), Seq("__k"))
+      .withColumn("dn",
+        abs(col("r1") * col("n2") - col("r2") * col("n1")))
+      .orderBy(col("dn").desc, col("v"))
+      .limit(1)
+      .select(col("n1").as("n_x"), col("n2").as("n_y"),
+        col("dn").as("d_num"), col("v").as("ks_value"),
+        round(col("dn").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("ks_stat"))
+  }
+
   private val DbMinPts = 3L // Chebyshev-1 neighborhood mass for core
 
   /** GRID DBSCAN (`geo_dbscan`) — density clustering over the
@@ -1215,6 +1257,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_dbscan" -> geoDbscan,
+    "stat_ks_test" -> ksTest,
     "graph_cc_incremental" -> ccIncremental,
     "stat_benford_digits" -> benfordDigits,
     "stat_autocorr_hourly" -> autocorrHourly,
@@ -1236,6 +1279,31 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the naive-global-window replay of the bucketed prefix-sum CDF
+    // counts (PrefixSum is bit-identical to this by construction),
+    // same integer cross-multiplied D numerator, one final division
+    "stat_ks_test" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS v, l_returnflag AS f
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |perv AS (SELECT v,
+        |    SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS c2
+        |  FROM v GROUP BY v),
+        |run AS (SELECT v,
+        |    SUM(c1) OVER (ORDER BY v) AS r1,
+        |    SUM(c2) OVER (ORDER BY v) AS r2 FROM perv),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM perv),
+        |top AS (SELECT v, CAST(abs(r1 * n2 - r2 * n1) AS BIGINT) AS dn,
+        |    n1, n2
+        |  FROM run CROSS JOIN tot
+        |  ORDER BY abs(r1 * n2 - r2 * n1) DESC, v LIMIT 1)
+        |SELECT n1 AS n_x, n2 AS n_y, dn AS d_num, v AS ks_value,
+        |  round(CAST(dn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+        |    AS ks_stat
+        |FROM top""".stripMargin,
     // the shared voter-record synthesis replay (DedupOps.erRecsCtesSql),
     // then every DBSCAN stage: cell pops, brute Chebyshev-1
     // neighborhood mass (the engine's 9-offset equi-join, as a theta

@@ -46,19 +46,35 @@ object PrefixSum {
       orderCol: String,
       valueCol: String,
       outCol: String,
+      bucketWidth: Long = 65536L): DataFrame =
+    runningSums(df, groupCols, orderCol, Seq(valueCol -> outCol),
+      bucketWidth)
+
+  /** Multi-column form: N running sums over ONE pass of the window/
+    * subtotal/offset machinery (an N-sum caller chaining
+    * [[runningSum]] N times pays the whole three-phase plan N times —
+    * the stat_ks_test CDF pair measured ~2× for its two sums). */
+  def runningSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueOutCols: Seq[(String, String)],
       bucketWidth: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(valueOutCols.nonEmpty, "need at least one value column")
     val grp: Seq[Column] = groupCols.map(col)
     val bucket = floor(col(orderCol).cast("long") / bucketWidth)
 
-    // Phase 2: parallel local running sum within (group, bucket).
+    // Phase 2: parallel local running sums within (group, bucket).
     val localW = Window
       .partitionBy(grp :+ col("_psum_bucket"): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df
-      .withColumn("_psum_bucket", bucket)
-      .withColumn("_psum_local", sum(col(valueCol)).over(localW))
+    val local = valueOutCols.zipWithIndex.foldLeft(
+      df.withColumn("_psum_bucket", bucket)) {
+      case (acc, ((vc, _), i)) =>
+        acc.withColumn(s"_psum_local_$i", sum(col(vc)).over(localW))
+    }
 
     // Phase 3: running offsets over the bucket-subtotal frame. The
     // window here is per-group single-task but only over ~one row per
@@ -67,17 +83,24 @@ object PrefixSum {
       .partitionBy(grp: _*)
       .orderBy(col("_psum_bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val offsets = local
-      .groupBy(grp :+ col("_psum_bucket"): _*)
-      .agg(sum(col(valueCol)).as("_psum_subtotal"))
-      .withColumn("_psum_offset",
-        coalesce(sum(col("_psum_subtotal")).over(offW), lit(0L)))
-      .drop("_psum_subtotal")
+    val offsets = valueOutCols.zipWithIndex.foldLeft(
+      local.groupBy(grp :+ col("_psum_bucket"): _*)
+        .agg(sum(col(valueOutCols.head._1)).as("_psum_subtotal_0"),
+          valueOutCols.zipWithIndex.tail.map { case ((vc, _), i) =>
+            sum(col(vc)).as(s"_psum_subtotal_$i") }: _*)) {
+      case (acc, (_, i)) =>
+        acc.withColumn(s"_psum_offset_$i",
+          coalesce(sum(col(s"_psum_subtotal_$i")).over(offW), lit(0L)))
+          .drop(s"_psum_subtotal_$i")
+    }
 
     // Phase 4: broadcast the tiny offset table back onto the data.
-    local
-      .join(broadcast(offsets), groupCols :+ "_psum_bucket")
-      .withColumn(outCol, col("_psum_local") + col("_psum_offset"))
-      .drop("_psum_bucket", "_psum_local", "_psum_offset")
+    valueOutCols.zipWithIndex.foldLeft(
+      local.join(broadcast(offsets), groupCols :+ "_psum_bucket")) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out,
+          col(s"_psum_local_$i") + col(s"_psum_offset_$i"))
+          .drop(s"_psum_local_$i", s"_psum_offset_$i")
+    }.drop("_psum_bucket")
   }
 }

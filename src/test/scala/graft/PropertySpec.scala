@@ -108,4 +108,33 @@ class PropertySpec extends AnyFunSuite {
     }
     passes(prop, n = 8)
   }
+
+  test("multi-column prefix sums: one pass equals N chained passes") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      groups <- Gen.choose(1, 3)
+      width <- Gen.oneOf(1L, 7L, 64L)
+      vals <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 9L)))
+    } yield (groups, width, vals)
+    val prop = Prop.forAll(gen) { case (groups, width, vals) =>
+      val rows = vals.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, s"g${i % groups}", a, b)
+      }
+      val df = rows.toDF("id", "grp", "a", "b")
+      val got = ops.PrefixSum.runningSums(df, Seq("grp"), "id",
+          Seq("a" -> "ca", "b" -> "cb"), width)
+        .collect()
+        .map(r => (r.getAs[Long]("id"),
+          (r.getAs[Long]("ca"), r.getAs[Long]("cb")))).toMap
+      val chained = ops.PrefixSum.runningSum(
+          ops.PrefixSum.runningSum(df, Seq("grp"), "id", "a", "ca", width),
+          Seq("grp"), "id", "b", "cb", width)
+        .collect()
+        .map(r => (r.getAs[Long]("id"),
+          (r.getAs[Long]("ca"), r.getAs[Long]("cb")))).toMap
+      got == chained
+    }
+    passes(prop, n = 6)
+  }
 }
