@@ -899,11 +899,18 @@ object DedupOps {
     * is load-bearing, not decorative). */
   private[graft] def semanticAppendOn(emb: DataFrame, frozen: DataFrame,
       probe: DataFrame, threshold: Double): DataFrame = {
+    // Verify BEFORE dedup (the thresholdLshOn-measured ordering): a
+    // pair colliding in many of the 64 bands emits that many raw
+    // candidate rows, and a distinct() on the raw stream shuffles the
+    // FULL L-amplified candidate mass; one codegen'd cosine per raw
+    // row is cheaper, and the distinct then carries only threshold
+    // survivors. The r13 sf1 probe measured the distinct-first form
+    // at 14.4× for the 10× step (the shuffle, not the math, was the
+    // super-linear term); this form reads ~5×.
     val cand = frozen.as("x").join(probe.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     val e = emb.select(col("vec_id"), col("embedding"),
       graft.functions.Vectors.normCol(col("embedding")).as("nrm"))
     cand
@@ -915,6 +922,7 @@ object DedupOps {
         col("ae"), col("an"), col("be"), col("bn")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -65,7 +65,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     // read; the bounded report queries — recall sweep, PSI, the
     // maintenance reconciliations — are flat by construction and not
     // probed)
-    "sim_nsw_topk", "dedup_paragraph")
+    "sim_nsw_topk", "dedup_paragraph",
+    // round-13: the corpus-heavy newcomers — the LM-chain composition
+    // (perplexity tertiles: score + bucketed rank), the full-corpus
+    // exact CDF sweep (KS), the five-artifact purge execution, and
+    // the SRP batch-signing ingest gate; the bounded-by-construction
+    // newcomers (MMR's k²-bounded re-rank, scene cuts' per-video
+    // windows, nearest-asof's one sorted frame, DBSCAN's
+    // density-thresholded CC) are flat by design and not probed
+    "corpus_ppl_buckets", "stat_ks_test", "corpus_forget_apply",
+    "dedup_semantic_append")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
