@@ -1127,9 +1127,14 @@ object Analytics {
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val cents = (col("l_extendedprice").cast(D18_2) * 100)
       .cast("long")
-    val vals = Tables.lineitem(s, d)
+    ksTestOn(Tables.lineitem(s, d)
       .filter(col("l_returnflag").isin("R", "N"))
-      .select(cents.as("v"), col("l_returnflag").as("f"))
+      .select(cents.as("v"), col("l_returnflag").as("f")))
+  }
+
+  /** Core of [[ksTest]] over any (v: long, f: 'R'|'N') frame —
+    * parameterized for the differential spec. */
+  private[graft] def ksTestOn(vals: DataFrame): DataFrame = {
     val perV = vals.groupBy(col("v")).agg(
       sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
       sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))

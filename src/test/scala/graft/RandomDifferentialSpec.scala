@@ -494,6 +494,70 @@ class RandomDifferentialSpec extends AnyFunSuite {
       s"diff: ${(expected -- got).take(3)} vs ${(got -- expected).take(3)}")
   }
 
+  test("KS statistic on random tied samples == sequential ECDF sweep") {
+    val rnd = new scala.util.Random(31)
+    // dense value collisions → live ties in the CDF and the argmax
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, if (rnd.nextBoolean()) "R" else "N"))
+    val df = rows.toDF("v", "f")
+    val n1 = rows.count(_._2 == "R").toLong
+    val n2 = rows.count(_._2 == "N").toLong
+    val expected = rows.map(_._1).distinct.sorted.map { v =>
+      val c1 = rows.count(r => r._2 == "R" && r._1 <= v).toLong
+      val c2 = rows.count(r => r._2 == "N" && r._1 <= v).toLong
+      (math.abs(c1 * n2 - c2 * n1), v)
+    }.maxBy { case (dn, v) => (dn, -v) } // max dn, tie → smallest v
+    val r = ops.Analytics.ksTestOn(df).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n2)))
+    assert((r.getLong(2), r.getLong(3)) == expected,
+      s"got (${r.getLong(2)}, ${r.getLong(3)}), want $expected")
+    val ks = BigDecimal(expected._1.toDouble / (n1 * n2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == ks)
+  }
+
+  test("grid DBSCAN on random lattice points == sequential model") {
+    val rnd = new scala.util.Random(77)
+    // clumpy points on a small lattice → real clusters, borders, noise
+    val pts = (1 to 250).map { i =>
+      val cx = rnd.nextInt(12).toLong * 4
+      (i.toLong, cx + rnd.nextInt(3), rnd.nextInt(8).toLong)
+    }
+    val df = pts.toDF("rec_id", "lat10", "lon10")
+    // sequential model: cell pops → Chebyshev-1 mass → core cells →
+    // BFS components (min-cell-id label) → border/noise
+    val cells = pts.groupBy(p => (p._2, p._3)).view.mapValues(_.size).toMap
+    def nbrs(c: (Long, Long)) = for {
+      da <- -1L to 1L; db <- -1L to 1L
+    } yield (c._1 + da, c._2 + db)
+    def mass(c: (Long, Long)) = nbrs(c).map(cells.getOrElse(_, 0)).sum
+    val core = cells.keySet.filter(mass(_) >= 3)
+    def cid(c: (Long, Long)) = c._1 * 3600 + c._2
+    var labels = core.map(c => c -> cid(c)).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (c <- core; n <- nbrs(c) if core(n) && labels(n) < labels(c)) {
+        labels = labels.updated(c, labels(n)); changed = true
+      }
+    }
+    val expected = pts.map { case (id, la, lo) =>
+      val c = (la, lo)
+      id -> (if (core(c)) ("core", labels(c))
+      else {
+        val coreNbrs = nbrs(c).filter(n => n != c && core(n))
+        if (coreNbrs.nonEmpty) ("border", coreNbrs.map(labels).min)
+        else ("noise", -1L)
+      })
+    }.toMap
+    val got = ops.Analytics.geoDbscanOn(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(expected.values.map(_._1).toSet ==
+      Set("core", "border", "noise"), "random model must be non-vacuous")
+    assert(got == expected,
+      s"diff: ${(expected.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("ppl tertiles on a random corpus == sequential scoring model") {
     val rnd = new scala.util.Random(21)
     val langs = Array("aa", "bb", "cc")
