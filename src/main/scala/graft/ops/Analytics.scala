@@ -1143,16 +1143,28 @@ object Analytics {
       Seq("c1" -> "r1", "c2" -> "r2"))
     val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       .withColumn("__k", lit(1))
+    // The cross-multiplied numerator r·n wraps Long SILENTLY once both
+    // samples exceed ~3·10⁹ rows — exactly the 100 TB regime this
+    // docstring claims (ADVICE r13) — so it is carried in
+    // DECIMAL(38,0) (exact to 10³⁸; ANSI mode fails loud beyond). The
+    // emitted d_num stays BIGINT (schema contract with the oracle),
+    // guarded by assert_true instead of a wrapping cast.
     run.withColumn("__k", lit(1))
       .join(broadcast(tot), Seq("__k"))
       .withColumn("dn",
-        abs(col("r1") * col("n2") - col("r2") * col("n1")))
+        abs(col("r1").cast("decimal(38,0)") * col("n2") -
+          col("r2").cast("decimal(38,0)") * col("n1")))
       .orderBy(col("dn").desc, col("v"))
       .limit(1)
       .select(col("n1").as("n_x"), col("n2").as("n_y"),
-        col("dn").as("d_num"), col("v").as("ks_value"),
+        when(assert_true(
+            col("dn") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+            lit("stat_ks_test: D numerator exceeds BIGINT — widen d_num"))
+          .isNull, col("dn").cast("long")).as("d_num"),
+        col("v").as("ks_value"),
         round(col("dn").cast("double") /
-          (col("n1") * col("n2")).cast("double"), 6).as("ks_stat"))
+          (col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("ks_stat"))
   }
 
   private val DbMinPts = 3L // Chebyshev-1 neighborhood mass for core
@@ -1306,7 +1318,8 @@ object Analytics {
         |  FROM run CROSS JOIN tot
         |  ORDER BY abs(r1 * n2 - r2 * n1) DESC, v LIMIT 1)
         |SELECT n1 AS n_x, n2 AS n_y, dn AS d_num, v AS ks_value,
-        |  round(CAST(dn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+        |  round(CAST(dn AS DOUBLE) /
+        |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
         |    AS ks_stat
         |FROM top""".stripMargin,
     // the shared voter-record synthesis replay (DedupOps.erRecsCtesSql),

@@ -202,17 +202,29 @@ object EventOps {
       .withColumn("fm", first(col("om"), ignoreNulls = true)
         .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .filter(col("is_event") === 1)
-      .withColumn("bgap",
-        unix_timestamp(col("ts")) - unix_timestamp(col("bm.ots")))
-      .withColumn("fgap",
-        unix_timestamp(col("fm.ots")) - unix_timestamp(col("ts")))
+      // nearest DECISION on exact microsecond gaps (ADVICE r13: the
+      // events fixture carries sub-second residue on every timestamp,
+      // and a whole-second-truncated comparison diverges from true-
+      // instant merge_asof semantics); the REPORTED gap is the floor
+      // of the true gap in seconds — both directions' gaps are
+      // nonnegative by construction, so DIV is that floor.
+      // the NTZ→LTZ cast is offset-safe here: both operands of each
+      // difference convert under the same session zone, so the offsets
+      // cancel and the µs gap equals the true NTZ instant gap
+      .withColumn("bgap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("bm.ots").cast("timestamp")))
+      .withColumn("fgap_us",
+        unix_micros(col("fm.ots").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")))
       .withColumn("useB", col("bm").isNotNull &&
-        (col("fm").isNull || col("bgap") <= col("fgap")))
+        (col("fm").isNull || col("bgap_us") <= col("fgap_us")))
       .select(col("event_id"), col("key").as("user_id"), col("ts"),
         when(col("useB"), col("bm.okey")).otherwise(col("fm.okey"))
           .as("nearest_id"),
-        when(col("useB"), col("bgap"))
-          .when(col("fm").isNotNull, -col("fgap")).as("nearest_gap_sec"))
+        when(col("useB"), expr("bgap_us DIV 1000000"))
+          .when(col("fm").isNotNull, -expr("fgap_us DIV 1000000"))
+          .as("nearest_gap_sec"))
       .orderBy(col("event_id"))
   }
 
@@ -827,12 +839,15 @@ object EventOps {
         |   ORDER BY r.rts ASC, r.rid ASC LIMIT 1) AS fts
         |  FROM l),
         |y AS (SELECT *, bk IS NOT NULL AND (fk IS NULL OR
-        |    date_diff('second', bts, ts) <= date_diff('second', ts, fts))
+        |    date_diff('microsecond', bts, ts)
+        |      <= date_diff('microsecond', ts, fts))
         |    AS useb FROM x)
         |SELECT event_id, user_id, ts,
         |  CASE WHEN useb THEN bk ELSE fk END AS nearest_id,
-        |  CAST(CASE WHEN useb THEN date_diff('second', bts, ts)
-        |    WHEN fk IS NOT NULL THEN -date_diff('second', ts, fts)
+        |  CAST(CASE WHEN useb
+        |    THEN date_diff('microsecond', bts, ts) // 1000000
+        |    WHEN fk IS NOT NULL
+        |    THEN -(date_diff('microsecond', ts, fts) // 1000000)
         |    END AS BIGINT) AS nearest_gap_sec
         |FROM y ORDER BY event_id""".stripMargin,
   )
