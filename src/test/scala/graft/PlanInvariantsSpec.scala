@@ -787,6 +787,106 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  /** Eager stages allowed a bounded nested-loop join, with the bound
+    * that makes each safe at 100 TB (VERDICT r13 #5: plans executed
+    * INSIDE a query fn — shortlist collects, trainers, artifact
+    * builds — were invisible to the plan walks above, so
+    * sim_mmr_diversify's shortlist BNLJ was unguarded). */
+  private val eagerBoundedPairAllowlist = Set(
+    // the MMR shortlist: |q| = 8 query rows broadcast against the
+    // per-query k-bounded candidate frame, then the k²-bounded pair
+    // sims — every side a constant in the plan (SimilarityOps
+    // docstring prices it); the greedy re-rank consumes |q|·k² rows
+    "sim_mmr_diversify",
+    // NSW beam-walk iterations: the 8-row entry/beam frame crossJoins
+    // a constant-key scalar per hop (the sim_nsw_topk rationale in
+    // boundedPairAllowlist, firing on the eagerly-executed hops here);
+    // sim_nsw_append runs the SAME walk machinery for its batch
+    // insert (search-then-link) — its lazily-planned tail carries no
+    // BNLJ, which is why only the eager list needs it
+    "sim_nsw_topk", "sim_nsw_delete", "sim_nsw_compact", "sim_nsw_append",
+    // dedup_semantic's exact pair stage is vec_id < 300 bounded by
+    // construction (the lazy allowlist's rationale); the same slice
+    // executes eagerly while pinning/serving its cluster frame
+    "dedup_semantic",
+    // eager scalar-join stages of the lazily-allowlisted queries
+    // (same single-row broadcast shapes, executing during artifact
+    // builds or pinned-frame preparation)
+    "search_hybrid_rrf", "corpus_forget_apply"
+  )
+
+  test("eagerly-executed stages honor the scale invariants " +
+      "(catalog-wide QueryExecutionListener sweep)") {
+    // Constructing every registered query under a listener captures
+    // each plan that EXECUTES during construction — the stages the
+    // lazy walks above can never see. Warm artifacts keep one-time
+    // builds out of a given sweep, but the always-eager stages
+    // (bounded collects, iterative CC/walk hops, dimension checks)
+    // execute every call; the non-vacuity assert below pins the one
+    // the r13 audit flagged.
+    val captured = scala.collection.mutable.Buffer
+      .empty[(String, org.apache.spark.sql.execution.QueryExecution)]
+    @volatile var current = "<pre>"
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = captured.synchronized {
+        captured += ((current, qe))
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries.toSeq
+        .filterNot(_._1.startsWith("stream_")).sortBy(_._1)
+        .foreach { case (n, fn) =>
+          // drain BEFORE moving the attribution pointer, so stragglers
+          // of query n's async deliveries can't land on query n+1
+          current = n
+          fn(spark, sf)
+          org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        }
+    } finally spark.listenerManager.unregister(listener)
+    val plans = captured.synchronized { captured.toList }
+      .filterNot(_._1 == "<pre>")
+    assert(plans.exists(_._1 == "sim_mmr_diversify"),
+      "sweep captured no eager plan for sim_mmr_diversify — the blind " +
+        "spot this test exists to close is back (did the shortlist stop " +
+        "executing eagerly?)")
+    val pairOffenders = plans.collect {
+      case (n, qe)
+          if {
+            val p = qe.executedPlan.toString
+            (p.contains("BroadcastNestedLoopJoin") ||
+              p.contains("CartesianProduct")) &&
+            !eagerBoundedPairAllowlist.contains(n)
+          } => n
+    }.distinct
+    assert(pairOffenders.isEmpty,
+      s"eager nested-loop/cartesian joins outside the allowlist in: " +
+        pairOffenders.mkString(", "))
+    val windowOffenders = plans.collect {
+      case (n, qe)
+          if qe.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }.nonEmpty && !reducedFrameWindowAllowlist.contains(n) => n
+    }.distinct
+    assert(windowOffenders.isEmpty,
+      s"eager partition-less windows in: ${windowOffenders.mkString(", ")}")
+    val broadcastOffenders = plans
+      .filterNot { case (n, _) => boundedBroadcastAllowlist.contains(n) ||
+        eagerBoundedPairAllowlist.contains(n) }
+      .flatMap { case (n, qe) =>
+        corpusBroadcastHints(qe.analyzed).map(m => s"$n: $m") }
+      .distinct
+    assert(broadcastOffenders.isEmpty,
+      s"eager forced broadcast of corpus-sized data: " +
+        broadcastOffenders.mkString("; "))
+  }
+
   test("table cardinality is footer metadata: correct and job-free") {
     // VERDICT r3 #5: LSH band auto-tuning must not re-scan the corpus
     // to learn its size. Tables.cardinality answers from parquet
