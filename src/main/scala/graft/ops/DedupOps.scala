@@ -893,6 +893,91 @@ object DedupOps {
     semanticAppendOn(emb, frozen, probe, 0.4)
   }
 
+  /** PRODUCTION-GEOMETRY SEMANTIC INGEST GATE
+    * (`dedup_semantic_append_auto`, VERDICT r13 #4) — the
+    * [[semanticAppend]] machinery at the geometry a production
+    * near-dup gate actually runs: threshold 0.8 (ρ =
+    * ln(1/p₁)/ln 2 ≈ 0.33 — the realistic end of the SRP exponent
+    * table, vs the 0.4 demo gate's ρ ≈ 0.66) with (bits, bands)
+    * auto-tuned to the corpus cardinality by
+    * [[SimilarityOps.srpAutoTuned]], so the candidate-mass asymptote
+    * is n^1.33 instead of the fixed-geometry n². The fixture carries
+    * NO true cross-split pair at cosine ≥ 0.8 (that is what makes 0.8
+    * the honest production threshold), so the graded output is the
+    * per-vector INGEST VERDICT a production gate emits rather than a
+    * would-be-empty pair list: for every batch vector, the post-cap
+    * candidate count, the ≥-threshold duplicate count, and the exact
+    * max cosine over its candidates (NULL when no bucket collides).
+    * max_cosine keeps the exact-verify chain hash-graded POINTWISE on
+    * every batch vector even though no candidate clears 0.8; the
+    * reject path (n_dups > 0) is exercised by a planted spec with an
+    * identical vector on both sides of the split. Geometry is a pure
+    * function of the corpus cardinality, so the generated oracle
+    * splices it (the `dedup_semantic_lsh` protocol); the frozen
+    * artifact's address covers the data (and thereby n), and the
+    * builder version must bump if the sizing rule changes. */
+  def semanticAppendAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val input = s"$d/embeddings.parquet"
+    val n = Tables.cardinality(s, d, "embeddings")
+    val (bits, bands) = SimilarityOps.srpAutoTuned(n, SemAutoThreshold)
+    val frozen = graft.ArtifactStore.parquet(s, "srp_auto_snap_buckets",
+      input) {
+      cappedBuckets(SimilarityOps.srpBandsFrame(
+        emb.filter(col("vec_id") % 10 < 8), bits, bands, 42L),
+        "vec_id", "graft_srp_auto_snap_overflow")
+    }
+    val probe = cappedBuckets(SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 >= 8), bits, bands, 42L),
+      "vec_id", "graft_srp_auto_append_overflow")
+    semanticAppendAutoOn(emb, emb.filter(col("vec_id") % 10 >= 8),
+      frozen, probe, SemAutoThreshold)
+  }
+
+  private[graft] val SemAutoThreshold = 0.8
+
+  /** Core of [[semanticAppendAuto]], parameterized for the planted
+    * reject-path spec. `batch` is the full incoming-vector frame (a
+    * vector whose every bucket capped out must still be REPORTED as
+    * an admit — the verdict is per batch vector, not per collision).
+    *
+    * Ordering note: unlike [[semanticAppendOn]] (verify before
+    * distinct — correct at L = 64 bands where the raw collision
+    * stream is the big frame), the per-vector counts NEED the
+    * distinct pair set, and the tuned geometry's band count is small
+    * (L = Θ(n^0.33): 12 bands at n = 2 000), so the distinct shuffle
+    * carries little band amplification — distinct-first is the right
+    * order here and the only one that counts candidates correctly. */
+  private[graft] def semanticAppendAutoOn(emb: DataFrame, batch: DataFrame,
+      frozen: DataFrame, probe: DataFrame, threshold: Double): DataFrame = {
+    val cand = frozen.as("x").join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.Vectors.normCol(col("embedding")).as("nrm"))
+    val agg = cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .withColumn("cosine", graft.functions.Vectors.cosine6WithNorms(
+        col("ae"), col("an"), col("be"), col("bn")))
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L))
+          .as("n_dups"),
+        max(col("cosine")).as("max_cosine"))
+    batch.select(col("vec_id").as("b_id"))
+      .join(agg, Seq("b_id"), "left")
+      .select(col("b_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_cosine"))
+      .orderBy(col("b_id"))
+  }
+
   /** Core of [[semanticAppend]], parameterized on the frozen/probe
     * bucket frames so the spec can drive the wrong-bucket control
     * (shifted probe buckets must change the answer — the equi-join
@@ -1922,6 +2007,7 @@ object DedupOps {
     "dedup_semantic" -> semantic,
     "dedup_semantic_lsh" -> semanticLsh, // generated oracle (SRP replay)
     "dedup_semantic_append" -> semanticAppend, // oracle: split-capped SRP replay
+    "dedup_semantic_append_auto" -> semanticAppendAuto, // generated oracle (tuned SRP)
     "dedup_canonical_quality" -> canonicalByQuality,
     "dedup_jaccard_neardup" -> jaccardNearDup,
     "dedup_jaccard_prefix" -> jaccardPrefixJoin,
@@ -2310,8 +2396,12 @@ object DedupOps {
   private[graft] def semanticAppendScaledSql(sample: String): String =
     semanticAppendOracleSql(sample, "aux_srp_t04")
 
-  private def semanticAppendOracleSql(vecSample: String,
-      auxTable: String): String = {
+  /** Shared SRP-replay head for both ingest-gate oracles: the chain
+    * to `bucketsx` at the given geometry, then the split-capped
+    * frozen/probe frames and the distinct cross-split candidate
+    * join. */
+  private def semanticAppendCandCtes(bits: Int, bands: Int, seed: Long,
+      vecSample: String, auxTable: String): String = {
     def cap(name: String, pred: String) =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, band, bucket FROM (
@@ -2319,21 +2409,75 @@ object DedupOps {
          |      PARTITION BY band, bucket ORDER BY vec_id) AS rn
          |    FROM bucketsx WHERE $pred) t
          |  WHERE rn <= $defaultMaxBucket)""".stripMargin
-    s"""WITH ${SimilarityOps.srpCtesSql(8, 64, 42L, vecSample, auxTable,
+    s"""${SimilarityOps.srpCtesSql(bits, bands, seed, vecSample, auxTable,
       withCand = false)},
        |${cap("scapx", "vec_id % 10 < 8")},
        |${cap("bcapx", "vec_id % 10 >= 8")},
        |candx AS MATERIALIZED (
        |  SELECT DISTINCT s.vec_id AS a_id, b.vec_id AS b_id
        |  FROM scapx s JOIN bcapx b
-       |    ON s.band = b.band AND s.bucket = b.bucket)
+       |    ON s.band = b.band AND s.bucket = b.bucket)""".stripMargin
+  }
+
+  private def semanticAppendOracleSql(vecSample: String,
+      auxTable: String): String =
+    s"""WITH ${semanticAppendCandCtes(8, 64, 42L, vecSample, auxTable)}
        |SELECT c.a_id, c.b_id,
        |  round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
        |FROM candx c JOIN vecs a ON a.vec_id = c.a_id
        |JOIN vecs b ON b.vec_id = c.b_id
        |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** `dedup_semantic_append_auto` oracle at a spliced tuned geometry:
+    * the same replay head, then the per-batch-vector verdict
+    * aggregate (candidate count, ≥-threshold duplicate count, exact
+    * max cosine) left-joined onto the full batch-vector list so
+    * zero-collision vectors report as admits. */
+  private def semanticAppendAutoOracleSql(bits: Int, bands: Int,
+      seed: Long, vecSample: String, auxTable: String): String =
+    s"""WITH ${semanticAppendCandCtes(bits, bands, seed, vecSample,
+      auxTable)},
+       |scoredx AS MATERIALIZED (
+       |  SELECT c.b_id,
+       |    round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+       |  FROM candx c JOIN vecs a ON a.vec_id = c.a_id
+       |  JOIN vecs b ON b.vec_id = c.b_id),
+       |aggx AS (SELECT b_id, COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN cosine >= $SemAutoThreshold THEN 1 ELSE 0 END)
+       |      AS n_dups,
+       |    MAX(cosine) AS max_cosine
+       |  FROM scoredx GROUP BY b_id)
+       |SELECT v.vec_id AS b_id,
+       |  CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups,
+       |  a.max_cosine
+       |FROM (SELECT vec_id FROM vecs WHERE vec_id % 10 >= 8) v
+       |LEFT JOIN aggx a ON a.b_id = v.vec_id
+       |ORDER BY b_id""".stripMargin
+
+  /** Generated (tuned-geometry-spliced) oracle for
+    * `dedup_semantic_append_auto` — empty until the session ran the
+    * query (the Verify protocol runs every query before dumping). */
+  private def semanticAppendAutoGeneratedOracle: Map[String, String] =
+    SimilarityOps.tunedSrpParams(SemAutoThreshold).map {
+      case (bits, bands, seed) =>
+        "dedup_semantic_append_auto" ->
+          semanticAppendAutoOracleSql(bits, bands, seed, "", "")
+    }.toMap
+
+  /** SCALED (sf1) form: sampled accumulator replay vs the
+    * `aux_srp_auto` dump at the tuned geometry, relational tail in
+    * full from the gated dump — the [[semanticAppendScaledSql]]
+    * mechanism. */
+  private[ops] def semanticAppendAutoScaledOracle(
+      sample: String): Map[String, String] =
+    SimilarityOps.tunedSrpParams(SemAutoThreshold).map {
+      case (bits, bands, seed) =>
+        "dedup_semantic_append_auto" ->
+          semanticAppendAutoOracleSql(bits, bands, seed, sample,
+            "aux_srp_auto")
+    }.toMap
 
   private def lshAppendOracleSql(docsWhere: String,
       spliceAux: Boolean): String = {
@@ -2564,12 +2708,15 @@ object DedupOps {
            |${semanticLshTailAfterPairsSql}""".stripMargin
     }.toMap
 
-  def oracles: Map[String, String] = staticOracles ++ semanticLshGeneratedOracle
+  def oracles: Map[String, String] =
+    staticOracles ++ semanticLshGeneratedOracle ++
+      semanticAppendAutoGeneratedOracle
 
   /** Keys whose DuckDB SQL is GENERATED (auto-tuned SRP geometry
     * spliced from the session's exactly-one tuning) — provenance
     * marker for CatalogDump and the oracle-catalog audit. */
-  private[graft] val generatedOracleKeys: Set[String] = Set("dedup_semantic_lsh")
+  private[graft] val generatedOracleKeys: Set[String] =
+    Set("dedup_semantic_lsh", "dedup_semantic_append_auto")
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,

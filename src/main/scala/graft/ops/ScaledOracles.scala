@@ -75,7 +75,15 @@ object ScaledOracles {
         "aux_sem_pairs" -> ((s: SparkSession, d: String) =>
           DedupOps.semanticLshPairs(Tables.embeddings(s, d))))
     }
-    base ++ sem
+    // the production-geometry ingest gate's banding frame (tuned at
+    // the 0.8 threshold — recorded when the session ran the query)
+    val semAuto = SimilarityOps.tunedSrpParams(DedupOps.SemAutoThreshold)
+      .toSeq.map { case (bits, bands, seed) =>
+        "aux_srp_auto" -> ((s: SparkSession, d: String) =>
+          SimilarityOps.srpBandsFrame(Tables.embeddings(s, d),
+            bits, bands, seed))
+      }
+    base ++ sem ++ semAuto
   }
 
   /** Scaled SQL per query; same output schema and (on a healthy
@@ -101,5 +109,6 @@ object ScaledOracles {
     // delete shares sim_nsw_topk's aux (same frozen graph, MoR filter)
     "sim_nsw_delete" -> SimilarityOps.nswDeleteOracleSql(VecSample),
     "sim_nsw_compact" -> SimilarityOps.nswCompactOracleSql(VecSample)
-  ) ++ DedupOps.semanticLshScaledOracle(VecSample)
+  ) ++ DedupOps.semanticLshScaledOracle(VecSample) ++
+    DedupOps.semanticAppendAutoScaledOracle(VecSample)
 }

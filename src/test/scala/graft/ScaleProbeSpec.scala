@@ -74,9 +74,34 @@ class ScaleProbeSpec extends AnyFunSuite {
     // windows, nearest-asof's one sorted frame, DBSCAN's
     // density-thresholded CC) are flat by design and not probed
     "corpus_ppl_buckets", "stat_ks_test", "corpus_forget_apply",
-    "dedup_semantic_append")
+    "dedup_semantic_append",
+    // round-14: the production-geometry ingest gate (auto-tuned SRP at
+    // threshold 0.8 — candidate mass and signing both scale ~n^1.33,
+    // and this entry is the measured proof the tuned exponent sits
+    // far below the fixed-geometry 0.4 gate's ~7×/step; VERDICT r13
+    // #4), plus text_lm_score now that it serves the shared
+    // lm_scored_docs artifact (the probed path is the read)
+    "dedup_semantic_append_auto", "text_lm_score")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
+
+  /** Entries whose super-linear step is PRICED, not accidental, and
+    * whose sf0.1 denominator sits so low that hot-JVM variance alone
+    * swings the ratio across 15× (r14: dedup_semantic_append read
+    * 0.61–1.3 s at sf0.1 against a stable ~9 s at sf1 — 7× to 15.5×
+    * from denominator noise). For these the ratio bound is relaxed to
+    * the floor-implied ceiling and the REAL regression guard is an
+    * absolute sf1 wall ceiling on the stable numerator: the 0.4-demo
+    * gate's candidate mass is the documented textbook n^1.66
+    * (SCALE.md r13), steady ~9 s at sf1 — if sf1 breaches the
+    * ceiling, the ordering/caps regressed beyond the priced exponent
+    * (the r13 distinct-before-verify bug read 18.3 s and would trip
+    * it). The production-geometry twin (dedup_semantic_append_auto,
+    * ρ ≈ 0.33) stays under the standard 15× gate — flat, measured
+    * 0.7× in r14. */
+  private val pricedExponentCaps: Map[String, (Double, Double)] = Map(
+    "dedup_semantic_append" -> ((25.0, 15.0)) // (maxRatio, sf1 wall s)
+  )
 
   private def time(name: String, sfDir: String, reps: Int): Double = {
     val fn = SparkEntry.queries(name)
@@ -100,9 +125,16 @@ class ScaleProbeSpec extends AnyFunSuite {
         f"ratio=$ratio%5.1f×  exponent≈$exponent%.2f")
       (n, small, big, ratio)
     }
-    rows.foreach { case (n, _, _, ratio) =>
-      assert(ratio <= maxRatio,
-        s"$n grew ${ratio}× for 10× data — a super-linear stage crept in")
+    rows.foreach { case (n, _, big, ratio) =>
+      pricedExponentCaps.get(n) match {
+        case Some((capRatio, capWall)) =>
+          assert(ratio <= capRatio && big <= capWall,
+            s"$n: sf1=$big s, ratio ${ratio}× — beyond the PRICED " +
+              "exponent (SCALE.md) — the ordering/caps regressed")
+        case None =>
+          assert(ratio <= maxRatio,
+            s"$n grew ${ratio}× for 10× data — a super-linear stage crept in")
+      }
     }
   }
 }
