@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every entrypoint pins UTC (Verify, TestSpark, the probes; sbt
+      // also injects it via javaOptions): timestamp-NTZ→LTZ casts in
+      // the query paths assume a DST-free session zone, and Bench was
+      // the one builder relying on the javaOptions route alone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,15 +55,24 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       var failed = false
       val reps = Seq.newBuilder[Double]
+      // metrics are PER REP (one window around each run), not per
+      // query: a per-query window sums a variable rep count (2 vs 3
+      // as the estimator flips round-over-round) plus rep-1's cold
+      // artifact builds, which would break the reading rule "changed
+      // shuffle bytes = changed plan" with a ~33% phantom delta
+      // (review finding). Rep-aligned windows make rep 1 vs rep 2
+      // separate cold-serve vs steady-state evidence.
+      val repMetrics = Seq.newBuilder[Seq[(String, Long)]]
       def once(): Double = {
+        val before = metrics.begin()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
         val t = (System.nanoTime() - t0) / 1e9
         reps += t
+        repMetrics += metrics.end(before)
         t
       }
-      val before = metrics.begin()
       // short-circuit after a failed run: the value is discarded as
       // the -1.0 sentinel regardless, and re-running a throwing query
       // 1-2 more times cost minutes across r6's 15 failures
@@ -70,12 +84,11 @@ object Bench {
           val runs = Seq(r1, r2, once()).sorted
           (runs(1), "median3")
         } else (math.min(r1, r2), "min2")
-      val qMetrics = metrics.end(before)
       // a broken query must not masquerade as a fast one: its
       // time-to-exception would read as a huge "improvement" in
       // round-over-round comparison (bench_compare skips values <= 0)
-      name -> (if (failed) (-1.0, "error", reps.result(), qMetrics)
-               else (stat, estimator, reps.result(), qMetrics))
+      name -> (if (failed) (-1.0, "error", reps.result(), repMetrics.result())
+               else (stat, estimator, reps.result(), repMetrics.result()))
     }
     // Deterministic artifact: sorted keys, complete record in ONE line
     // written to bench_out.json. stdout needs more care: the driver's
@@ -113,8 +126,9 @@ object Bench {
       "\"" + k + "\":" + reps.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val metricsJson = sorted.map { case (k, (_, _, _, ms)) =>
-      "\"" + k + "\":" + ms.map { case (n, v) => "\"" + n + "\":" + v }
-        .mkString("{", ",", "}")
+      "\"" + k + "\":" + ms.map(rep =>
+        rep.map { case (n, v) => "\"" + n + "\":" + v }
+          .mkString("{", ",", "}")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // a failed query's -1.0 sentinel must not understate the headline
     // total (ADVICE r5): sum only valid statistics, surface the count

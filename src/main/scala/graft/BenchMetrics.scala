@@ -20,7 +20,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *
   * Mechanics: one task-grain [[SparkListener]] accumulating since
   * registration; [[Bench]] snapshots the cumulative sums before/after
-  * each query's reps (queries run sequentially) and differences them.
+  * EACH REP (runs are sequential) and differences them — per-rep
+  * windows, because a per-query window would sum a variable rep
+  * count (the median3/min2 estimator flip) plus rep-1 cold artifact
+  * builds, breaking the changed-bytes-means-changed-plan reading.
   * Attribution is exact up to listener-bus delivery, so each snapshot
   * is taken behind [[org.apache.spark.graftbridge.ListenerBridge]]'s
   * drain barrier. `peak_exec_mem` is the max per-task peak inside the

@@ -208,9 +208,12 @@ object EventOps {
       // instant merge_asof semantics); the REPORTED gap is the floor
       // of the true gap in seconds — both directions' gaps are
       // nonnegative by construction, so DIV is that floor.
-      // the NTZ→LTZ cast is offset-safe here: both operands of each
-      // difference convert under the same session zone, so the offsets
-      // cancel and the µs gap equals the true NTZ instant gap
+      // the NTZ→LTZ cast relies on the repo-wide UTC session pin
+      // (every entrypoint sets spark.sql.session.timeZone=UTC): under
+      // a DST-observing zone the two operands of a difference can
+      // convert under DIFFERENT offsets across a transition, shifting
+      // gaps by the DST hour — "offsets cancel" is only true in a
+      // fixed-offset zone (review finding)
       .withColumn("bgap_us",
         unix_micros(col("ts").cast("timestamp")) -
           unix_micros(col("bm.ots").cast("timestamp")))

@@ -426,8 +426,10 @@ object MultimodalOps {
     * mass is the formula-derivable analog the DuckDB oracle replays
     * exactly (PNG byte counts exist only engine-side). The report is
     * a pure function of the snapshot and is artifact-served (the
-    * cbr_report rule); every window is per-dhash-family or per-video
-    * — bounded partitions, no global window; decode/dHash come from
+    * cbr_report rule); family-min dedup is an aggregate + equi-join
+    * (a per-dhash window would grow linearly per partition — the
+    * hash space is bounded) and the one window is per-video —
+    * bounded by the medium; decode/dHash come from
     * the ingest-time artifact columns except the corruption gate,
     * which necessarily decodes the damaged bytes. The oracle replays
     * every stage from the pixel generator (undecodability included —
@@ -436,7 +438,10 @@ object MultimodalOps {
     * gate. */
   def mediaBuildReport(s: SparkSession, d: String): DataFrame = {
     val input = s"$d/documents.parquet"
-    graft.ArtifactStore.parquet(s, "mm_report", input) {
+    // v2: family-min dedup moved from a per-dhash window to the
+    // aggregate+join (same values, different build plan — the store
+    // contract requires the bump regardless)
+    graft.ArtifactStore.parquet(s, "mm_report", input, version = 2) {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), col("source"))
       val arrived = pngTable(s, d)
@@ -449,10 +454,20 @@ object MultimodalOps {
         // pinned: six stage aggregates read this frame, and the gate
         // re-decodes every blob — pay the decode once per build
         .localCheckpoint(true)
-      val wF = Window.partitionBy(col("dhash")).orderBy(col("media_id"))
-      val dec = arrived.filter(col("ok"))
-        .withColumn("rn", row_number().over(wF))
-      val sized = dec.filter(col("rn") === 1).filter(col("npx") >= 6L)
+      // family-min via aggregate + equi-join, NOT a per-dhash window:
+      // the dHash space is bounded (the 64-bit hash of tiny frames —
+      // 287 families hold 49k media at sf1), so a per-family window
+      // would put Θ(n / |families|) rows on single tasks — linear
+      // per-partition growth at fixed parallelism, the exact class
+      // the plan invariants ban (review finding). The aggregate
+      // partial-combines map-side; the join is an equi-join on the
+      // hash.
+      val decodable = arrived.filter(col("ok"))
+      val famMin = decodable.groupBy(col("dhash"))
+        .agg(min(col("media_id")).as("keep_id"))
+      val dec = decodable.join(famMin, Seq("dhash"))
+        .withColumn("is_keep", col("media_id") === col("keep_id"))
+      val sized = dec.filter(col("is_keep")).filter(col("npx") >= 6L)
         .join(docs, Seq("media_id"))
       val wS = Window.partitionBy(col("source")).orderBy(col("media_id"))
       val st = sized.withColumn("pd", lag(col("dhash"), 1).over(wS))
@@ -465,9 +480,9 @@ object MultimodalOps {
       Seq(
         agg1("00_raw", arrived),
         agg1("10_undecodable", arrived.filter(!col("ok"))),
-        agg1("20_phash_dup", dec.filter(col("rn") > 1)),
+        agg1("20_phash_dup", dec.filter(!col("is_keep"))),
         agg1("30_too_small",
-          dec.filter(col("rn") === 1).filter(col("npx") < 6L)),
+          dec.filter(col("is_keep")).filter(col("npx") < 6L)),
         agg1("40_nonboundary", st.filter(!col("is_start"))),
         agg1("50_train", st.filter(col("is_start")))
       ).reduce(_.unionByName(_))

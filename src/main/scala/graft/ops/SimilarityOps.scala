@@ -279,12 +279,10 @@ object SimilarityOps {
       targetRecall: Double = 0.93, seed: Long = 42L,
       knownN: Option[Long] = None): DataFrame = {
     val n = knownN.getOrElse(emb.count())
-    val (bits, bands) = srpAutoParams(n, threshold, targetRecall)
-    // record the tuned params so the generated SRP oracles can splice
-    // them (they are a pure function of the corpus cardinality, so
-    // the splice is an engine-independent constant — the kmeans/pq
-    // generated-oracle protocol)
-    autoParamsCache.put((n, threshold), (bits, bands, seed))
+    // tune + record through the ONE helper (srpAutoTuned) so the
+    // generated-oracle splice protocol cannot drift between the 0.3
+    // (semanticLsh) and 0.8 (semanticAppendAuto) paths
+    val (bits, bands) = srpAutoTuned(n, threshold, targetRecall, seed)
     thresholdLshOn(emb, threshold, bits, bands, seed)
   }
 

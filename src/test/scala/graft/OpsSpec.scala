@@ -510,6 +510,26 @@ class OpsSpec extends AnyFunSuite {
       "control: shifted probe buckets not visible in the result")
   }
 
+  test("media build funnel: accounting closes and every stage drops") {
+    val rows = ops.MultimodalOps.mediaBuildReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stages = Seq("00_raw", "10_undecodable", "20_phash_dup",
+      "30_too_small", "40_nonboundary", "50_train")
+    assert(rows.keySet == stages.toSet, s"stage set drifted: ${rows.keySet}")
+    // conservation: raw mass = Σ(drop stages) + train, media AND pixels
+    val parts = stages.tail.map(rows)
+    assert(rows("00_raw")._1 == parts.map(_._1).sum,
+      s"media accounting does not close: $rows")
+    assert(rows("00_raw")._2 == parts.map(_._2).sum,
+      s"pixel accounting does not close: $rows")
+    // non-vacuity: every drop stage AND the survivor set are non-empty
+    // (a SceneCutDist / damage-rule / gate drift that empties a stage
+    // must fail here, not survive as a vacuous green oracle row)
+    stages.tail.foreach { st =>
+      assert(rows(st)._1 >= 1L, s"stage $st dropped nothing — vacuous")
+    }
+  }
+
   test("auto semantic ingest verdict: planted duplicate rejects, capped-out " +
       "vector still reports, wrong-bucket control fires") {
     import spark.implicits._
