@@ -15,6 +15,32 @@ import sys
 
 NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus", "failed"}
 
+# full parsed records by path, when the input carried the complete
+# bench_out.json line (reps + exec_metrics available for attribution)
+LOADED = {}
+
+
+def attribution(rec, q):
+    """One-line root-cause summary for a flagged query from the r14
+    self-attributing record: raw rep times, then per-rep GC share,
+    spill, and shuffle bytes (stable bytes across reps/rounds = same
+    plan → wall delta is session state, not a plan regression)."""
+    reps = rec.get("reps", {}).get(q)
+    ms = rec.get("exec_metrics", {}).get(q)
+    if not reps or not ms:
+        return None
+    parts = [f"reps={'/'.join(f'{t:.2f}' for t in reps)}s"]
+    for i, m in enumerate(ms):
+        run = max(m.get("run_ms", 0), 1)
+        gc = m.get("gc_ms", 0)
+        spill = m.get("spill_mem_bytes", 0) + m.get("spill_disk_bytes", 0)
+        shuf = m.get("shuffle_write_bytes", 0)
+        parts.append(
+            f"r{i + 1}: gc {100.0 * gc / run:.0f}% of {run}ms"
+            + (f", spill {spill >> 20}MiB" if spill else "")
+            + f", shuffle {shuf}B")
+    return "; ".join(parts)
+
 
 def load(path):
     """Accept either a raw graft.Bench JSON line (possibly behind an
@@ -22,7 +48,10 @@ def load(path):
     whose `tail` holds a TRUNCATED copy of that line — per-query pairs
     are then recovered by regex, so comparisons work on the subset of
     queries that survived truncation. bench_out.json (written by
-    graft.Bench itself since r5) parses as the complete first branch."""
+    graft.Bench itself since r5) parses as the complete first branch.
+    Since r14 the full record also carries `reps` (raw per-rep wall
+    times) and `exec_metrics` (per-rep executor-metric deltas), kept
+    in LOADED[path] for the attribution printout."""
     txt = open(path).read().strip()
     try:
         d = json.loads(txt)
@@ -34,6 +63,7 @@ def load(path):
             qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
             return qs, sum(qs.values()), {}  # partial total: visible tail only
         if isinstance(d, dict) and "queries" in d:
+            LOADED[path] = d
             return d["queries"], d["value"], d.get("estimators", {})
     except json.JSONDecodeError:
         pass
@@ -101,8 +131,12 @@ def main():
         print(f"REMOVED ({len(removed)}): {', '.join(removed)}")
     for q, a, b in sorted(improvements, key=lambda t: t[1] - t[2]):
         print(f"  faster  {q:32s} {a:6.2f} -> {b:6.2f}")
+    new_rec = LOADED.get(new_path, {})
     for q, a, b in sorted(regressions, key=lambda t: t[1] - t[2]):
         print(f"  SLOWER  {q:32s} {a:6.2f} -> {b:6.2f}")
+        attr = attribution(new_rec, q)
+        if attr:
+            print(f"          {attr}")
     for q, a, b in flips:
         print(f"  (estimator flip, not graded) {q:32s} {a:6.2f} -> {b:6.2f}")
     if not regressions:
