@@ -44,7 +44,7 @@ class OracleCatalogSpec extends AnyFunSuite {
     ops.SimilarityOps.clearPcaMemoryCache()
     ops.SimilarityOps.clearAppendModelCache()
     for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train",
-        "sim_pca_project", "sim_ivf_append"))
+        "sim_pca_project", "sim_ivf_append", "dedup_semantic_append_auto"))
       SparkEntry.queries(q)(spark, sf).count()
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
@@ -57,7 +57,7 @@ class OracleCatalogSpec extends AnyFunSuite {
     // runs after the bijection test in suite order, but do not depend
     // on ordering: re-trigger the trainers idempotently
     for (q <- Seq("sim_kmeans_sizes", "sim_pq_topk", "dedup_semantic_lsh", "text_bpe_train",
-        "sim_pca_project", "sim_ivf_append"))
+        "sim_pca_project", "sim_ivf_append", "dedup_semantic_append_auto"))
       SparkEntry.queries(q)(spark, sf).count()
     val absent = generatedKeys -- SparkEntry.oracleSql.keySet
     assert(absent.isEmpty,
