@@ -107,6 +107,16 @@ class DegenerateInputSpec extends AnyFunSuite {
           ops.SimilarityOps.srpBandsFrame(
             d.filter(col("vec_id") % 10 >= 8), 8, 64, 42L), 0.4)
       }),
+      "semanticAppendAutoOn" -> ((d: DataFrame) => {
+        import org.apache.spark.sql.functions.col
+        ops.DedupOps.semanticAppendAutoOn(d,
+          d.filter(col("vec_id") % 10 >= 8),
+          ops.SimilarityOps.srpBandsFrame(
+            d.filter(col("vec_id") % 10 < 8), 4, 6, 42L),
+          ops.SimilarityOps.srpBandsFrame(
+            d.filter(col("vec_id") % 10 >= 8), 4, 6, 42L),
+          ops.DedupOps.SemAutoThreshold)
+      }),
     )
     val single = emb(Seq((7L, Seq.fill(64)(0.25f), 0)))
     cores.foreach { case (name, fn) =>

@@ -374,6 +374,52 @@ class RandomDifferentialSpec extends AnyFunSuite {
       s"diff: ${(expected.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("auto semantic verdict on random bucket frames == brute force") {
+    // independent of SRP: the banding frames are RANDOM assignments,
+    // and the reference recomputes candidates / counts / max cosine
+    // sequentially — this grades the candidate join, the distinct,
+    // the per-vector aggregate and the admit-reporting left join in
+    // isolation from the hashing chain (which the known-vector and
+    // oracle gates cover)
+    val rnd = new scala.util.Random(41)
+    val snapIds = (0L until 32L).toSeq
+    val batchIds = (100L until 112L).toSeq
+    val vecs: Map[Long, Array[Float]] = (snapIds ++ batchIds).map { id =>
+      val v = Array.fill(4)((rnd.nextInt(19) - 9).toFloat)
+      v(rnd.nextInt(4)) = (rnd.nextInt(9) + 1).toFloat // never the 0-vector
+      id -> v
+    }.toMap
+    def randBuckets(ids: Seq[Long]) = ids.flatMap { id =>
+      (0 until 5).map(b => (id, b.toLong, rnd.nextInt(4).toLong))
+    }
+    val sb = randBuckets(snapIds)
+    val bb = randBuckets(batchIds)
+    val threshold = 0.3
+    val expected: Map[Long, (Long, Long, Option[Double])] =
+      batchIds.map { b =>
+        val myBuckets = bb.filter(_._1 == b).map(t => (t._2, t._3)).toSet
+        val cands = sb.filter(t => myBuckets.contains((t._2, t._3)))
+          .map(_._1).distinct
+        val cos = cands.map(a => cos6(vecs(a), vecs(b)))
+        b -> ((cands.size.toLong, cos.count(_ >= threshold).toLong,
+          if (cos.isEmpty) None else Some(cos.max)))
+      }.toMap
+    import spark.implicits._
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = ops.DedupOps.semanticAppendAutoOn(embDf,
+        batchIds.toDF("vec_id"),
+        sb.toDF("vec_id", "band", "bucket"),
+        bb.toDF("vec_id", "band", "bucket"), threshold)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got == expected,
+      s"diff: ${(expected.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expected.toSet).take(3)}")
+    // non-vacuity of the random fixture: rejects AND zero-candidate
+    // admits both occur
+    assert(expected.values.exists(_._2 > 0L), "no random reject fired")
+  }
+
   /** The exact arithmetic [[graft.functions.Vectors.cosine6]] performs:
     * left-to-right double accumulation of float-widened products,
     * dot/(|a|·|b|), then BigDecimal HALF_UP at scale 6 (Spark round). */
