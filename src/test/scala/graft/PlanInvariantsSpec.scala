@@ -812,7 +812,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // eager scalar-join stages of the lazily-allowlisted queries
     // (same single-row broadcast shapes, executing during artifact
     // builds or pinned-frame preparation)
-    "search_hybrid_rrf", "corpus_forget_apply"
+    "search_hybrid_rrf", "corpus_forget_apply",
+    // the corpus funnel's BUILD composes epochPlanOn/packSequencesOn,
+    // whose 1-row totals aggregate broadcasts on a constant key and
+    // constant-folds to a BNLJ — the corpus_epoch_plan/corpus_mix
+    // scalar class (those queries carry the lazy allowlist entries;
+    // this is the same plan executing inside the cbr_report build)
+    "corpus_build_report"
   )
 
   test("eagerly-executed stages honor the scale invariants " +
@@ -885,6 +891,80 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(broadcastOffenders.isEmpty,
       s"eager forced broadcast of corpus-sized data: " +
         broadcastOffenders.mkString("; "))
+  }
+
+  test("cold-store artifact BUILD plans honor the scale invariants") {
+    // The sweep above runs against a warm store, so one-time artifact
+    // builds (trainers, graph builds, funnel materializations) only
+    // appear in it by accident. This arm forces them: an ISOLATED
+    // store (the ArtifactStoreSpec sys-props hook) makes every
+    // artifact cold, and the representative artifact-backed queries
+    // below rebuild under the listener. Representative, not
+    // exhaustive: one member per build family (graph, IVF trainer,
+    // SRP cluster map, frozen ingest buckets, LM score table, media
+    // table + funnel, corpus funnel) — a new build family should add
+    // its member here.
+    val builders = Seq("sim_nsw_topk", "sim_ivf_quantized",
+      "dedup_semantic_lsh", "dedup_semantic_append_auto",
+      "dedup_lsh_append", "text_lm_score", "mm_scene_cuts",
+      "mm_build_report", "corpus_build_report")
+    val dir = java.nio.file.Files
+      .createTempDirectory("plan-cold-store").toString
+    val captured = scala.collection.mutable.Buffer
+      .empty[(String, org.apache.spark.sql.execution.QueryExecution)]
+    @volatile var current = "<pre>"
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = captured.synchronized {
+        captured += ((current, qe))
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    val before = ArtifactStore.builds
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    sys.props("graft.artifacts.dir") = dir
+    spark.listenerManager.register(listener)
+    try {
+      builders.foreach { n =>
+        current = n
+        // count() forces the serve read too — builds that hide behind
+        // a lazily-returned scan still execute here
+        SparkEntry.queries(n)(spark, sf).count()
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      sys.props.remove("graft.artifacts.dir")
+    }
+    assert(ArtifactStore.builds > before,
+      "cold store triggered no artifact builds — the sweep is vacuous")
+    val plans = captured.synchronized { captured.toList }
+      .filterNot(_._1 == "<pre>")
+    val pairOffenders = plans.collect {
+      case (n, qe)
+          if {
+            val p = qe.executedPlan.toString
+            (p.contains("BroadcastNestedLoopJoin") ||
+              p.contains("CartesianProduct")) &&
+            !eagerBoundedPairAllowlist.contains(n) &&
+            !boundedPairAllowlist.contains(n)
+          } => n
+    }.distinct
+    assert(pairOffenders.isEmpty,
+      s"nested-loop/cartesian joins in cold BUILD plans of: " +
+        pairOffenders.mkString(", "))
+    val windowOffenders = plans.collect {
+      case (n, qe)
+          if qe.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }.nonEmpty && !reducedFrameWindowAllowlist.contains(n) => n
+    }.distinct
+    assert(windowOffenders.isEmpty,
+      s"partition-less windows in cold BUILD plans of: " +
+        windowOffenders.mkString(", "))
   }
 
   test("table cardinality is footer metadata: correct and job-free") {
