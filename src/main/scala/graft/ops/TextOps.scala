@@ -1470,6 +1470,102 @@ object TextOps {
       .select(col("doc_id"), col("len"), col("tf_total"), col("score"))
   }
 
+  /** The fixed evaluation query set for [[searchEvalPrk]]: 6 two-term
+    * queries whose PHRASE form (the terms adjacent, in order) marks a
+    * document relevant — ~5–7 % of the fixture per query, so the
+    * metrics neither saturate nor empty. */
+  private[graft] val EvalQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "merge", "window"), (2L, "hash", "join"),
+    (3L, "stream", "batch"), (4L, "sort", "key"),
+    (5L, "vector", "query"), (6L, "filter", "table"))
+
+  /** SEARCH QUALITY EVALUATION (`search_eval_prk`) — the offline
+    * ranking-eval job every retrieval stack runs before promoting a
+    * ranker: per query, Precision@10, Recall@10 and the reciprocal
+    * rank of the first relevant hit, judging the BAG-OF-WORDS BM25
+    * ranking ([[bm25Topk]]'s exact scoring formula, generalized to a
+    * query SET) against PHRASE relevance (document contains the query
+    * terms adjacent and in order — a stricter signal the lexical
+    * ranker can't see directly, which is what makes the eval
+    * non-vacuous: P@10 varies per query instead of pinning at 1).
+    *
+    * Exactness: scores follow the bm25 ULP discipline (per-(query,
+    * doc) sum of ≤ 2 part scores — two-operand IEEE addition is
+    * order-free — rounded to 6 before ranking; ranks tie-break on
+    * doc_id); relevance is exact substring containment; every metric
+    * is an integer or a SINGLE IEEE division of integers (correctly
+    * rounded, so bit-identical cross-engine) — no transcendental
+    * discounts (log2-DCG is deliberately avoided: transcendentals are
+    * not correctly-rounded and engine ULPs would diverge).
+    *
+    * Scale shape: the token explode prunes to the 12 query terms
+    * before its one (doc, term) partial-agg shuffle; query expansion
+    * and df are ≤ 12-row broadcast equi-joins; relevance joins text
+    * back on doc_id (equi). The per-query rank is a window over the
+    * scored pool — 6 corpus-sized partitions, the offline-eval shape
+    * (rr needs the full rank, not a top-k): at 100 TB the eval pool
+    * is a sampled judgment slice, not the corpus, exactly as here the
+    * pool is only docs matching ≥ 1 query term. */
+  def searchEvalPrk(s: SparkSession, d: String): DataFrame =
+    searchEvalOn(Tables.documents(s, d))
+
+  /** Core of [[searchEvalPrk]], parameterized for tests. */
+  private[graft] def searchEvalOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val head = docs
+      .select(size(tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
+    require(!head.isNullAt(1),
+      "searchEvalPrk: documents table is empty — corpus stats " +
+        "(N, avgdl) are undefined (missing/empty fixture?)")
+    val (nDocs, sumLen) = (head.getLong(0), head.getLong(1))
+    val q = EvalQueries.toDF("query_id", "t1", "t2")
+    val qt = EvalQueries.flatMap { case (id, a, b) =>
+      Seq((id, a), (id, b)) }.toDF("query_id", "term")
+    val allTerms = EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct
+    val tf = docs
+      .select(col("doc_id"), tokensNonEmpty(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("len"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("len") * nDocs).cast("double") / lit(sumLen.toDouble))
+    val scored = tf.join(broadcast(dfT), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("part_score",
+        idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("part_score")), 6).as("score"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val judged = scored
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("rel",
+        when(expr("instr(concat(' ', text, ' '), " +
+          "concat(' ', t1, ' ', t2, ' ')) > 0"), 1L).otherwise(0L))
+    judged.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rel") === 1L && col("rnk") <= 10L, 1L)
+          .otherwise(0L)).as("hits_at_10"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+      .select(col("query_id"), col("n_rel"), col("hits_at_10"),
+        (col("hits_at_10").cast("double") / lit(10.0)).as("p_at_10"),
+        when(col("n_rel") > 0L, col("hits_at_10").cast("double") /
+          col("n_rel").cast("double")).as("r_at_10"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------- unigram-LM tokenizer
 
   private val UniMaxDoc = 200L // same bounded training slice as BPE
@@ -1905,6 +2001,7 @@ object TextOps {
     "text_unigram_apply" -> unigramApply,
     "text_tokenizer_compare" -> tokenizerCompare,
     "search_bm25_topk" -> bm25Topk,
+    "search_eval_prk" -> searchEvalPrk,
     "text_zipf_fit" -> zipfFit,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
@@ -2218,6 +2315,56 @@ object TextOps {
          |  round(SUM(ps), 6) AS score
          |FROM sc GROUP BY doc_id, len
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the same BM25 chain generalized to the 6-query eval set, then
+    // phrase-containment relevance and the P/R/MRR metrics — every
+    // metric an integer or one IEEE division (bit-identical)
+    "search_eval_prk" -> {
+      val qVals = TextOps.EvalQueries.map { case (id, a, b) =>
+        s"($id, '$a', '$b')" }.mkString(", ")
+      val allTerms = TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3))
+        .distinct.map("'" + _ + "'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS nd,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS suml FROM base),
+         |q(query_id, t1, t2) AS (VALUES $qVals),
+         |qt AS (SELECT query_id, t1 AS term FROM q
+         |  UNION ALL SELECT query_id, t2 FROM q),
+         |tf AS (SELECT doc_id, len(toks) AS len, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
+         |  WHERE term IN ($allTerms)
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.query_id, t.doc_id, round(SUM(
+         |    ln((CAST((SELECT nd FROM n) AS DOUBLE) - df + 0.5) /
+         |        (df + 0.5) + 1.0) *
+         |      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
+         |        CAST(t.len * (SELECT nd FROM n) AS DOUBLE) /
+         |        CAST((SELECT suml FROM n) AS DOUBLE)))), 6) AS score
+         |  FROM tf t JOIN dfq USING (term) JOIN qt ON qt.term = t.term
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc),
+         |jg AS (SELECT r.query_id, r.rnk,
+         |    CASE WHEN position(' ' || qq.t1 || ' ' || qq.t2 || ' ' IN
+         |      ' ' || b.text || ' ') > 0 THEN 1 ELSE 0 END AS rel
+         |  FROM rk r JOIN base b USING (doc_id)
+         |  JOIN q qq ON qq.query_id = r.query_id),
+         |ag AS (SELECT query_id,
+         |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |    CAST(SUM(CASE WHEN rel = 1 AND rnk <= 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+         |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+         |  FROM jg GROUP BY query_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, n_rel, hits_at_10,
+         |  CAST(hits_at_10 AS DOUBLE) / 10.0 AS p_at_10,
+         |  CASE WHEN n_rel > 0 THEN CAST(hits_at_10 AS DOUBLE) /
+         |    CAST(n_rel AS DOUBLE) END AS r_at_10,
+         |  COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0) AS rr
+         |FROM ag ORDER BY query_id""".stripMargin
+    },
     // identical fixed-point moment chain: ln on the same exact
     // integers, the same 10^6 round, exact long sums, two identical
     // double divisions rounded 6

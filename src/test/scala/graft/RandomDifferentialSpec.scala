@@ -374,6 +374,65 @@ class RandomDifferentialSpec extends AnyFunSuite {
       s"diff: ${(expected.toSet -- got.toSet).take(3)} vs ${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("search eval P@10/R@10/MRR on random corpora == sequential reference") {
+    val rnd = new scala.util.Random(23)
+    val vocab = ops.TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3)) ++
+      Seq("alpha", "beta", "gamma", "delta")
+    val docs: Seq[(Long, String)] = (1L to 60L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // sequential reference: the exact bm25 arithmetic (ln + two-term
+    // sum + HALF_UP round 6), full rank, phrase relevance, metrics
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val nDocs = docs.size.toDouble
+    val sumLen = toks.values.map(_.size).sum.toDouble
+    val allTerms = vocab.take(12).toSet
+    val tf: Map[(Long, String), Int] = toks.toSeq.flatMap { case (id, ts) =>
+      ts.filter(allTerms).groupBy(identity).map { case (t, g) =>
+        (id, t) -> g.size } }.toMap
+    val df: Map[String, Int] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (t, ks) => t -> ks.size }
+    val expected = ops.TextOps.EvalQueries.map { case (qid, t1, t2) =>
+      val scored = docs.flatMap { case (id, _) =>
+        val parts = Seq(t1, t2).flatMap { t =>
+          tf.get((id, t)).map { f =>
+            val idf = math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val norm = 1.2 * (0.25 + 0.75 *
+              (toks(id).size.toLong * docs.size).toDouble / sumLen)
+            idf * (f * 2.2) / (f + norm)
+          }
+        }
+        if (parts.isEmpty) None
+        else Some(id -> BigDecimal(parts.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val ranked = scored.sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+      val rel = ranked.map { case (id, r) =>
+        (r, (" " + docs.find(_._1 == id).get._2 + " ")
+          .contains(s" $t1 $t2 ")) }
+      val nRel = rel.count(_._2).toLong
+      val hits = rel.count { case (r, v) => v && r <= 10L }.toLong
+      val firstRel = rel.filter(_._2).map(_._1).minOption
+      (qid, nRel, hits, hits.toDouble / 10.0,
+        if (nRel > 0) Some(hits.toDouble / nRel.toDouble) else None,
+        firstRel.map(1.0 / _.toDouble).getOrElse(0.0))
+    }
+    import spark.implicits._
+    val got = ops.TextOps.searchEvalOn(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5))).toSeq
+    assert(got == expected,
+      s"diff: ${expected.diff(got).take(2)} vs ${got.diff(expected).take(2)}")
+    // random-fixture non-vacuity: at least one query with a partial
+    // P@10 and at least one miss-at-top (rr < 1) must occur
+    assert(expected.exists(e => e._4 > 0.0 && e._4 < 1.0))
+  }
+
   test("auto semantic verdict on random bucket frames == brute force") {
     // independent of SRP: the banding frames are RANDOM assignments,
     // and the reference recomputes candidates / counts / max cosine

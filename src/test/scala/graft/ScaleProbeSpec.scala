@@ -81,7 +81,10 @@ class ScaleProbeSpec extends AnyFunSuite {
     // far below the fixed-geometry 0.4 gate's ~7×/step; VERDICT r13
     // #4), plus text_lm_score now that it serves the shared
     // lm_scored_docs artifact (the probed path is the read)
-    "dedup_semantic_append_auto", "text_lm_score")
+    "dedup_semantic_append_auto", "text_lm_score",
+    // the offline ranking-eval job: two linear corpus passes + 6
+    // bounded-query window ranks + the phrase-judgment text join
+    "search_eval_prk")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
