@@ -907,7 +907,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val builders = Seq("sim_nsw_topk", "sim_ivf_quantized",
       "dedup_semantic_lsh", "dedup_semantic_append_auto",
       "dedup_lsh_append", "text_lm_score", "mm_scene_cuts",
-      "mm_build_report", "corpus_build_report")
+      "mm_build_report", "corpus_build_report", "geo_dbscan")
     val dir = java.nio.file.Files
       .createTempDirectory("plan-cold-store").toString
     val captured = scala.collection.mutable.Buffer
