@@ -1437,21 +1437,38 @@ object TextOps {
     * is replaced by the inverted-index read (`layout_inverted_lookup`)
     * — the postings already carry (doc, tf, len). */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
-    val head = Tables.documents(s, d)
+    val spark = s
+    import spark.implicits._
+    bm25ScoredOn(Tables.documents(s, d),
+        Bm25Query.map((0L, _)).toDF("query_id", "term"), Bm25Query)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("len"), col("tf_total"), col("score"))
+  }
+
+  /** ONE definition of BM25 scoring over a query SET — `(query_id,
+    * doc_id, len, tf_total, score)` per (query, matching doc).
+    * [[bm25Topk]] is the 1-query instance; [[searchEvalOn]] judges
+    * the same scores it serves (review finding: the eval must score
+    * the ranker it claims to judge — a k1/b/idf tweak now changes
+    * both together, or neither). */
+  private def bm25ScoredOn(docs: DataFrame, queryTerms: DataFrame,
+      allTerms: Seq[String]): DataFrame = {
+    val head = docs
       .select(size(tokensNonEmpty(col("text"))).as("len"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
     require(!head.isNullAt(1),
-      s"bm25Topk: documents table under $d is empty — corpus stats " +
+      "bm25ScoredOn: documents table is empty — corpus stats " +
         "(N, avgdl) are undefined (missing/empty fixture?)")
     val (nDocs, sumLen) = (head.getLong(0), head.getLong(1))
-    val tf = Tables.documents(s, d)
+    val tf = docs
       // materialize the token array ONCE per row, then size/explode
       // reference the materialized column — the naive single-select
       // form splits the string twice per row
       .select(col("doc_id"), tokensNonEmpty(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("len"),
         explode(col("t")).as("term"))
-      .filter(col("term").isin(Bm25Query: _*))
+      .filter(col("term").isin(allTerms: _*))
       .groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1460,14 +1477,12 @@ object TextOps {
     val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
       (col("len") * nDocs).cast("double") / lit(sumLen.toDouble))
     tf.join(broadcast(dfT), Seq("term"))
+      .join(broadcast(queryTerms), Seq("term"))
       .withColumn("part_score",
         idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
-      .groupBy(col("doc_id"), col("len"))
+      .groupBy(col("query_id"), col("doc_id"), col("len"))
       .agg(round(sum(col("part_score")), 6).as("score"),
         sum(col("tf")).as("tf_total"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
-      .select(col("doc_id"), col("len"), col("tf_total"), col("score"))
   }
 
   /** The fixed evaluation query set for [[searchEvalPrk]]: 6 two-term
@@ -1513,52 +1528,40 @@ object TextOps {
   private[graft] def searchEvalOn(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val head = docs
-      .select(size(tokensNonEmpty(col("text"))).as("len"))
-      .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
-    require(!head.isNullAt(1),
-      "searchEvalPrk: documents table is empty — corpus stats " +
-        "(N, avgdl) are undefined (missing/empty fixture?)")
-    val (nDocs, sumLen) = (head.getLong(0), head.getLong(1))
     val q = EvalQueries.toDF("query_id", "t1", "t2")
     val qt = EvalQueries.flatMap { case (id, a, b) =>
       Seq((id, a), (id, b)) }.toDF("query_id", "term")
     val allTerms = EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct
-    val tf = docs
-      .select(col("doc_id"), tokensNonEmpty(col("text")).as("t"))
-      .select(col("doc_id"), size(col("t")).as("len"),
-        explode(col("t")).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("len"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5)) + lit(1.0))
-    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
-      (col("len") * nDocs).cast("double") / lit(sumLen.toDouble))
-    val scored = tf.join(broadcast(dfT), Seq("term"))
-      .join(broadcast(qt), Seq("term"))
-      .withColumn("part_score",
-        idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("part_score")), 6).as("score"))
+    val scored = bm25ScoredOn(docs, qt, allTerms)
+      .select(col("query_id"), col("doc_id"), col("score"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     val judged = scored
       .withColumn("rnk", row_number().over(wq).cast("long"))
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(q.select(col("query_id"), col("t1"), col("t2"))),
+        Seq("query_id"))
       .withColumn("rel",
         when(expr("instr(concat(' ', text, ' '), " +
           "concat(' ', t1, ' ', t2, ' ')) > 0"), 1L).otherwise(0L))
-    judged.groupBy(col("query_id"))
+    val agg = judged.groupBy(col("query_id"))
       .agg(sum(col("rel")).as("n_rel"),
         sum(when(col("rel") === 1L && col("rnk") <= 10L, 1L)
           .otherwise(0L)).as("hits_at_10"),
         min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
-      .select(col("query_id"), col("n_rel"), col("hits_at_10"),
-        (col("hits_at_10").cast("double") / lit(10.0)).as("p_at_10"),
+    // EVERY query reports — a query whose terms match zero documents
+    // is a zeroed-metrics row ("the ranker found nothing"), never a
+    // silently omitted one ("not evaluated"); review finding. Phrase
+    // relevance implies term membership, so zeroed candidates also
+    // mean zero relevant.
+    q.select(col("query_id"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+        (coalesce(col("hits_at_10"), lit(0L)).cast("double") /
+          lit(10.0)).as("p_at_10"),
         when(col("n_rel") > 0L, col("hits_at_10").cast("double") /
           col("n_rel").cast("double")).as("r_at_10"),
         coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
@@ -2034,6 +2037,44 @@ object TextOps {
     staticOracles ++ bpeGeneratedOracle ++ bpeApplyGeneratedOracle ++
       tokenizerCompareGeneratedOracle
 
+  /** ONE DuckDB definition of BM25 scoring over a query set — the
+    * oracle twin of [[bm25ScoredOn]] (review finding: the bm25 and
+    * search-eval oracles duplicated the chain verbatim). `qtSql`
+    * supplies the `qt(query_id, term)` CTE (plus any extra CTEs it
+    * needs, e.g. the eval's `q`); the chain ends at
+    * `sc(query_id, doc_id, len, tf_total, score)`. */
+  private def bm25ScoredCtesSql(qtSql: String,
+      terms: Seq[String]): String =
+    s"""base AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |n AS (SELECT COUNT(*) AS nd,
+       |    CAST(SUM(len(toks)) AS BIGINT) AS suml FROM base),
+       |$qtSql,
+       |tf AS (SELECT doc_id, len(toks) AS len, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
+       |  WHERE term IN (${terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT qt.query_id, t.doc_id, t.len,
+       |    CAST(SUM(t.tf) AS BIGINT) AS tf_total,
+       |    round(SUM(
+       |      ln((CAST((SELECT nd FROM n) AS DOUBLE) - df + 0.5) /
+       |          (df + 0.5) + 1.0) *
+       |        (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
+       |          CAST(t.len * (SELECT nd FROM n) AS DOUBLE) /
+       |          CAST((SELECT suml FROM n) AS DOUBLE)))), 6) AS score
+       |  FROM tf t JOIN dfq USING (term) JOIN qt ON qt.term = t.term
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  private def bm25TopkOracleSql: String =
+    s"""WITH ${bm25ScoredCtesSql(
+        s"qt(query_id, term) AS (VALUES ${Bm25Query.map(t =>
+          s"(0, '$t')").mkString(", ")})",
+        Bm25Query)}
+       |SELECT doc_id, CAST(len AS INT) AS len, tf_total, score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Full DuckDB replay of the [[corpusBuildReport]] composition in
     * one statement: the clean funnel, the paragraph window, the
     * min-shingle-blocked capped near-dup join, the probe-shingle
@@ -2292,58 +2333,20 @@ object TextOps {
     // the identical scoring tree on the same exact integers; the
     // two-addend per-doc sum is order-free (IEEE addition is
     // commutative), so no pre-round is needed at |query| = 2
-    "search_bm25_topk" ->
-      s"""WITH base AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |n AS (SELECT COUNT(*) AS nd,
-         |    CAST(SUM(len(toks)) AS BIGINT) AS suml FROM base),
-         |tf AS (SELECT doc_id, len(toks) AS len, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
-         |  WHERE term IN (${Bm25Query.map("'" + _ + "'").mkString(", ")})
-         |  GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT t.doc_id, t.len, t.tf,
-         |    ln((CAST((SELECT nd FROM n) AS DOUBLE) - df + 0.5) /
-         |        (df + 0.5) + 1.0) *
-         |      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
-         |        CAST(t.len * (SELECT nd FROM n) AS DOUBLE) /
-         |        CAST((SELECT suml FROM n) AS DOUBLE))) AS ps
-         |  FROM tf t JOIN dfq USING (term))
-         |SELECT doc_id, CAST(len AS INT) AS len,
-         |  CAST(SUM(tf) AS BIGINT) AS tf_total,
-         |  round(SUM(ps), 6) AS score
-         |FROM sc GROUP BY doc_id, len
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    // the same BM25 chain generalized to the 6-query eval set, then
+    "search_bm25_topk" -> bm25TopkOracleSql,
+    // the same BM25 chain (ONE shared CTE builder with the bm25
+    // oracle) generalized to the 6-query eval set, then
     // phrase-containment relevance and the P/R/MRR metrics — every
-    // metric an integer or one IEEE division (bit-identical)
+    // metric an integer or one IEEE division (bit-identical); the
+    // final LEFT JOIN reports zero-match queries as zeroed rows
     "search_eval_prk" -> {
       val qVals = TextOps.EvalQueries.map { case (id, a, b) =>
         s"($id, '$a', '$b')" }.mkString(", ")
-      val allTerms = TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3))
-        .distinct.map("'" + _ + "'").mkString(", ")
-      s"""WITH base AS (SELECT doc_id, text,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |n AS (SELECT COUNT(*) AS nd,
-         |    CAST(SUM(len(toks)) AS BIGINT) AS suml FROM base),
-         |q(query_id, t1, t2) AS (VALUES $qVals),
-         |qt AS (SELECT query_id, t1 AS term FROM q
-         |  UNION ALL SELECT query_id, t2 FROM q),
-         |tf AS (SELECT doc_id, len(toks) AS len, term, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM base)
-         |  WHERE term IN ($allTerms)
-         |  GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT qt.query_id, t.doc_id, round(SUM(
-         |    ln((CAST((SELECT nd FROM n) AS DOUBLE) - df + 0.5) /
-         |        (df + 0.5) + 1.0) *
-         |      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
-         |        CAST(t.len * (SELECT nd FROM n) AS DOUBLE) /
-         |        CAST((SELECT suml FROM n) AS DOUBLE)))), 6) AS score
-         |  FROM tf t JOIN dfq USING (term) JOIN qt ON qt.term = t.term
-         |  GROUP BY 1, 2),
+      s"""WITH ${bm25ScoredCtesSql(
+          s"""q(query_id, t1, t2) AS (VALUES $qVals),
+             |qt AS (SELECT query_id, t1 AS term FROM q
+             |  UNION ALL SELECT query_id, t2 FROM q)""".stripMargin,
+          TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct)},
          |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
          |  FROM sc),
@@ -2358,12 +2361,15 @@ object TextOps {
          |      THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
          |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
          |  FROM jg GROUP BY query_id)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, n_rel, hits_at_10,
-         |  CAST(hits_at_10 AS DOUBLE) / 10.0 AS p_at_10,
-         |  CASE WHEN n_rel > 0 THEN CAST(hits_at_10 AS DOUBLE) /
-         |    CAST(n_rel AS DOUBLE) END AS r_at_10,
-         |  COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0) AS rr
-         |FROM ag ORDER BY query_id""".stripMargin
+         |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+         |  COALESCE(ag.n_rel, 0) AS n_rel,
+         |  COALESCE(ag.hits_at_10, 0) AS hits_at_10,
+         |  CAST(COALESCE(ag.hits_at_10, 0) AS DOUBLE) / 10.0 AS p_at_10,
+         |  CASE WHEN ag.n_rel > 0 THEN CAST(ag.hits_at_10 AS DOUBLE) /
+         |    CAST(ag.n_rel AS DOUBLE) END AS r_at_10,
+         |  COALESCE(1.0 / CAST(ag.first_rel AS DOUBLE), 0.0) AS rr
+         |FROM q LEFT JOIN ag ON ag.query_id = q.query_id
+         |ORDER BY query_id""".stripMargin
     },
     // identical fixed-point moment chain: ln on the same exact
     // integers, the same 10^6 round, exact long sums, two identical

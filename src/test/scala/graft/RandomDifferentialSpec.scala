@@ -429,8 +429,13 @@ class RandomDifferentialSpec extends AnyFunSuite {
     assert(got == expected,
       s"diff: ${expected.diff(got).take(2)} vs ${got.diff(expected).take(2)}")
     // random-fixture non-vacuity: at least one query with a partial
-    // P@10 and at least one miss-at-top (rr < 1) must occur
+    // P@10 and at least one miss-at-top (0 < rr < 1) must occur —
+    // BOTH are asserted (review finding: the rr arm was promised in
+    // this comment but never checked, so an all-rr=1 fixture would
+    // grade a constant)
     assert(expected.exists(e => e._4 > 0.0 && e._4 < 1.0))
+    assert(expected.exists(e => e._6 > 0.0 && e._6 < 1.0),
+      "no query misses at the top — the MRR arm grades a constant")
   }
 
   test("auto semantic verdict on random bucket frames == brute force") {
