@@ -13,18 +13,23 @@ import json
 import re
 import sys
 
-NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus", "failed"}
+NON_QUERY_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus",
+                  "failed", "gc_share", "cpu_vs_wall"}
 
 # full parsed records by path, when the input carried the complete
 # bench_out.json line (reps + exec_metrics available for attribution)
 LOADED = {}
 
 
-def attribution(rec, q):
+def attribution(rec, q, old_rec=None):
     """One-line root-cause summary for a flagged query from the r14
     self-attributing record: raw rep times, then per-rep GC share,
-    spill, and shuffle bytes (stable bytes across reps/rounds = same
-    plan → wall delta is session state, not a plan regression)."""
+    cpu-vs-wall, spill, and shuffle bytes (stable bytes across
+    reps/rounds = same plan → wall delta is session state, not a plan
+    regression; flat cpu_ms under a grown run_ms = co-tenant steal).
+    When the OLD record is also full (r15+: BENCH_FULL_r{N}.json), the
+    prior round's steady-state shuffle bytes are printed alongside, so
+    cross-round plan identity is read off one line."""
     reps = rec.get("reps", {}).get(q)
     ms = rec.get("exec_metrics", {}).get(q)
     if not reps or not ms:
@@ -33,13 +38,35 @@ def attribution(rec, q):
     for i, m in enumerate(ms):
         run = max(m.get("run_ms", 0), 1)
         gc = m.get("gc_ms", 0)
+        cpu = m.get("cpu_ms")
         spill = m.get("spill_mem_bytes", 0) + m.get("spill_disk_bytes", 0)
         shuf = m.get("shuffle_write_bytes", 0)
         parts.append(
             f"r{i + 1}: gc {100.0 * gc / run:.0f}% of {run}ms"
+            + (f", cpu/wall {cpu / run:.2f}" if cpu is not None else "")
             + (f", spill {spill >> 20}MiB" if spill else "")
             + f", shuffle {shuf}B")
+    old_ms = (old_rec or {}).get("exec_metrics", {}).get(q)
+    if old_ms:
+        # steady-state rep (last one): rep 1 may carry cold builds
+        parts.append(f"prev-round shuffle {old_ms[-1].get('shuffle_write_bytes', 0)}B")
     return "; ".join(parts)
+
+
+def session_line(tag, rec):
+    """The suite-level health scalar (r15): classifies the whole
+    window — gc_share ≫ 0.05 = memory pressure, cpu_vs_wall ≪ 0.9 on
+    a dedicated box = tasks waited (co-tenant steal), spill ≠ 0 =
+    starvation. Printed FIRST so a loaded window is read before any
+    per-query delta is believed."""
+    s = rec.get("session")
+    if not s:
+        return None
+    return (f"session[{tag}]: gc_share={s.get('gc_share', 0):.3f} "
+            f"cpu_vs_wall={s.get('cpu_vs_wall', 0):.3f} "
+            f"spill={s.get('spill_total_bytes', 0) >> 20}MiB "
+            f"sched_delay={s.get('sched_delay_ms', 0)}ms "
+            f"run_total={s.get('run_ms_total', 0)}ms")
 
 
 def load(path):
@@ -52,6 +79,19 @@ def load(path):
     Since r14 the full record also carries `reps` (raw per-rep wall
     times) and `exec_metrics` (per-rep executor-metric deltas), kept
     in LOADED[path] for the attribution printout."""
+    # Prefer the full archived record when one exists (VERDICT r14 #1):
+    # BENCH_r{N}.json is a 2000-char truncated tail, but round close
+    # archives the complete bench_out.json as BENCH_FULL_r{N}.json —
+    # comparing full-vs-full gives every shared query per-rep,
+    # per-metric attribution instead of the ~50-query tail subset.
+    orig = path
+    m = re.fullmatch(r"(.*)BENCH_(r\d+\.json)", path)
+    if m:
+        import os
+        full = f"{m.group(1)}BENCH_FULL_{m.group(2)}"
+        if os.path.exists(full):
+            print(f"(using full record {full} for {path})")
+            path = full
     txt = open(path).read().strip()
     try:
         d = json.loads(txt)
@@ -63,7 +103,7 @@ def load(path):
             qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
             return qs, sum(qs.values()), {}  # partial total: visible tail only
         if isinstance(d, dict) and "queries" in d:
-            LOADED[path] = d
+            LOADED[orig] = d  # keyed by the CALLER's path, pre-redirect
             return d["queries"], d["value"], d.get("estimators", {})
     except json.JSONDecodeError:
         pass
@@ -122,6 +162,11 @@ def main():
 
     shared_old = sum(old[q] for q in shared)
     shared_new = sum(new[q] for q in shared)
+    # session health FIRST: a loaded window discounts every delta below
+    for tag, p in (("old", old_path), ("new", new_path)):
+        line = session_line(tag, LOADED.get(p, {}))
+        if line:
+            print(line)
     print(f"totals: {old_total:.1f}s/{len(old)}q -> "
           f"{new_total:.1f}s/{len(new)}q "
           f"(shared {len(shared)}q: {shared_old:.1f}s -> {shared_new:.1f}s)")
@@ -132,9 +177,10 @@ def main():
     for q, a, b in sorted(improvements, key=lambda t: t[1] - t[2]):
         print(f"  faster  {q:32s} {a:6.2f} -> {b:6.2f}")
     new_rec = LOADED.get(new_path, {})
+    old_rec = LOADED.get(old_path, {})
     for q, a, b in sorted(regressions, key=lambda t: t[1] - t[2]):
         print(f"  SLOWER  {q:32s} {a:6.2f} -> {b:6.2f}")
-        attr = attribution(new_rec, q)
+        attr = attribution(new_rec, q, old_rec)
         if attr:
             print(f"          {attr}")
     for q, a, b in flips:

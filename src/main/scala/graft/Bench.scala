@@ -135,8 +135,21 @@ object Bench {
     val valid = results.values.collect { case (v, e, _, _) if e != "error" => v }
     val total = valid.sum
     val failed = results.values.count(_._2 == "error")
+    // Suite-level session-health scalar (VERDICT r14 #2): classify the
+    // whole measurement window in one line instead of per-query
+    // reading. gc_share = ΣjvmGCTime/ΣexecutorRunTime (memory
+    // pressure), cpu_vs_wall = ΣexecutorCpuTime/ΣexecutorRunTime (a
+    // LOW ratio on a dedicated box means tasks waited — co-tenant
+    // steal / scheduler inflation), spill_total = bytes spilled
+    // anywhere in the suite. Sums run over every rep of every query.
+    val allReps = results.values.flatMap(_._4)
+    def msum(k: String): Long =
+      allReps.map(_.collectFirst { case (`k`, v) => v }.getOrElse(0L)).sum
+    val sumRun = math.max(msum("run_ms"), 1L)
+    val session =
+      s"""{"gc_share":${fmt(msum("gc_ms").toDouble / sumRun)},"cpu_vs_wall":${fmt(msum("cpu_ms").toDouble / sumRun)},"sched_delay_ms":${msum("sched_delay_ms")},"spill_total_bytes":${msum("spill_mem_bytes") + msum("spill_disk_bytes")},"run_ms_total":$sumRun}"""
     val line =
-      s"""{"estimators":$est,"reps":$repsJson,"exec_metrics":$metricsJson,"queries":$qs,"metric":"total","value":$total,"failed":$failed,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"session":$session,"estimators":$est,"reps":$repsJson,"exec_metrics":$metricsJson,"queries":$qs,"metric":"total","value":$total,"failed":$failed,"unit":"sec","sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(outPath,
@@ -155,8 +168,11 @@ object Bench {
     val bySlowest = results.toSeq
       .filter(_._2._2 != "error").sortBy(-_._2._1)
       .map { case (k, (v, _, _, _)) => k -> v }
+    // the session-health scalar rides in the tail headline too (~110
+    // chars): the driver's truncated capture then still classifies
+    // the window (loaded vs clean) without the full record
     val headlineFixed =
-      s""","metric":"total","value":${fmt(total)},"failed":$failed,"n_queries":${results.size},"complete_record":"bench_out.json","unit":"sec","sf":"$sfDir"}"""
+      s""","session":$session,"metric":"total","value":${fmt(total)},"failed":$failed,"n_queries":${results.size},"complete_record":"bench_out.json","unit":"sec","sf":"$sfDir"}"""
     val picked = Seq.newBuilder[(String, Double)]
     var used = """{"slowest_queries":{}""".length + headlineFixed.length
     var omitted = 0

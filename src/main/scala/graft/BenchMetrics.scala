@@ -34,6 +34,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 final class BenchMetrics(sc: SparkContext) {
   private val gcMs = new AtomicLong
   private val runMs = new AtomicLong
+  private val cpuMs = new AtomicLong
+  private val schedDelayMs = new AtomicLong
   private val shufWrite = new AtomicLong
   private val shufRead = new AtomicLong
   private val spillMem = new AtomicLong
@@ -47,6 +49,20 @@ final class BenchMetrics(sc: SparkContext) {
       if (m != null) {
         gcMs.addAndGet(m.jvmGCTime)
         runMs.addAndGet(m.executorRunTime)
+        // cpu_ms closes the r14 watch-pair ambiguity (VERDICT r14 #2):
+        // run_ms is task WALL on the executor — under co-tenant steal
+        // it inflates while the task's actual CPU time stays flat.
+        // executorCpuTime is nanoseconds; accumulate in ms.
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        // scheduler delay is not a TaskMetrics field; it is what the
+        // Spark UI derives per task: total duration minus the phases
+        // the executor accounts for. Clamped at 0 — clock-grain skew
+        // can make the subtraction marginally negative.
+        if (e.taskInfo != null) {
+          val delay = e.taskInfo.duration - m.executorRunTime -
+            m.executorDeserializeTime - m.resultSerializationTime
+          schedDelayMs.addAndGet(math.max(delay, 0L))
+        }
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         spillMem.addAndGet(m.memoryBytesSpilled)
@@ -59,12 +75,13 @@ final class BenchMetrics(sc: SparkContext) {
   sc.addSparkListener(listener)
 
   /** Cumulative sums in field order (peak handled separately). */
-  private def sums: Seq[Long] = Seq(gcMs.get, runMs.get, shufWrite.get,
-    shufRead.get, spillMem.get, spillDisk.get, inputBytes.get)
+  private def sums: Seq[Long] = Seq(gcMs.get, runMs.get, cpuMs.get,
+    schedDelayMs.get, shufWrite.get, shufRead.get, spillMem.get,
+    spillDisk.get, inputBytes.get)
 
-  private val names = Seq("gc_ms", "run_ms", "shuffle_write_bytes",
-    "shuffle_read_bytes", "spill_mem_bytes", "spill_disk_bytes",
-    "input_bytes")
+  private val names = Seq("gc_ms", "run_ms", "cpu_ms", "sched_delay_ms",
+    "shuffle_write_bytes", "shuffle_read_bytes", "spill_mem_bytes",
+    "spill_disk_bytes", "input_bytes")
 
   /** Start a query window: drain the bus so the previous query's tail
     * doesn't leak in, reset the in-window peak, snapshot the sums. */
