@@ -1324,10 +1324,15 @@ object Analytics {
         |    SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS c2
         |  FROM v GROUP BY v),
         |run AS (SELECT v,
-        |    SUM(c1) OVER (ORDER BY v) AS r1,
-        |    SUM(c2) OVER (ORDER BY v) AS r2 FROM perv),
+        |    CAST(SUM(c1) OVER (ORDER BY v) AS HUGEINT) AS r1,
+        |    CAST(SUM(c2) OVER (ORDER BY v) AS HUGEINT) AS r2 FROM perv),
         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
         |    CAST(SUM(c2) AS BIGINT) AS n2 FROM perv),
+        |-- r1/r2 carried in HUGEINT (ADVICE r14): the engine side
+        |-- widened the cross-multiplied numerator to DECIMAL(38,0);
+        |-- a BIGINT product here would RAISE at the cardinality that
+        |-- widening targets — both sides now stay exact in the same
+        |-- regime, with the BIGINT cast only on the final d_num
         |top AS (SELECT v, CAST(abs(r1 * n2 - r2 * n1) AS BIGINT) AS dn,
         |    n1, n2
         |  FROM run CROSS JOIN tot

@@ -54,8 +54,12 @@ object MultimodalOps {
           // freshly-encoded PNGs always decode; a null here is a codec
           // bug and must fail the build loudly, not publish NULL rows
           require(m != null, s"ingest decode failed for media $id")
-          (id, png, m.width, m.height,
-            graft.functions.ImageCodec.dhashBoxed(png).longValue())
+          // dhashBoxed runs its OWN decode and returns null on codec
+          // failure — guard it like the decode above (ADVICE r14), or
+          // a fault surfaces as an opaque task NPE on longValue()
+          val hash = graft.functions.ImageCodec.dhashBoxed(png)
+          require(hash != null, s"ingest dhash failed for media $id")
+          (id, png, m.width, m.height, hash.longValue())
         })
         .toDF("media_id", "blob", "width", "height", "dhash")
     }

@@ -908,6 +908,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "dedup_semantic_lsh", "dedup_semantic_append_auto",
       "dedup_lsh_append", "text_lm_score", "mm_scene_cuts",
       "mm_build_report", "corpus_build_report", "geo_dbscan")
+    // ArtifactStore.root PREFERS the env var over the sys-prop hook
+    // (ADVICE r14): with SPARK_GRAFT_ARTIFACTS_DIR set the isolated
+    // dir below would be silently ignored, the store would stay warm,
+    // and this test would fail its non-vacuity assert with a message
+    // that doesn't name the cause — fail fast instead.
+    assume(sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR").isEmpty,
+      "SPARK_GRAFT_ARTIFACTS_DIR is set and shadows the " +
+        "graft.artifacts.dir isolation hook — unset it to run the " +
+        "cold-store sweep")
     val dir = java.nio.file.Files
       .createTempDirectory("plan-cold-store").toString
     val captured = scala.collection.mutable.Buffer
@@ -938,9 +947,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     } finally {
       spark.listenerManager.unregister(listener)
       sys.props.remove("graft.artifacts.dir")
+      // the cold builds can materialize hundreds of MB of artifacts —
+      // delete the temp store, best-effort (ADVICE r14)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
     }
     assert(ArtifactStore.builds > before,
-      "cold store triggered no artifact builds — the sweep is vacuous")
+      "cold store triggered no artifact builds — the sweep is vacuous " +
+        "(note: SPARK_GRAFT_ARTIFACTS_DIR would shadow the isolation " +
+        "hook; the assume above should have caught that)")
     val plans = captured.synchronized { captured.toList }
       .filterNot(_._1 == "<pre>")
     val pairOffenders = plans.collect {
