@@ -2261,7 +2261,9 @@ object SimilarityOps {
     "sim_nsw_compact" -> nswCompact, // oracle: survivor build + walk
   )
 
-  private val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
+  // private[ops]: TextOps's search_eval_hybrid oracle scores the same
+  // round-6 cosine arm — ONE definition of the idiom (r15)
+  private[ops] val cos = "round(list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[])), 6)"
 
   /** Shortest round-trip decimal for a double (Java `Double.toString`):
     * DuckDB parses it back to the bit-identical IEEE value, so spliced

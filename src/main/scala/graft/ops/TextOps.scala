@@ -1569,6 +1569,114 @@ object TextOps {
       .orderBy(col("query_id"))
   }
 
+  private val HybridEvalK = 60 // RRF constant (the search_hybrid_rrf value)
+
+  /** HYBRID-RANKER EVALUATION (`search_eval_hybrid`, VERDICT r14 #4)
+    * — the same judgment harness as [[searchEvalPrk]] run over TWO
+    * rankers side by side: the BM25 lexical ranking ([[bm25ScoredOn]],
+    * the IDENTICAL scores `search_bm25_topk`/`search_eval_prk` serve)
+    * and its RRF fusion with a vector arm (round-6 cosine to the
+    * query's embedding — vec_id = query_id, the fixture alignment
+    * `search_hybrid_rrf` established with its vec_id = 0 query;
+    * score Σ 1/(k + rank), k = 60). Emits per query P@10 / R@10 / RR
+    * for BOTH rankers in one row — the before/after table a ranker
+    * promotion decision reads, and what makes a fusion-weight or
+    * k1/b change regression-visible instead of ungraded.
+    *
+    * Exactness: BM25 follows the established ULP discipline; the
+    * cosine is the round-6 [[graft.functions.Vectors]] arm (double
+    * math agreeing cross-engine to ~1e-15 before the round); ranks
+    * are ints from fully tie-broken orderings (desc, doc_id) and the
+    * RRF score is a sum of two exact int-ratio doubles rounded 9 (the
+    * `search_hybrid_rrf` discipline) — so every metric is an integer
+    * or one IEEE division of integers.
+    *
+    * Scale shape: the judged pool is the term-matching docs (the
+    * offline-eval slice, as [[searchEvalPrk]] documents); the vector
+    * arm joins embeddings on doc_id (equi) and the 6 query embeddings
+    * broadcast; the three rank windows are per-query over the pool —
+    * the eval shape, not a serving path (serving stays
+    * `search_hybrid_rrf`'s TakeOrdered top-k). Docs without an
+    * embedding row keep the pool invariant via a left join and rank
+    * NULLS LAST on the cosine. */
+  def searchEvalHybrid(s: SparkSession, d: String): DataFrame =
+    searchEvalHybridOn(Tables.documents(s, d), Tables.embeddings(s, d))
+
+  /** Core of [[searchEvalHybrid]], parameterized for tests. */
+  private[graft] def searchEvalHybridOn(docs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = EvalQueries.toDF("query_id", "t1", "t2")
+    val qt = EvalQueries.flatMap { case (id, a, b) =>
+      Seq((id, a), (id, b)) }.toDF("query_id", "term")
+    val allTerms = EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct
+    val scored = bm25ScoredOn(docs, qt, allTerms)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val qe = emb
+      .filter(col("vec_id").isin(EvalQueries.map(_._1): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        graft.functions.Vectors.normCol(col("embedding")).as("qn"))
+    val sem = scored
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("ve"),
+        graft.functions.Vectors.normCol(col("embedding")).as("vn")),
+        Seq("doc_id"), "left")
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("score"),
+        graft.functions.Vectors.cosine6WithNorms(col("qe"), col("qn"),
+          col("ve"), col("vn")).as("cosine"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("doc_id"))
+    val ranked = sem
+      .withColumn("bm25_rnk", row_number().over(wB).cast("long"))
+      .withColumn("sem_rnk", row_number().over(wS).cast("long"))
+      .withColumn("rrf_score", round(
+        lit(1.0) / (lit(HybridEvalK) + col("bm25_rnk")) +
+          lit(1.0) / (lit(HybridEvalK) + col("sem_rnk")), 9))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    val judged = ranked
+      .withColumn("rrf_rnk", row_number().over(wR).cast("long"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(broadcast(q.select(col("query_id"), col("t1"), col("t2"))),
+        Seq("query_id"))
+      .withColumn("rel",
+        when(expr("instr(concat(' ', text, ' '), " +
+          "concat(' ', t1, ' ', t2, ' ')) > 0"), 1L).otherwise(0L))
+    val agg = judged.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rel") === 1L && col("bm25_rnk") <= 10L, 1L)
+          .otherwise(0L)).as("bm25_hits10"),
+        min(when(col("rel") === 1L, col("bm25_rnk"))).as("bm25_first"),
+        sum(when(col("rel") === 1L && col("rrf_rnk") <= 10L, 1L)
+          .otherwise(0L)).as("rrf_hits10"),
+        min(when(col("rel") === 1L, col("rrf_rnk"))).as("rrf_first"))
+    // zero-match queries report zeroed rows, never silent omissions
+    // (the searchEvalOn rule)
+    q.select(col("query_id")).join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        (coalesce(col("bm25_hits10"), lit(0L)).cast("double") /
+          lit(10.0)).as("bm25_p10"),
+        when(col("n_rel") > 0L, col("bm25_hits10").cast("double") /
+          col("n_rel").cast("double")).as("bm25_r10"),
+        coalesce(lit(1.0) / col("bm25_first").cast("double"), lit(0.0))
+          .as("bm25_rr"),
+        (coalesce(col("rrf_hits10"), lit(0L)).cast("double") /
+          lit(10.0)).as("rrf_p10"),
+        when(col("n_rel") > 0L, col("rrf_hits10").cast("double") /
+          col("n_rel").cast("double")).as("rrf_r10"),
+        coalesce(lit(1.0) / col("rrf_first").cast("double"), lit(0.0))
+          .as("rrf_rr"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------- unigram-LM tokenizer
 
   private val UniMaxDoc = 200L // same bounded training slice as BPE
@@ -2005,6 +2113,7 @@ object TextOps {
     "text_tokenizer_compare" -> tokenizerCompare,
     "search_bm25_topk" -> bm25Topk,
     "search_eval_prk" -> searchEvalPrk,
+    "search_eval_hybrid" -> searchEvalHybrid,
     "text_zipf_fit" -> zipfFit,
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
@@ -2368,6 +2477,64 @@ object TextOps {
          |  CASE WHEN ag.n_rel > 0 THEN CAST(ag.hits_at_10 AS DOUBLE) /
          |    CAST(ag.n_rel AS DOUBLE) END AS r_at_10,
          |  COALESCE(1.0 / CAST(ag.first_rel AS DOUBLE), 0.0) AS rr
+         |FROM q LEFT JOIN ag ON ag.query_id = q.query_id
+         |ORDER BY query_id""".stripMargin
+    },
+    // the SAME shared BM25 CTE head, then the vector arm (the round-6
+    // cosine idiom shared with the sim_* oracles), the three rank
+    // windows with identical tie-breaks, the RRF fuse rounded 9, and
+    // the searchEvalPrk metric tail for BOTH rankers
+    "search_eval_hybrid" -> {
+      val qVals = TextOps.EvalQueries.map { case (id, a, b) =>
+        s"($id, '$a', '$b')" }.mkString(", ")
+      s"""WITH ${bm25ScoredCtesSql(
+          s"""q(query_id, t1, t2) AS (VALUES $qVals),
+             |qt AS (SELECT query_id, t1 AS term FROM q
+             |  UNION ALL SELECT query_id, t2 FROM q)""".stripMargin,
+          TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct)},
+         |sem AS (SELECT s.query_id, s.doc_id, s.score,
+         |    ${SimilarityOps.cos.format("v.embedding", "qv.embedding")}
+         |      AS cosine
+         |  FROM sc s
+         |  LEFT JOIN embeddings v ON v.vec_id = s.doc_id
+         |  JOIN embeddings qv ON qv.vec_id = s.query_id),
+         |rk AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS bm25_rnk,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC NULLS LAST, doc_id) AS sem_rnk
+         |  FROM sem),
+         |rr AS (SELECT query_id, doc_id, bm25_rnk,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      round(CAST(1 AS DOUBLE) / ($HybridEvalK + bm25_rnk)
+         |        + CAST(1 AS DOUBLE) / ($HybridEvalK + sem_rnk), 9)
+         |        DESC, doc_id) AS rrf_rnk
+         |  FROM rk),
+         |jg AS (SELECT r.query_id, r.bm25_rnk, r.rrf_rnk,
+         |    CASE WHEN position(' ' || qq.t1 || ' ' || qq.t2 || ' ' IN
+         |      ' ' || b.text || ' ') > 0 THEN 1 ELSE 0 END AS rel
+         |  FROM rr r JOIN base b USING (doc_id)
+         |  JOIN q qq ON qq.query_id = r.query_id),
+         |ag AS (SELECT query_id,
+         |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |    CAST(SUM(CASE WHEN rel = 1 AND bm25_rnk <= 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS bm25_hits10,
+         |    MIN(CASE WHEN rel = 1 THEN bm25_rnk END) AS bm25_first,
+         |    CAST(SUM(CASE WHEN rel = 1 AND rrf_rnk <= 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS rrf_hits10,
+         |    MIN(CASE WHEN rel = 1 THEN rrf_rnk END) AS rrf_first
+         |  FROM jg GROUP BY query_id)
+         |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+         |  COALESCE(ag.n_rel, 0) AS n_rel,
+         |  CAST(COALESCE(ag.bm25_hits10, 0) AS DOUBLE) / 10.0
+         |    AS bm25_p10,
+         |  CASE WHEN ag.n_rel > 0 THEN CAST(ag.bm25_hits10 AS DOUBLE) /
+         |    CAST(ag.n_rel AS DOUBLE) END AS bm25_r10,
+         |  COALESCE(1.0 / CAST(ag.bm25_first AS DOUBLE), 0.0) AS bm25_rr,
+         |  CAST(COALESCE(ag.rrf_hits10, 0) AS DOUBLE) / 10.0 AS rrf_p10,
+         |  CASE WHEN ag.n_rel > 0 THEN CAST(ag.rrf_hits10 AS DOUBLE) /
+         |    CAST(ag.n_rel AS DOUBLE) END AS rrf_r10,
+         |  COALESCE(1.0 / CAST(ag.rrf_first AS DOUBLE), 0.0) AS rrf_rr
          |FROM q LEFT JOIN ag ON ag.query_id = q.query_id
          |ORDER BY query_id""".stripMargin
     },

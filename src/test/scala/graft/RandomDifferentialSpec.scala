@@ -438,6 +438,96 @@ class RandomDifferentialSpec extends AnyFunSuite {
       "no query misses at the top — the MRR arm grades a constant")
   }
 
+  test("hybrid search eval on random corpora+embeddings == sequential reference") {
+    // grades searchEvalHybridOn end to end: the shared BM25 chain,
+    // the per-query cosine arm (incl. the missing-embedding NULLS
+    // LAST path — doc 7 has no vector), the three tie-broken rank
+    // windows, the round-9 RRF fuse, and both metric tails
+    val rnd = new scala.util.Random(29)
+    val vocab = ops.TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3)) ++
+      Seq("alpha", "beta", "gamma", "delta")
+    val docs: Seq[(Long, String)] = (1L to 60L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(25))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val vecs: Map[Long, Array[Float]] = docs.map { case (id, _) =>
+      val v = Array.fill(6)((rnd.nextInt(19) - 9).toFloat)
+      v(rnd.nextInt(6)) = (rnd.nextInt(9) + 1).toFloat // never 0-vector
+      id -> v
+    }.toMap - 7L // one pool doc WITHOUT an embedding
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // sequential reference
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val nDocs = docs.size.toDouble
+    val sumLen = toks.values.map(_.size).sum.toDouble
+    val allTerms = vocab.take(12).toSet
+    val tf: Map[(Long, String), Int] = toks.toSeq.flatMap { case (id, ts) =>
+      ts.filter(allTerms).groupBy(identity).map { case (t, g) =>
+        (id, t) -> g.size } }.toMap
+    val df: Map[String, Int] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (t, ks) => t -> ks.size }
+    val expected = ops.TextOps.EvalQueries.map { case (qid, t1, t2) =>
+      val scored = docs.flatMap { case (id, _) =>
+        val parts = Seq(t1, t2).flatMap { t =>
+          tf.get((id, t)).map { f =>
+            val idf = math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val norm = 1.2 * (0.25 + 0.75 *
+              (toks(id).size.toLong * docs.size).toDouble / sumLen)
+            idf * (f * 2.2) / (f + norm)
+          }
+        }
+        if (parts.isEmpty) None
+        else Some(id -> BigDecimal(parts.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val bmRnk = scored.sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val semRnk = scored.map { case (id, _) =>
+        id -> vecs.get(id).map(v => cos6(vecs(qid), v)) }
+        .sortBy { case (id, c) => (c.isEmpty, -c.getOrElse(0.0), id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val rrfRnk = scored.map { case (id, _) =>
+        id -> round9(1.0 / (60 + bmRnk(id)) + 1.0 / (60 + semRnk(id))) }
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val rel = scored.map { case (id, _) =>
+        id -> (" " + docs.find(_._1 == id).get._2 + " ")
+          .contains(s" $t1 $t2 ") }.toMap
+      val nRel = rel.values.count(identity).toLong
+      def arm(rnk: Map[Long, Long]) = {
+        val hits = rel.count { case (id, v) => v && rnk(id) <= 10L }.toLong
+        val first = rel.collect { case (id, true) => rnk(id) }.minOption
+        (hits.toDouble / 10.0,
+          if (nRel > 0) Some(hits.toDouble / nRel.toDouble) else None,
+          first.map(1.0 / _.toDouble).getOrElse(0.0))
+      }
+      (qid, nRel, arm(bmRnk), arm(rrfRnk))
+    }
+    import spark.implicits._
+    val embDf = vecs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val got = ops.TextOps.searchEvalHybridOn(
+        docs.toDF("doc_id", "text"), embDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getDouble(4)),
+        (r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getDouble(7)))).toSeq
+    assert(got == expected,
+      s"diff: ${expected.diff(got).take(2)} vs ${got.diff(expected).take(2)}")
+    // non-vacuity on the random fixture: the two rankers must
+    // actually disagree somewhere, else the fusion arm grades nothing
+    assert(expected.exists(e => e._3._1 != e._4._1),
+      "BM25 and RRF agree on P@10 for every query — the fusion arm " +
+        "is vacuous on this fixture")
+  }
+
   test("auto semantic verdict on random bucket frames == brute force") {
     // independent of SRP: the banding frames are RANDOM assignments,
     // and the reference recomputes candidates / counts / max cosine
