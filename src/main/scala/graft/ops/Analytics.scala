@@ -1582,7 +1582,7 @@ object Analytics {
       """SELECT media_id, COUNT(*) AS n_sampled,
         |  CAST(MAX(frame_idx) AS INT) AS last_frame FROM (
         |  SELECT doc_id AS media_id,
-        |    unnest(range(0, CAST((doc_id % 5 + 2) * (doc_id % 3 + 2) AS INT), 5))
+        |    unnest(range(0, CAST((doc_id % 5 + 7) * (doc_id % 3 + 4) AS INT), 5))
         |    AS frame_idx
         |  FROM documents) t
         |GROUP BY media_id ORDER BY media_id""".stripMargin,

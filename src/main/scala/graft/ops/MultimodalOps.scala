@@ -41,11 +41,12 @@ object MultimodalOps {
     * ([[sceneCuts]], frame sampling) column-prune to it and never
     * re-decode; the decode EXPRESSIONS stay under the oracle gate via
     * [[phashFamilies]]/[[decodeFeatures]], which read the raw blob on
-    * purpose. `version = 2` forces the schema migration on warm
-    * stores. */
+    * purpose. `version = 3`: the r15 generator re-pin (larger frames,
+    * id-dependent x-step — [[graft.functions.ImageCodec.sampleValue]])
+    * re-materializes every warm store. */
   private def pngTable(s: SparkSession, d: String): DataFrame =
     graft.ArtifactStore.parquet(s, "png_media", s"$d/documents.parquet",
-        version = 2) {
+        version = 3) {
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
@@ -154,7 +155,13 @@ object MultimodalOps {
         min(col("media_id")).as("min_media_id"))
       .orderBy(col("dhash"))
 
-  private val SceneCutDist = 5L // cut when hamming(dhash, prev) > this
+  // cut when hamming(dhash, prev) > this; retuned 5 → 18 with the r15
+  // generator re-pin (hashes now carry 24–60 varying bits, so typical
+  // inter-frame distances sit near ~20): measured at sf1, the scene
+  // sampler keeps 45 % of raw pixel mass and drops 11 % as
+  // nonboundary — both sides of the threshold carry real mass at
+  // every SF (the OpsSpec non-vacuity pair)
+  private val SceneCutDist = 18L
 
   /** SHOT-BOUNDARY DETECTION (`mm_scene_cuts`) — the content-detector
     * core of every video ingestion pipeline (PySceneDetect-class:
@@ -419,7 +426,7 @@ object MultimodalOps {
     *      decode ([[graft.functions.ImageMeta]]); undecodables drop
     *   2. perceptual-hash dedup: keep min media_id per ingest-time
     *      dHash family (the [[phashFamilies]] rule, executed)
-    *   3. resolution gate: drop frames under 6 px (w·h < 6)
+    *   3. resolution gate: drop frames under [[MinPixels]] px
     *   4. scene sampling: per source (video), time-ordered by
     *      media_id, keep only scene-START frames (Hamming distance to
     *      the previous surviving frame > [[SceneCutDist]], or first
@@ -440,12 +447,15 @@ object MultimodalOps {
     * an 8-byte prefix is never a decodable PNG), so a decode,
     * hashing, windowing or accounting divergence fails the hash
     * gate. */
+  // the resolution gate's floor: retuned 6 → 33 with the r15 frames
+  // (npx now spans 28..66; 33 drops the two smallest dim combos,
+  // ~13 % of family survivors — a gate that still gates)
+  private val MinPixels = 33L
+
   def mediaBuildReport(s: SparkSession, d: String): DataFrame = {
     val input = s"$d/documents.parquet"
-    // v2: family-min dedup moved from a per-dhash window to the
-    // aggregate+join (same values, different build plan — the store
-    // contract requires the bump regardless)
-    graft.ArtifactStore.parquet(s, "mm_report", input, version = 2) {
+    // v3: the r15 generator re-pin (new dims/step/thresholds)
+    graft.ArtifactStore.parquet(s, "mm_report", input, version = 3) {
       val docs = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), col("source"))
       val arrived = pngTable(s, d)
@@ -471,7 +481,7 @@ object MultimodalOps {
         .agg(min(col("media_id")).as("keep_id"))
       val dec = decodable.join(famMin, Seq("dhash"))
         .withColumn("is_keep", col("media_id") === col("keep_id"))
-      val sized = dec.filter(col("is_keep")).filter(col("npx") >= 6L)
+      val sized = dec.filter(col("is_keep")).filter(col("npx") >= MinPixels)
         .join(docs, Seq("media_id"))
       val wS = Window.partitionBy(col("source")).orderBy(col("media_id"))
       val st = sized.withColumn("pd", lag(col("dhash"), 1).over(wS))
@@ -486,7 +496,7 @@ object MultimodalOps {
         agg1("10_undecodable", arrived.filter(!col("ok"))),
         agg1("20_phash_dup", dec.filter(!col("is_keep"))),
         agg1("30_too_small",
-          dec.filter(col("is_keep")).filter(col("npx") < 6L)),
+          dec.filter(col("is_keep")).filter(col("npx") < MinPixels)),
         agg1("40_nonboundary", st.filter(!col("is_start"))),
         agg1("50_train", st.filter(col("is_start")))
       ).reduce(_.unionByName(_))
@@ -515,23 +525,26 @@ object MultimodalOps {
     * first scene-cuts oracle duplicated the chain verbatim). */
   private def dhashCtesSql(docsWhere: String): String =
     s"""g AS (SELECT doc_id AS media_id,
-       |    doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+       |    doc_id % 5 + 7 AS w, doc_id % 3 + 4 AS h,
+       |    29 + 2 * (doc_id % 37) AS xs_step,
        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS nb
        |  FROM documents$docsWhere),
-       |ys AS (SELECT media_id, w, nb, unnest(range(0, h)) AS y FROM g),
-       |xs AS (SELECT media_id, w, nb, y,
+       |ys AS (SELECT media_id, w, xs_step, nb,
+       |    unnest(range(0, h)) AS y FROM g),
+       |xs AS (SELECT media_id, w, xs_step, nb, y,
        |    unnest(range(0, w - 1)) AS x FROM ys),
        |lums AS (SELECT media_id, w, y, x,
        |    CASE WHEN nb = 1
-       |      THEN (media_id * 31 + 7 * x + 13 * y) % 256
-       |      ELSE (media_id * 31 + 7 * x + 13 * y) % 256
-       |         + (media_id * 17 + 7 * x + 13 * y) % 256
-       |         + (media_id * 29 + 7 * x + 13 * y) % 256 END AS l0,
+       |      THEN (media_id * 31 + xs_step * x + 13 * y) % 256
+       |      ELSE (media_id * 31 + xs_step * x + 13 * y) % 256
+       |         + (media_id * 17 + xs_step * x + 13 * y) % 256
+       |         + (media_id * 29 + xs_step * x + 13 * y) % 256 END AS l0,
        |    CASE WHEN nb = 1
-       |      THEN (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-       |      ELSE (media_id * 31 + 7 * (x + 1) + 13 * y) % 256
-       |         + (media_id * 17 + 7 * (x + 1) + 13 * y) % 256
-       |         + (media_id * 29 + 7 * (x + 1) + 13 * y) % 256 END AS l1
+       |      THEN (media_id * 31 + xs_step * (x + 1) + 13 * y) % 256
+       |      ELSE (media_id * 31 + xs_step * (x + 1) + 13 * y) % 256
+       |         + (media_id * 17 + xs_step * (x + 1) + 13 * y) % 256
+       |         + (media_id * 29 + xs_step * (x + 1) + 13 * y) % 256
+       |      END AS l1
        |  FROM xs),
        |dh AS (SELECT media_id, CAST(SUM(CASE WHEN l1 > l0
        |      THEN (CAST(1 AS BIGINT) << CAST(y * (w - 1) + x AS INT))
@@ -546,7 +559,7 @@ object MultimodalOps {
     "mm_build_report" ->
       s"""WITH ${dhashCtesSql("")},
          |m AS (SELECT d.doc_id AS media_id, d.source,
-         |    CAST((d.doc_id % 5 + 2) * (d.doc_id % 3 + 2) AS BIGINT)
+         |    CAST((d.doc_id % 5 + 7) * (d.doc_id % 3 + 4) AS BIGINT)
          |      AS npx,
          |    d.doc_id % 97 = 0 AS bad
          |  FROM documents d),
@@ -555,7 +568,7 @@ object MultimodalOps {
          |dec AS (SELECT *, row_number() OVER (
          |    PARTITION BY dhash ORDER BY media_id) AS rn
          |  FROM jm WHERE NOT bad),
-         |sized AS (SELECT * FROM dec WHERE rn = 1 AND npx >= 6),
+         |sized AS (SELECT * FROM dec WHERE rn = 1 AND npx >= $MinPixels),
          |st AS (SELECT *, lag(dhash) OVER (
          |    PARTITION BY source ORDER BY media_id) AS pd FROM sized),
          |stages AS (
@@ -566,7 +579,7 @@ object MultimodalOps {
          |  UNION ALL SELECT '20_phash_dup', COUNT(*),
          |    COALESCE(SUM(npx), 0) FROM dec WHERE rn > 1
          |  UNION ALL SELECT '30_too_small', COUNT(*),
-         |    COALESCE(SUM(npx), 0) FROM dec WHERE rn = 1 AND npx < 6
+         |    COALESCE(SUM(npx), 0) FROM dec WHERE rn = 1 AND npx < $MinPixels
          |  UNION ALL SELECT '40_nonboundary', COUNT(*),
          |    COALESCE(SUM(npx), 0) FROM st
          |    WHERE pd IS NOT NULL AND bit_count(xor(dhash, pd)) <= $SceneCutDist
@@ -658,8 +671,8 @@ object MultimodalOps {
          |FROM r WHERE rnk <= $XmTopK
          |ORDER BY media_id, rank""".stripMargin,
     // every BIT re-derived from the pixel generator: band-sum
-    // luminance l = Σ_c (id·w_c + 7x + 13y) mod 256 (gray = band 0
-    // only), bit k = y·(w−1)+x set iff l(x+1) > l(x)
+    // luminance l = Σ_c (id·w_c + (29+2·(id mod 37))·x + 13y) mod 256
+    // (gray = band 0 only), bit k = y·(w−1)+x set iff l(x+1) > l(x)
     "mm_phash_families" ->
       s"""WITH ${dhashCtesSql("")}
          |SELECT dhash, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
@@ -687,8 +700,8 @@ object MultimodalOps {
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    CAST(doc_id % 5 + 2 AS BIGINT) AS width,
-        |    CAST(doc_id % 3 + 2 AS BIGINT) AS height
+        |    CAST(doc_id % 5 + 7 AS BIGINT) AS width,
+        |    CAST(doc_id % 3 + 4 AS BIGINT) AS height
         |  FROM documents),
         |sc AS (
         |  SELECT media_id, width, height,
@@ -718,16 +731,18 @@ object MultimodalOps {
     * x = i % w, y = i / w; band weights 31/17/29. */
   private def realDecodeOracle: String =
     """WITH m AS (SELECT doc_id AS media_id,
-      |    CAST(doc_id % 5 + 2 AS BIGINT) AS w,
-      |    CAST(doc_id % 3 + 2 AS BIGINT) AS h,
+      |    CAST(doc_id % 5 + 7 AS BIGINT) AS w,
+      |    CAST(doc_id % 3 + 4 AS BIGINT) AS h,
+      |    CAST(29 + 2 * (doc_id % 37) AS BIGINT) AS xs_step,
       |    CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS BIGINT) AS ch
       |  FROM documents),
-      |j AS (SELECT media_id, w, h, ch,
+      |j AS (SELECT media_id, w, h, xs_step, ch,
       |    unnest(range(0, w * h * ch)) AS jj FROM m),
       |v AS (SELECT media_id, w, h, ch,
       |    (media_id * (CASE jj % ch WHEN 0 THEN 31 WHEN 1 THEN 17
       |       ELSE 29 END)
-      |     + ((jj // ch) % w) * 7 + ((jj // ch) // w) * 13) % 256 AS sv
+      |     + ((jj // ch) % w) * xs_step + ((jj // ch) // w) * 13) % 256
+      |      AS sv
       |  FROM j)
       |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
       |  CAST(ch AS INT) AS channels,

@@ -329,8 +329,8 @@ class FunctionsSpec extends AnyFunSuite {
     // recomputed independently from the generator formula
     for (id <- Seq(7L, 12L)) {
       val m = ImageCodec.decode(ImageCodec.encodePng(id))
-      val w = (id % 5 + 2).toInt
-      val h = (id % 3 + 2).toInt
+      val w = (id % 5 + 7).toInt
+      val h = (id % 3 + 4).toInt
       val ch = if (id % 2 == 1) 1 else 3
       assert((m.width, m.height, m.channels) === ((w, h, ch)))
       val samples = for {
@@ -510,8 +510,8 @@ class FunctionsSpec extends AnyFunSuite {
       val got = ImageCodec.dhashBoxed(ImageCodec.encodePng(id))
       assert(got != null)
       // formula replay: band-sum luminance, wrap-aware compare
-      val w = (id % 5 + 2).toInt
-      val h = (id % 3 + 2).toInt
+      val w = (id % 5 + 7).toInt
+      val h = (id % 3 + 4).toInt
       val bands = if (id % 2 == 1) Seq(0) else Seq(0, 1, 2)
       def lum(x: Int, y: Int): Int =
         bands.map(c => ImageCodec.sampleValue(id, c, x, y)).sum
