@@ -936,6 +936,33 @@ object DedupOps {
 
   private[graft] val SemAutoThreshold = 0.8
 
+  /** The auto gate's distinct cross-split candidate count at `d` —
+    * the quantity whose 10×-step growth IS the n^(1+ρ) exponent the
+    * tuned geometry prices (measured r14: 64,258 at sf0.1 →
+    * 1,373,937 at sf1 = 21.4× ≈ n^1.33). Exposed for
+    * [[graft.ScaleProbeSpec]]'s mass gate (VERDICT r14 #5): an
+    * `srpAutoParams` sizing-rule regression must fail a gate on the
+    * MASS, not wait to surface as wall-clock noise. Same frames as
+    * [[semanticAppendAuto]] (tuned geometry, capped buckets both
+    * sides, distinct pairs). */
+  private[graft] def semanticAutoCandidateMass(s: SparkSession,
+      d: String): Long = {
+    val emb = Tables.embeddings(s, d)
+    val n = Tables.cardinality(s, d, "embeddings")
+    val (bits, bands) = SimilarityOps.srpAutoTuned(n, SemAutoThreshold)
+    val frozen = cappedBuckets(SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 < 8), bits, bands, 42L),
+      "vec_id", "graft_srp_auto_mass_frozen")
+    val probe = cappedBuckets(SimilarityOps.srpBandsFrame(
+      emb.filter(col("vec_id") % 10 >= 8), bits, bands, 42L),
+      "vec_id", "graft_srp_auto_mass_probe")
+    frozen.as("x").join(probe.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct().count()
+  }
+
   /** Core of [[semanticAppendAuto]], parameterized for the planted
     * reject-path spec. `batch` is the full incoming-vector frame (a
     * vector whose every bucket capped out must still be REPORTED as

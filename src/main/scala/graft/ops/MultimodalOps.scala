@@ -503,7 +503,112 @@ object MultimodalOps {
     }.orderBy(col("stage"))
   }
 
+  private val PhashHamT = 3L // duplicate iff hamming(dhash, family) <= 3
+  private val PhashBlocks = 4 // = PhashHamT + 1: the pigeonhole budget
+  private val PhashMaxBucket = 32 // frozen-side families kept per bucket
+
+  /** Band-block rows for a `(media_id?, width, height, dhash)` frame:
+    * the valid `(w−1)·h` hash bits sliced into [[PhashBlocks]] equal
+    * blocks (width ⌈bits/4⌉ — two hashes within Hamming
+    * [[PhashHamT]] share at least one block EXACTLY, the classic
+    * SimHash pigeonhole), each row keyed by `(width, height, blk,
+    * val)`. Blocking is stratified BY GEOMETRY: this dHash is over
+    * native dims, so bit layouts only compare within a (w, h) class —
+    * the stratified analog of the classic resize-to-9×8
+    * normalization — and, decisively for scale, it keeps the
+    * all-zero high blocks of small hashes from forming corpus-wide
+    * buckets (measured: unstratified 16-bit blocks read ~9.7k
+    * candidates per probe at sf1; stratified valid-range blocks read
+    * ~15). */
+  private def phashBlockRows(meta: DataFrame): DataFrame =
+    meta
+      .withColumn("bw",
+        expr("CAST((((width - 1) * height) + 3) div 4 AS INT)"))
+      .withColumn("blk", explode(sequence(lit(0), lit(PhashBlocks - 1))))
+      .withColumn("val",
+        expr("shiftright(dhash, blk * bw) & " +
+          "(shiftleft(CAST(1 AS BIGINT), bw) - 1)"))
+      .drop("bw")
+
+  /** MEDIA INGEST GATE (`mm_phash_append`, VERDICT r14 #3) — the
+    * [[graft.ops.DedupOps]] `dedup_semantic_append_auto` discipline on
+    * the image modality, closing the last modality without an append
+    * path: the snapshot's dHash FAMILIES (min-media_id representative
+    * per distinct (w, h, dhash), media_id ≡ 0..7 mod 10) are frozen
+    * once per corpus snapshot as capped band-block buckets; an
+    * arriving batch (media_id ≡ 8,9 mod 10) probes them with its
+    * ingest-time dHash — NO per-serve decode anywhere (the
+    * `mm_scene_cuts` protocol) — and every batch media gets the
+    * per-media ingest verdict a production gate emits: candidate
+    * family count, near-duplicate count (Hamming ≤ [[PhashHamT]]),
+    * exact min Hamming over its candidates, admit/reject.
+    *
+    * Scale shape: the frozen side caps each bucket at
+    * [[PhashMaxBucket]] families (keep-lowest-keep_id, overflow
+    * published via `observe` — the `lshAppend` discipline), the batch
+    * side emits exactly [[PhashBlocks]] rows per media, so candidate
+    * mass is ≤ batch · blocks · cap — linear in the batch regardless
+    * of corpus skew. The join is an equi-join on (w, h, blk, val);
+    * the verify is one codegen'd `bit_count(xor)` per distinct
+    * candidate; one per-media aggregate ends it. The DuckDB oracle
+    * replays every stage from the pixel generator — families,
+    * blocking, the cap's rank rule, Hamming, the verdict — so a
+    * banding or cap-rule divergence fails the hash gate. */
+  def phashAppend(s: SparkSession, d: String): DataFrame = {
+    val meta = mediaMeta(s, d)
+    val input = s"$d/documents.parquet"
+    val frozen = graft.ArtifactStore.parquet(s, "phash_snap_blocks",
+        input) {
+      val fams = meta.filter(col("media_id") % 10 < 8)
+        .groupBy(col("width"), col("height"), col("dhash"))
+        .agg(min(col("media_id")).as("keep_id"))
+      val wB = Window.partitionBy(col("width"), col("height"),
+        col("blk"), col("val")).orderBy(col("keep_id"))
+      phashBlockRows(fams)
+        .withColumn("__rank", row_number().over(wB))
+        .observe("graft_phash_snap_overflow",
+          sum(when(col("__rank") > PhashMaxBucket, 1L).otherwise(0L))
+            .as("dropped"))
+        .filter(col("__rank") <= PhashMaxBucket)
+        .drop("__rank", "media_id")
+        .withColumnRenamed("dhash", "fam_dhash")
+    }
+    phashAppendOn(frozen, meta.filter(col("media_id") % 10 >= 8))
+  }
+
+  /** Core of [[phashAppend]], parameterized for the planted
+    * reject-path spec. `frozen` carries `(width, height, fam_dhash,
+    * keep_id, blk, val)` capped block rows; `batch` is the full
+    * incoming frame `(media_id, width, height, dhash)` — a media
+    * whose every bucket capped out still REPORTS as an admit (the
+    * verdict is per batch media, not per collision). */
+  private[graft] def phashAppendOn(frozen: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val cand = frozen.join(phashBlockRows(batch),
+        Seq("width", "height", "blk", "val"))
+      .select(col("media_id"), col("dhash"), col("fam_dhash"),
+        col("keep_id"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(dhash ^ fam_dhash)").cast("long"))
+    val agg = cand.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= PhashHamT, 1L).otherwise(0L))
+          .as("n_dups"),
+        min(col("hamming")).as("min_hamming"))
+    batch.select(col("media_id"))
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("min_hamming"),
+        when(coalesce(col("n_dups"), lit(0L)) > 0L, lit("reject"))
+          .otherwise(lit("admit")).as("verdict"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_append" -> phashAppend,
     "mm_build_report" -> mediaBuildReport,
     "mm_crossmodal_topk" -> crossmodalTopk,
     "mm_audio_fingerprint" -> audioFingerprintFamilies,
@@ -552,6 +657,58 @@ object MultimodalOps {
        |  FROM lums GROUP BY media_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full replay of the ingest gate from the pixel generator: the
+    // shared dHash chain, snapshot families (min media_id per
+    // (w, h, dhash)), valid-range band blocks, the cap's
+    // keep-lowest-keep_id rank rule, batch probe, bit_count(xor)
+    // verify at the same threshold, and the per-media verdict tail
+    "mm_phash_append" ->
+      s"""WITH ${dhashCtesSql("")},
+         |mt AS (SELECT dh.media_id, g.w, g.h, dh.dhash
+         |  FROM dh JOIN g USING (media_id)),
+         |fam AS (SELECT w, h, dhash, MIN(media_id) AS keep_id
+         |  FROM mt WHERE media_id % 10 < 8 GROUP BY w, h, dhash),
+         |ks AS (SELECT unnest(range(0, $PhashBlocks)) AS blk),
+         |fb AS (SELECT f.*, ks.blk,
+         |    (f.dhash >> CAST(ks.blk * (((f.w - 1) * f.h + 3) // 4)
+         |        AS INT))
+         |      & ((CAST(1 AS BIGINT)
+         |        << CAST(((f.w - 1) * f.h + 3) // 4 AS INT)) - 1)
+         |      AS val
+         |  FROM fam f CROSS JOIN ks),
+         |cap AS (SELECT *, row_number() OVER (
+         |    PARTITION BY w, h, blk, val ORDER BY keep_id) AS rn
+         |  FROM fb),
+         |fz AS (SELECT w, h, blk, val, dhash AS fam_dhash, keep_id
+         |  FROM cap WHERE rn <= $PhashMaxBucket),
+         |bt AS (SELECT media_id, w, h, dhash FROM mt
+         |  WHERE media_id % 10 >= 8),
+         |bb AS (SELECT b.*, ks.blk,
+         |    (b.dhash >> CAST(ks.blk * (((b.w - 1) * b.h + 3) // 4)
+         |        AS INT))
+         |      & ((CAST(1 AS BIGINT)
+         |        << CAST(((b.w - 1) * b.h + 3) // 4 AS INT)) - 1)
+         |      AS val
+         |  FROM bt b CROSS JOIN ks),
+         |cd AS (SELECT DISTINCT b.media_id, b.dhash, f.fam_dhash
+         |  FROM bb b JOIN fz f USING (w, h, blk, val)),
+         |hm AS (SELECT media_id,
+         |    CAST(bit_count(xor(dhash, fam_dhash)) AS BIGINT) AS hamming
+         |  FROM cd),
+         |ag AS (SELECT media_id, COUNT(*) AS n_candidates,
+         |    CAST(SUM(CASE WHEN hamming <= $PhashHamT THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dups,
+         |    MIN(hamming) AS min_hamming
+         |  FROM hm GROUP BY media_id)
+         |SELECT b.media_id,
+         |  COALESCE(ag.n_candidates, 0) AS n_candidates,
+         |  COALESCE(ag.n_dups, 0) AS n_dups,
+         |  ag.min_hamming,
+         |  CASE WHEN COALESCE(ag.n_dups, 0) > 0 THEN 'reject'
+         |    ELSE 'admit' END AS verdict
+         |FROM (SELECT DISTINCT media_id FROM bt) b
+         |LEFT JOIN ag USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // the full funnel replay from the pixel generator: dHash chain,
     // 97-truncation undecodability by construction, family-min
     // dedup, pixel-mass gate, per-video lag sampling — same stage

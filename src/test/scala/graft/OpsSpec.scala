@@ -510,6 +510,50 @@ class OpsSpec extends AnyFunSuite {
       "control: shifted probe buckets not visible in the result")
   }
 
+  test("phash ingest verdict: planted duplicate rejects, pigeonhole " +
+      "evader admits, geometry stratification and buckets load-bearing") {
+    import spark.implicits._
+    // one frozen family at geometry (9, 5): bits = 40, block width 10
+    val famA = 0x123456789L & ((1L << 40) - 1)
+    val bw = 10
+    def blocksOf(dh: Long, w: Int, h: Int): Seq[(Int, Long)] = {
+      val bwl = ((w - 1) * h + 3) / 4
+      (0 until 4).map(b => b -> ((dh >> (b * bwl)) & ((1L << bwl) - 1)))
+    }
+    val frozen = blocksOf(famA, 9, 5)
+      .map { case (blk, v) => (9, 5, blk, v, famA, 3L) }
+      .toDF("width", "height", "blk", "val", "fam_dhash", "keep_id")
+    val batch = Seq(
+      (80L, 9, 5, famA), // exact family hit → hamming 0, reject
+      // two flipped bits land in blocks 0 and 3; blocks 1, 2 still
+      // collide → candidate, hamming 2 ≤ 3 → reject
+      (81L, 9, 5, famA ^ (1L << 2) ^ (1L << (3 * bw + 5))),
+      // one flip in EVERY block: hamming 4 both exceeds the threshold
+      // AND evades the 4-block pigeonhole (which only guarantees
+      // recall to hamming 3) → no candidate, admit
+      (82L, 9, 5, famA ^ 1L ^ (1L << bw) ^ (1L << (2 * bw)) ^
+        (1L << (3 * bw))),
+      // the SAME hash at a different geometry must NOT collide — the
+      // (w, h) stratification is load-bearing, not decorative
+      (83L, 10, 5, famA)
+    ).toDF("media_id", "width", "height", "dhash")
+    val got = ops.MultimodalOps.phashAppendOn(frozen, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toSeq
+    assert(got === Seq(
+      (80L, 1L, 1L, Some(0L), "reject"),
+      (81L, 1L, 1L, Some(2L), "reject"),
+      (82L, 0L, 0L, None, "admit"),
+      (83L, 0L, 0L, None, "admit")))
+    // wrong-bucket control: shifted frozen vals must change the answer
+    val badFrozen = frozen.withColumn("val", col("val") + 1L)
+    val bad = ops.MultimodalOps.phashAppendOn(badFrozen, batch)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(bad != got.map(t => (t._1, t._5)).toSet,
+      "control: shifted frozen buckets not visible in the result")
+  }
+
   test("media build funnel: accounting closes and every stage drops") {
     val rows = ops.MultimodalOps.mediaBuildReport(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -907,7 +907,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val builders = Seq("sim_nsw_topk", "sim_ivf_quantized",
       "dedup_semantic_lsh", "dedup_semantic_append_auto",
       "dedup_lsh_append", "text_lm_score", "mm_scene_cuts",
-      "mm_build_report", "corpus_build_report", "geo_dbscan")
+      "mm_build_report", "mm_phash_append", "corpus_build_report",
+      "geo_dbscan")
     // ArtifactStore.root PREFERS the env var over the sys-prop hook
     // (ADVICE r14): with SPARK_GRAFT_ARTIFACTS_DIR set the isolated
     // dir below would be silently ignored, the store would stay warm,

@@ -84,7 +84,13 @@ class ScaleProbeSpec extends AnyFunSuite {
     "dedup_semantic_append_auto", "text_lm_score",
     // the offline ranking-eval job: two linear corpus passes + 6
     // bounded-query window ranks + the phrase-judgment text join
-    "search_eval_prk")
+    "search_eval_prk",
+    // round-15: the side-by-side ranker eval (adds one embedding
+    // equi-join + a third rank window to the prk shape) and the media
+    // ingest gate (cap-bounded band join over the frozen dHash
+    // families; the probed path is the batch probe against the warm
+    // artifact)
+    "search_eval_hybrid", "mm_phash_append")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
@@ -101,10 +107,23 @@ class ScaleProbeSpec extends AnyFunSuite {
     * (the r13 distinct-before-verify bug read 18.3 s and would trip
     * it). The production-geometry twin (dedup_semantic_append_auto,
     * ρ ≈ 0.33) stays under the standard 15× gate — flat, measured
-    * 0.7× in r14. */
+    * 0.7× in r14.
+    *
+    * The sf1 wall ceiling is MACHINE-RELATIVE (ADVICE r14): the raw
+    * 15 s constant would trip on a slower/contended runner without a
+    * regression and let one pass on a faster box. It scales by the
+    * same run's measured wall for [[calibrationQuery]] — a stable
+    * multi-second bounded-by-construction query — over its recorded
+    * reference wall, clamped to [0.5, 4] so a degenerate calibration
+    * reading can neither nullify nor quadruple the gate. */
   private val pricedExponentCaps: Map[String, (Double, Double)] = Map(
     "dedup_semantic_append" -> ((25.0, 15.0)) // (maxRatio, sf1 wall s)
   )
+  // dedup_semantic at sf1: ~2.26 s in the r11 probe table (SCALE.md),
+  // 2.2-2.4 s across every later round — the most stable multi-second
+  // wall in the target list (bounded exact slice, flat by design)
+  private val calibrationQuery = "dedup_semantic"
+  private val calibrationRefSec = 2.26
 
   private def time(name: String, sfDir: String, reps: Int): Double = {
     val fn = SparkEntry.queries(name)
@@ -128,16 +147,43 @@ class ScaleProbeSpec extends AnyFunSuite {
         f"ratio=$ratio%5.1f×  exponent≈$exponent%.2f")
       (n, small, big, ratio)
     }
+    val calib = rows.find(_._1 == calibrationQuery) match {
+      case Some((_, _, big, _)) =>
+        math.min(math.max(big / calibrationRefSec, 0.5), 4.0)
+      case None => 1.0
+    }
+    info(f"machine calibration factor: $calib%.2f (via $calibrationQuery)")
     rows.foreach { case (n, _, big, ratio) =>
       pricedExponentCaps.get(n) match {
         case Some((capRatio, capWall)) =>
-          assert(ratio <= capRatio && big <= capWall,
+          assert(ratio <= capRatio && big <= capWall * calib,
             s"$n: sf1=$big s, ratio ${ratio}× — beyond the PRICED " +
-              "exponent (SCALE.md) — the ordering/caps regressed")
+              s"exponent (SCALE.md; wall ceiling $capWall×$calib " +
+              "machine-calibrated) — the ordering/caps regressed")
         case None =>
           assert(ratio <= maxRatio,
             s"$n grew ${ratio}× for 10× data — a super-linear stage crept in")
       }
     }
+  }
+
+  test("auto gate candidate MASS stays inside the priced n^1.4 envelope") {
+    // VERDICT r14 #5: the n^1.33 exponent was measured by hand in
+    // r14 (64,258 → 1,373,937 distinct cross-split candidates for the
+    // sf0.1 → sf1 step = 21.4×); this encodes it — an srpAutoParams
+    // sizing-rule regression now fails a MASS gate (deterministic,
+    // no wall-clock noise) instead of silently fattening the verify
+    // join. Bound 25× ≈ n^1.4 for the 10× step.
+    val sf1 = ScaleDataGen.ensure(spark)
+    val m01 = ops.DedupOps.semanticAutoCandidateMass(
+      spark, "/root/testdata/sf0.1")
+    val m1 = ops.DedupOps.semanticAutoCandidateMass(spark, sf1)
+    val ratio = m1.toDouble / m01
+    info(f"candidate mass sf0.1=$m01 sf1=$m1 ratio=$ratio%.1f×")
+    assert(m01 > 0, "sf0.1 candidate mass is zero — the gate is vacuous")
+    assert(ratio <= 25.0,
+      f"auto-gate candidate mass grew $ratio%.1f× for 10× data — " +
+        "the tuned-geometry sizing rule regressed past its priced " +
+        "n^1.4 envelope (SCALE.md)")
   }
 }
