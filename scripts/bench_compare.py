@@ -98,8 +98,13 @@ def load(path):
         if isinstance(d, dict) and "tail" in d and "queries" not in d:
             # the preceding delimiter anchors the key: the tail window
             # can start MID-KEY, and an unanchored match would record a
-            # truncated fragment as a (possibly colliding) query name
-            pairs = re.findall(r'[,{]"([a-z0-9_]+)":([0-9]+\.[0-9]+)', d["tail"])
+            # truncated fragment as a (possibly colliding) query name.
+            # Strip the nested session object FIRST — any float-valued
+            # field inside it would otherwise register as a phantom
+            # query the moment one is added (NON_QUERY_KEYS keeps the
+            # two current float names as a belt-and-suspenders).
+            tail = re.sub(r'"session":\{[^}]*\}', "", d["tail"])
+            pairs = re.findall(r'[,{]"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
             qs = {k: float(v) for k, v in pairs if k not in NON_QUERY_KEYS}
             return qs, sum(qs.values()), {}  # partial total: visible tail only
         if isinstance(d, dict) and "queries" in d:

@@ -34,7 +34,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 final class BenchMetrics(sc: SparkContext) {
   private val gcMs = new AtomicLong
   private val runMs = new AtomicLong
-  private val cpuMs = new AtomicLong
+  private val cpuNs = new AtomicLong
   private val schedDelayMs = new AtomicLong
   private val shufWrite = new AtomicLong
   private val shufRead = new AtomicLong
@@ -52,15 +52,27 @@ final class BenchMetrics(sc: SparkContext) {
         // cpu_ms closes the r14 watch-pair ambiguity (VERDICT r14 #2):
         // run_ms is task WALL on the executor — under co-tenant steal
         // it inflates while the task's actual CPU time stays flat.
-        // executorCpuTime is nanoseconds; accumulate in ms.
-        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        // Accumulated in NANOSECONDS and converted once at window
+        // close: a per-task floor division to ms loses up to ~1 ms
+        // per task, which on sub-ms-task reps (streaming micro-
+        // batches) would bias cpu_vs_wall toward the very false
+        // "steal" reading the field exists to rule out (review
+        // finding, r15).
+        cpuNs.addAndGet(m.executorCpuTime)
         // scheduler delay is not a TaskMetrics field; it is what the
         // Spark UI derives per task: total duration minus the phases
-        // the executor accounts for. Clamped at 0 — clock-grain skew
-        // can make the subtraction marginally negative.
+        // the executor accounts for — including the indirect-result
+        // fetch window (gettingResultTime is the fetch START
+        // timestamp, 0 when the result rode the status update).
+        // Clamped at 0 — clock-grain skew can make the subtraction
+        // marginally negative.
         if (e.taskInfo != null) {
+          val fetch =
+            if (e.taskInfo.gettingResultTime > 0)
+              e.taskInfo.finishTime - e.taskInfo.gettingResultTime
+            else 0L
           val delay = e.taskInfo.duration - m.executorRunTime -
-            m.executorDeserializeTime - m.resultSerializationTime
+            m.executorDeserializeTime - m.resultSerializationTime - fetch
           schedDelayMs.addAndGet(math.max(delay, 0L))
         }
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -74,8 +86,11 @@ final class BenchMetrics(sc: SparkContext) {
   }
   sc.addSparkListener(listener)
 
-  /** Cumulative sums in field order (peak handled separately). */
-  private def sums: Seq[Long] = Seq(gcMs.get, runMs.get, cpuMs.get,
+  /** Cumulative sums in field order (peak handled separately).
+    * cpu rides in ns internally; the ms conversion happens ONCE on
+    * the window delta in [[end]], so per-task truncation never
+    * accumulates. */
+  private def sums: Seq[Long] = Seq(gcMs.get, runMs.get, cpuNs.get,
     schedDelayMs.get, shufWrite.get, shufRead.get, spillMem.get,
     spillDisk.get, inputBytes.get)
 
@@ -96,6 +111,7 @@ final class BenchMetrics(sc: SparkContext) {
   def end(before: Seq[Long]): Seq[(String, Long)] = {
     org.apache.spark.graftbridge.ListenerBridge.drain(sc)
     (names.lazyZip(sums).lazyZip(before).map {
+      case ("cpu_ms", after, b) => "cpu_ms" -> (after - b) / 1000000L
       case (n, after, b) => n -> (after - b)
     }) :+ ("peak_exec_mem_bytes" -> peak.get)
   }

@@ -918,6 +918,21 @@ object DedupOps {
     * builder version must bump if the sizing rule changes. */
   def semanticAppendAuto(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val (frozen, probe) = semanticAutoFrames(s, d)
+    semanticAppendAutoOn(emb, emb.filter(col("vec_id") % 10 >= 8),
+      frozen, probe, SemAutoThreshold)
+  }
+
+  /** ONE construction of the auto gate's (frozen, probe) bucket
+    * frames — split predicates, seed, tuned geometry, bucket caps —
+    * shared by [[semanticAppendAuto]] and the scale probe's
+    * [[semanticAutoCandidateMass]] (review finding, r15: a
+    * copy-pasted construction would let the production path drift
+    * while the mass gate kept measuring the old frames and stayed
+    * green). */
+  private def semanticAutoFrames(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
     val input = s"$d/embeddings.parquet"
     val n = Tables.cardinality(s, d, "embeddings")
     val (bits, bands) = SimilarityOps.srpAutoTuned(n, SemAutoThreshold)
@@ -930,8 +945,7 @@ object DedupOps {
     val probe = cappedBuckets(SimilarityOps.srpBandsFrame(
       emb.filter(col("vec_id") % 10 >= 8), bits, bands, 42L),
       "vec_id", "graft_srp_auto_append_overflow")
-    semanticAppendAutoOn(emb, emb.filter(col("vec_id") % 10 >= 8),
-      frozen, probe, SemAutoThreshold)
+    (frozen, probe)
   }
 
   private[graft] val SemAutoThreshold = 0.8
@@ -947,15 +961,7 @@ object DedupOps {
     * sides, distinct pairs). */
   private[graft] def semanticAutoCandidateMass(s: SparkSession,
       d: String): Long = {
-    val emb = Tables.embeddings(s, d)
-    val n = Tables.cardinality(s, d, "embeddings")
-    val (bits, bands) = SimilarityOps.srpAutoTuned(n, SemAutoThreshold)
-    val frozen = cappedBuckets(SimilarityOps.srpBandsFrame(
-      emb.filter(col("vec_id") % 10 < 8), bits, bands, 42L),
-      "vec_id", "graft_srp_auto_mass_frozen")
-    val probe = cappedBuckets(SimilarityOps.srpBandsFrame(
-      emb.filter(col("vec_id") % 10 >= 8), bits, bands, 42L),
-      "vec_id", "graft_srp_auto_mass_probe")
+    val (frozen, probe) = semanticAutoFrames(s, d)
     frozen.as("x").join(probe.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket"))

@@ -413,6 +413,11 @@ object MultimodalOps {
       .limit((XmQueries * XmTopK).toInt)
   }
 
+  // the resolution gate's floor: retuned 6 → 33 with the r15 frames
+  // (npx now spans 28..66; 33 drops the two smallest dim combos,
+  // ~13 % of family survivors — a gate that still gates)
+  private val MinPixels = 33L
+
   /** COMPOSED MEDIA BUILD FUNNEL (`mm_build_report`, VERDICT r13 #6)
     * — the `corpus_build_report` discipline over the image modality:
     * the five graded media stages composed into ONE accountable
@@ -447,11 +452,6 @@ object MultimodalOps {
     * an 8-byte prefix is never a decodable PNG), so a decode,
     * hashing, windowing or accounting divergence fails the hash
     * gate. */
-  // the resolution gate's floor: retuned 6 → 33 with the r15 frames
-  // (npx now spans 28..66; 33 drops the two smallest dim combos,
-  // ~13 % of family survivors — a gate that still gates)
-  private val MinPixels = 33L
-
   def mediaBuildReport(s: SparkSession, d: String): DataFrame = {
     val input = s"$d/documents.parquet"
     // v3: the r15 generator re-pin (new dims/step/thresholds)
@@ -557,8 +557,14 @@ object MultimodalOps {
   def phashAppend(s: SparkSession, d: String): DataFrame = {
     val meta = mediaMeta(s, d)
     val input = s"$d/documents.parquet"
+    // version MUST track png_media's (both are pure functions of the
+    // pixel generator, and this artifact's input fingerprint —
+    // documents.parquet — does NOT cover the generator): a future
+    // re-pin that bumps png_media without this one would probe
+    // new-formula batch hashes against stale-formula frozen families
+    // on every warm store (review finding, r15)
     val frozen = graft.ArtifactStore.parquet(s, "phash_snap_blocks",
-        input) {
+        input, version = 3) {
       val fams = meta.filter(col("media_id") % 10 < 8)
         .groupBy(col("width"), col("height"), col("dhash"))
         .agg(min(col("media_id")).as("keep_id"))

@@ -949,14 +949,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
       spark.listenerManager.unregister(listener)
       sys.props.remove("graft.artifacts.dir")
       // the cold builds can materialize hundreds of MB of artifacts —
-      // delete the temp store, best-effort (ADVICE r14)
+      // delete the temp store, best-effort (ADVICE r14). Files.walk
+      // holds open directory handles until closed (its javadoc
+      // mandates try-with-resources), hence the explicit close.
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
+        val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try stream.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala
           .foreach(p => try java.nio.file.Files.deleteIfExists(p)
             catch { case _: java.io.IOException => () })
+        finally stream.close()
       } catch { case _: java.io.IOException => () }
     }
     assert(ArtifactStore.builds > before,
