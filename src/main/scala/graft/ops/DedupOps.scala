@@ -233,6 +233,20 @@ object DedupOps {
     * the cap keeps the near-dup pass robust when it hasn't. */
   def minhashLshOn(docsRaw: DataFrame, numHashes: Int = 32,
       rowsPerBand: Int = 4,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    verifyJaccard(
+      lshCandidatePairs(docsRaw, numHashes, rowsPerBand, maxBucket),
+      docsRaw)
+
+  /** The CANDIDATE stage of [[minhashLshOn]] — banded buckets (capped
+    * by the [[defaultMaxBucket]] rule) self-joined into distinct
+    * `(a_id, b_id)` pairs, BEFORE exact verification. Extracted so
+    * [[dedupEvalPr]] grades the exact generator the production query
+    * serves (the `search_eval_prk` discipline: an eval that rebuilds
+    * its own candidate pipeline can silently drift from the one it
+    * claims to judge). */
+  private[graft] def lshCandidatePairs(docsRaw: DataFrame,
+      numHashes: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("doc_id"))
@@ -243,13 +257,12 @@ object DedupOps {
       .filter(col("__rank") <= maxBucket)
       .drop("__rank")
     // candidates: pairs sharing any band bucket (equi-join, no cross product)
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, docsRaw)
   }
 
   /** The (doc_id, band, bucket) projection shared by [[minhashLshOn]]
@@ -277,6 +290,120 @@ object DedupOps {
     }
     sigs.select(col("doc_id"),
       posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Per-(doc, seed) minhash signature rows — the SAME native
+    * expression every query path computes ([[bandBuckets]] hashes
+    * these into buckets; [[dedupEvalPrOn]] compares them pairwise),
+    * exposed for the scaled-oracle aux dump (`aux_minhash_sigs`).
+    * `s` is 1-based to match the oracle chain's seed index. */
+  def minhashSigRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.minhash(
+        shingles(col("text")), 32)).as(Seq("i", "sig")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("s"),
+        col("sig"))
+
+  /** DEDUP QUALITY EVALUATION (`dedup_eval_pr`) — the offline
+    * precision/recall job a near-dup stack runs before trusting its
+    * approximate detector (the [[graft.ops.SimilarityOps]]
+    * `sim_ann_recall_eval` discipline on the dedup family, closing
+    * the one approximation in the catalog that had no graded quality
+    * eval): ground truth = EXACT shingle-Jaccard ≥ 0.5 pairs over
+    * the full corpus via the 100 %-recall prefix-filter join
+    * ([[jaccardPrefixPairsOn]] — never all-pairs); the judged
+    * detector = the SAME banded-MinHash candidate generator
+    * `dedup_minhash_lsh` serves ([[lshCandidatePairs]], one
+    * definition). Two graded stages:
+    *
+    *  - `band`: did the 8×4 banding surface the pair? (the recall a
+    *    production LSH pass actually gets; precision here is the
+    *    verify-stage workload factor — FPs cost exact-Jaccard
+    *    verifies, not wrong results)
+    *  - `minhash_est`: does the 32-hash agreement fraction ≥ 0.5
+    *    predict the pair? (the estimator's own quality, judged over
+    *    the POOL = truth ∪ candidates. A pair outside the pool CAN
+    *    reach 16/32 scattered agreements without any full band of 4,
+    *    so pool-restricted precision is an upper bound — the same
+    *    documented offline-eval restriction as `search_eval_prk`'s
+    *    term-matching pool; recall is exact, truth ⊆ pool by
+    *    construction)
+    *
+    * Output per stage: predicted/true/true-positive counts and
+    * round-6 precision/recall.
+    *
+    * Scale shape: truth is the prefix-filter equi-join (rarest-token
+    * buckets), candidates the capped bucket equi-join — both
+    * never-all-pairs; signatures for the estimate are computed ONLY
+    * for pool members (semi-join first, |pool|-bounded); the tail is
+    * one global aggregate over the pool. The DuckDB oracle replays
+    * the full xxhash64/splitmix64 signature chain in HUGEINT
+    * arithmetic plus the shingle-join exact truth — an estimator or
+    * banding divergence fails the hash gate. */
+  def dedupEvalPr(s: SparkSession, d: String): DataFrame =
+    dedupEvalPrOn(Tables.documents(s, d))
+
+  /** Core of [[dedupEvalPr]] over any (doc_id, text) frame. */
+  private[graft] def dedupEvalPrOn(docsRaw: DataFrame): DataFrame = {
+    val withSh = docsRaw.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val truth = jaccardPrefixPairsOn(withSh)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_true"))
+    val cand = lshCandidatePairs(docsRaw)
+      .select(col("a_id"), col("b_id"), lit(1L).as("is_cand"))
+    val pool = truth.join(cand, Seq("a_id", "b_id"), "full_outer")
+      .na.fill(0L, Seq("is_true", "is_cand"))
+    // signatures ONLY for docs that appear in a judged pair: the
+    // semi-join prunes the corpus to pool members before any
+    // re-hashing happens. NO broadcast hints — the pool is
+    // DATA-bounded (truth ∪ capped candidates), not literal-bounded:
+    // on a dup-heavy corpus it can grow with n, and a forced
+    // broadcast would be the driver-OOM shape the corpus-broadcast
+    // guard exists to catch. AQE picks the broadcast at runtime when
+    // the pool measures small (the normal case).
+    val poolIds = pool.select(col("a_id").as("doc_id"))
+      .union(pool.select(col("b_id").as("doc_id"))).distinct()
+    val sigs = docsRaw
+      .join(poolIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash(
+          shingles(col("text")), 32).as("sig"))
+    val est = pool
+      .join(sigs.select(col("doc_id").as("a_id"),
+        col("sig").as("sig_a")), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"),
+        col("sig").as("sig_b")), Seq("b_id"))
+      .withColumn("m", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      // est ≥ 0.5 ⇔ matches ≥ 16 of 32 — integer compare, no float
+      .withColumn("is_est", when(col("m") * 2 >= 32, 1L).otherwise(0L))
+    val tot = est.agg(
+      sum(col("is_cand")).as("cand_pred"),
+      sum(col("is_true")).as("n_true"),
+      sum(col("is_cand") * col("is_true")).as("cand_tp"),
+      sum(col("is_est")).as("est_pred"),
+      sum(col("is_est") * col("is_true")).as("est_tp"))
+    val stages = tot.select(explode(array(
+      struct(lit("band").as("stage"), col("cand_pred").as("n_pred"),
+        col("n_true"), col("cand_tp").as("n_tp")),
+      struct(lit("minhash_est").as("stage"), col("est_pred").as("n_pred"),
+        col("n_true"), col("est_tp").as("n_tp")))).as("r"))
+      .select(col("r.stage"), col("r.n_pred"), col("r.n_true"),
+        col("r.n_tp"))
+    stages.select(col("stage"),
+      coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+      coalesce(col("n_true"), lit(0L)).as("n_true"),
+      coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0L,
+          round(col("n_tp").cast("double") / col("n_pred"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_true") > 0L,
+          round(col("n_tp").cast("double") / col("n_true"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("stage"))
   }
 
   /** INCREMENTAL LSH INGEST GATE (`dedup_lsh_append`) — the dedup
@@ -2046,6 +2173,7 @@ object DedupOps {
     "dedup_jaccard_prefix" -> jaccardPrefixJoin,
     "fuzzy_join_edit1" -> fuzzyJoinEdit1,
     "dedup_minhash_lsh" -> minhashLsh, // oracle: full SQL replay (minhashOracleSql)
+    "dedup_eval_pr" -> dedupEvalPr, // oracle: signature replay + shingle-join truth
     "dedup_lsh_append" -> lshAppend, // oracle: split-capped replay
     "dedup_simhash" -> simhashNearDup, // oracle: full SQL replay (simhashOracleSql)
     "dedup_winnow" -> winnowNearDup, // oracle: full SQL replay (winnowOracleSql)
@@ -2403,6 +2531,106 @@ object DedupOps {
        |SELECT a_id, b_id, jaccard FROM verified
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  /** Oracle for [[dedupEvalPr]]: the [[minhashCtesSql]] signature/
+    * banding replay (sh, sig, candm — the judged detector), an
+    * EXACT truth CTE from the shared-shingle equi-join (a pair with
+    * zero shared shingles has Jaccard 0, so the join loses no true
+    * pair — the prefix-filter join's completeness argument in SQL
+    * form), the truth ∪ candidates pool, per-pair signature
+    * agreement, and the two-stage P/R tail. */
+  /** Shared truth/pool/estimate/metrics tail of the eval oracle —
+    * ONE definition for the full and scaled forms, parameterized by
+    * the shingle-set CTE (`sh` full / `shv` spliced) and the
+    * signature CTE (`sig` chain / `gsig` gated dump). */
+  private def dedupEvalPrTailSql(shSrc: String, sigSrc: String): String =
+    s"""szs AS (SELECT doc_id, len(sha) AS sz FROM $shSrc),
+       |shx AS (SELECT doc_id, unnest(sha) AS s FROM $shSrc),
+       |intr AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tr AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM intr
+       |  JOIN szs sa ON sa.doc_id = a_id
+       |  JOIN szs sb ON sb.doc_id = b_id
+       |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+       |    >= 0.5),
+       |pool AS MATERIALIZED (
+       |  SELECT COALESCE(t.a_id, c.a_id) AS a_id,
+       |    COALESCE(t.b_id, c.b_id) AS b_id,
+       |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+       |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+       |  FROM tr t FULL JOIN candm c
+       |    ON t.a_id = c.a_id AND t.b_id = c.b_id),
+       |estm AS MATERIALIZED (
+       |  SELECT p.a_id, p.b_id, p.is_true, p.is_cand,
+       |    SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS m
+       |  FROM pool p JOIN $sigSrc sa ON sa.doc_id = p.a_id
+       |  JOIN $sigSrc sb ON sb.doc_id = p.b_id AND sb.s = sa.s
+       |  GROUP BY 1, 2, 3, 4),
+       |ag AS (SELECT
+       |    SUM(is_cand) AS cand_pred, SUM(is_true) AS n_true,
+       |    SUM(is_cand * is_true) AS cand_tp,
+       |    SUM(CASE WHEN m * 2 >= 32 THEN 1 ELSE 0 END) AS est_pred,
+       |    SUM(CASE WHEN m * 2 >= 32 THEN is_true ELSE 0 END) AS est_tp
+       |  FROM estm),
+       |st AS (
+       |  SELECT 'band' AS stage,
+       |    CAST(COALESCE(cand_pred, 0) AS BIGINT) AS n_pred,
+       |    CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+       |    CAST(COALESCE(cand_tp, 0) AS BIGINT) AS n_tp FROM ag
+       |  UNION ALL
+       |  SELECT 'minhash_est',
+       |    CAST(COALESCE(est_pred, 0) AS BIGINT),
+       |    CAST(COALESCE(n_true, 0) AS BIGINT),
+       |    CAST(COALESCE(est_tp, 0) AS BIGINT) FROM ag)
+       |SELECT stage, n_pred, n_true, n_tp,
+       |  CASE WHEN n_pred > 0
+       |    THEN round(CAST(n_tp AS DOUBLE) / n_pred, 6)
+       |    ELSE 0.0 END AS precision,
+       |  CASE WHEN n_true > 0
+       |    THEN round(CAST(n_tp AS DOUBLE) / n_true, 6)
+       |    ELSE 0.0 END AS recall
+       |FROM st ORDER BY stage""".stripMargin
+
+  private def dedupEvalPrOracleSql: String =
+    s"""WITH $minhashCtesSql,
+       |${dedupEvalPrTailSql("sh", "sig")}""".stripMargin
+
+  /** SCALED eval oracle for the sf1 sweep: truth replays in FULL
+    * (the shingle-join exact pass is pure relational SQL — cheap at
+    * sf1, unlike the per-byte hash chain), candidates splice the
+    * gated `aux_minhash_buckets` dump via [[minhashCtesSql]]'s
+    * spliceAux mechanism, and the estimate stage splices a FULL
+    * `aux_minhash_sigs` dump gated by zero symmetric difference
+    * against the sampled chain's `sig` CTE (signed/unsigned
+    * conversion follows the chk pattern) — any sampled divergence
+    * empties `gsig`, zeroing the estimate row and failing the hash
+    * compare loudly. */
+  private[ops] def dedupEvalPrScaledSql(sample: String): String = {
+    val h63u = "9223372036854775808"
+    s"""WITH ${minhashCtesSql(sample, spliceAux = true)},
+       |sigchk AS MATERIALIZED (
+       |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+       |    CAST(CASE WHEN sig < $h63u THEN sig ELSE sig - $M64 END
+       |      AS BIGINT) AS sig
+       |  FROM sig),
+       |auxsig AS MATERIALIZED (
+       |  SELECT doc_id, CAST(s AS BIGINT) AS s, sig
+       |  FROM aux_minhash_sigs),
+       |sigmism AS MATERIALIZED (
+       |  SELECT * FROM (SELECT doc_id, s, sig FROM sigchk
+       |    EXCEPT SELECT doc_id, s, sig FROM auxsig WHERE $sample) t1
+       |  UNION ALL
+       |  SELECT * FROM (SELECT doc_id, s, sig FROM auxsig
+       |      WHERE $sample
+       |    EXCEPT SELECT doc_id, s, sig FROM sigchk) t2),
+       |gsig AS MATERIALIZED (
+       |  SELECT doc_id, s, sig FROM auxsig
+       |  WHERE (SELECT COUNT(*) FROM sigmism) = 0),
+       |${dedupEvalPrTailSql("shv", "gsig")}""".stripMargin
+  }
+
   /** Oracle for [[lshAppend]]: the same signature chain, then
     * PER-SPLIT capped bucket frames (rank within the snapshot's
     * buckets and within the batch's buckets independently — exactly
@@ -2753,6 +2981,7 @@ object DedupOps {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowOracleSql,
+    "dedup_eval_pr" -> dedupEvalPrOracleSql,
     "dedup_lsh_append" -> lshAppendOracleSql("", spliceAux = false),
     "dedup_semantic_append" -> semanticAppendOracleSql,
     // same positional block grammar, same global first-wins rule,

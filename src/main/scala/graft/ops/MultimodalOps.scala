@@ -613,7 +613,81 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Per-dhash membership cap for [[videoNearDup]]'s shared-frame
+    * join: a boilerplate frame (intro card, black frame) present in
+    * thousands of videos would otherwise form one corpus-wide bucket
+    * and go quadratic — the [[graft.ops.DedupOps]] `defaultMaxBucket`
+    * argument on the video modality. */
+  private val VideoHashMaxSrc = 64
+  /** Video near-dup verdict threshold on frame-set Jaccard: sized so
+    * the fixture carries mass on BOTH sides at sf0.1 (3 pairs ≥,
+    * 35 <; probed 2026-08-16). */
+  private val VideoNearDupJ = 0.03
+
+  /** VIDEO-GRAIN NEAR-DUP SCAN (`mm_video_neardup`) — the third rung
+    * of the media-dedup ladder: [[phashFamilies]] dedups FRAMES,
+    * [[phashAppend]] gates arriving frames, this dedups whole VIDEOS
+    * (re-uploads, recuts, mirrors sharing most of their footage —
+    * the YouTube/CommonCrawl video-dedup shape): each source's video
+    * is its SET of distinct ingest-time frame dHashes (no per-serve
+    * decode, the `mm_scene_cuts` protocol), candidate video pairs
+    * share at least one exact frame hash (equi-join on dhash, per-
+    * hash membership capped at [[VideoHashMaxSrc]] with the overflow
+    * published as `graft_video_hash_overflow`), and each pair gets
+    * exact frame-set Jaccard + the [[VideoNearDupJ]] verdict.
+    *
+    * Scale shape: per-video hash sets are medium-bounded (hours ×
+    * fps); the only wide ops are the distinct + one equi-join whose
+    * candidate mass is ≤ Σ_hash cap² — never all-pairs across
+    * videos. Set sizes (n_a, n_b) join back UNCAPPED (the capped
+    * frame only bounds candidate/shared counting) via plain shuffle
+    * equi-joins — the sizes side is corpus-scale, so no broadcast.
+    * A Hamming-tolerant variant would route the same pair join
+    * through [[phashBlockRows]] band blocks; exact-hash matching is
+    * the storage-dedup grade this query serves. The oracle replays
+    * hash sets, cap rank rule, join and verdict from the pixel
+    * generator. */
+  def videoNearDup(s: SparkSession, d: String): DataFrame =
+    videoNearDupOn(pngTable(s, d).select(col("media_id"), col("dhash"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id")))
+
+  /** Core of [[videoNearDup]] over any (source, dhash) frame frame —
+    * parameterized for the planted cap/verdict spec. */
+  private[graft] def videoNearDupOn(frames: DataFrame): DataFrame = {
+    val ds = frames.select(col("source"), col("dhash")).distinct()
+    val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("nh"))
+    val wH = Window.partitionBy(col("dhash")).orderBy(col("source"))
+    val capped = ds.withColumn("__rank", row_number().over(wH))
+      .observe("graft_video_hash_overflow",
+        sum(when(col("__rank") > VideoHashMaxSrc, 1L).otherwise(0L))
+          .as("dropped"))
+      .filter(col("__rank") <= VideoHashMaxSrc)
+      .drop("__rank")
+    val shared = capped.as("x").join(capped.as("y"),
+        col("x.dhash") === col("y.dhash") &&
+          col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("src_a"),
+        col("nh").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"),
+        col("nh").as("n_b")), Seq("src_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .withColumn("verdict",
+        when(col("jaccard") >= VideoNearDupJ, lit("neardup"))
+          .otherwise(lit("distinct")))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"), col("verdict"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_neardup" -> videoNearDup,
     "mm_phash_append" -> phashAppend,
     "mm_build_report" -> mediaBuildReport,
     "mm_crossmodal_topk" -> crossmodalTopk,
@@ -663,6 +737,37 @@ object MultimodalOps {
        |  FROM lums GROUP BY media_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full replay of the video near-dup scan from the pixel
+    // generator: per-source distinct hash sets, UNCAPPED set sizes,
+    // the per-hash cap's rank rule, the shared-frame join, round-6
+    // Jaccard and the verdict threshold
+    "mm_video_neardup" ->
+      s"""WITH ${dhashCtesSql("")},
+         |vids AS (SELECT dh.media_id, d.source, dh.dhash
+         |  FROM dh JOIN documents d ON d.doc_id = dh.media_id),
+         |vds AS (SELECT DISTINCT source, dhash FROM vids),
+         |szs AS (SELECT source, COUNT(*) AS nh FROM vds GROUP BY source),
+         |cap AS (SELECT source, dhash FROM (
+         |    SELECT source, dhash, row_number() OVER (
+         |      PARTITION BY dhash ORDER BY source) AS rn FROM vds)
+         |  WHERE rn <= $VideoHashMaxSrc),
+         |shp AS (SELECT x.source AS src_a, y.source AS src_b,
+         |    COUNT(*) AS n_shared
+         |  FROM cap x JOIN cap y
+         |    ON x.dhash = y.dhash AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |j AS (SELECT src_a, src_b, n_shared,
+         |    sa.nh AS n_a, sb.nh AS n_b,
+         |    round(CAST(n_shared AS DOUBLE) /
+         |      (sa.nh + sb.nh - n_shared), 6) AS jaccard
+         |  FROM shp JOIN szs sa ON sa.source = shp.src_a
+         |  JOIN szs sb ON sb.source = shp.src_b)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  jaccard,
+         |  CASE WHEN jaccard >= $VideoNearDupJ THEN 'neardup'
+         |    ELSE 'distinct' END AS verdict
+         |FROM j ORDER BY src_a, src_b""".stripMargin,
     // full replay of the ingest gate from the pixel generator: the
     // shared dHash chain, snapshot families (min media_id per
     // (w, h, dhash)), valid-range band blocks, the cap's

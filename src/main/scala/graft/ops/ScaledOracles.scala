@@ -48,6 +48,8 @@ object ScaledOracles {
         DedupOps.winnowFingerprints(Tables.documents(s, d))),
       "aux_minhash_buckets" -> ((s, d) =>
         DedupOps.bandBuckets(fanOut(Tables.documents(s, d)))),
+      "aux_minhash_sigs" -> ((s, d) =>
+        DedupOps.minhashSigRows(Tables.documents(s, d))),
       "aux_simhash" -> ((s, d) =>
         DedupOps.simhashSketches(Tables.documents(s, d))),
       "aux_srp_t04" -> ((s, d) =>
@@ -91,6 +93,10 @@ object ScaledOracles {
   def oracles: Map[String, String] = Map(
     "dedup_winnow" -> DedupOps.winnowScaledSql(DocSample),
     "dedup_minhash_lsh" -> DedupOps.minhashScaledSql(DocSample),
+    // truth replays in full (relational shingle join); candidates
+    // splice aux_minhash_buckets, the estimate splices the gated
+    // aux_minhash_sigs dump
+    "dedup_eval_pr" -> DedupOps.dedupEvalPrScaledSql(DocSample),
     // shares aux_minhash_buckets (same signature chain; per-split
     // re-capping happens oracle-side over the gated dump)
     "dedup_lsh_append" -> DedupOps.lshAppendScaledSql(DocSample),

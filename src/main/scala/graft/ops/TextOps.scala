@@ -1452,8 +1452,8 @@ object TextOps {
     * the same scores it serves (review finding: the eval must score
     * the ranker it claims to judge — a k1/b/idf tweak now changes
     * both together, or neither). */
-  private def bm25ScoredOn(docs: DataFrame, queryTerms: DataFrame,
-      allTerms: Seq[String]): DataFrame = {
+  private[graft] def bm25ScoredOn(docs: DataFrame,
+      queryTerms: DataFrame, allTerms: Seq[String]): DataFrame = {
     val head = docs
       .select(size(tokensNonEmpty(col("text"))).as("len"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("suml")).head()
@@ -2107,7 +2107,116 @@ object TextOps {
            |ORDER BY source""".stripMargin
     }.toMap
 
+  /** INCREMENTAL INDEX MAINTENANCE (`search_index_append`) — the
+    * search family joins the append discipline (LSH/semantic/ANN/
+    * media gates): the corpus-level BM25 statistics — per-term
+    * document frequency plus the (N, ΣL) header every score depends
+    * on — are FROZEN once per corpus snapshot (doc_id ≡ 0‥7 mod 10)
+    * as two content-addressed artifacts (the inverted-index segment
+    * shape: a term-stats table + a segment header), and an arriving
+    * batch (≡ 8, 9) is scored WITHOUT re-reading any base text:
+    * tokenize the batch only, merge df/N/ΣL by addition, score the
+    * batch docs against the [[EvalQueries]] probe set with the
+    * merged stats, emit per-query top-10. A merge-rule divergence
+    * (double-counted df, stale header) shifts every idf/norm and
+    * fails the hash gate, because the oracle recomputes the SAME
+    * scores from the full corpus in one pass — merged ≡ rebuilt is
+    * the property the gate grades.
+    *
+    * Scale shape: batch-time cost is |batch| tokenizations + two
+    * scalar aggregates + a |query-vocab|-row broadcast merge join +
+    * the per-query rank cut over term-matching batch docs (the
+    * `search_eval_prk` pool shape) — the base corpus is never
+    * re-tokenized, never re-scanned. At 100 TB the df artifact is
+    * the term-sharded index segment catalog; merging stays a
+    * per-term addition. */
+  def searchIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val docs = Tables.documents(s, d)
+    val input = s"$d/documents.parquet"
+    val allTerms = EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct
+    // full-vocab df: THE index artifact (query-independent — a new
+    // probe set reuses it; the serve filters to its own terms)
+    val dfSnap = graft.ArtifactStore.parquet(s, "bm25_snap_df", input) {
+      docs.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"),
+          explode(array_distinct(tokensNonEmpty(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+    val statsSnap = graft.ArtifactStore.parquet(s, "bm25_snap_stats",
+        input) {
+      docs.filter(col("doc_id") % 10 < 8)
+        .select(size(tokensNonEmpty(col("text"))).as("len"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("len").cast("long")), lit(0L)).as("suml"))
+    }
+    searchIndexAppendOn(dfSnap, statsSnap,
+      docs.filter(col("doc_id") % 10 >= 8),
+      EvalQueries.flatMap { case (id, a, b) => Seq((id, a), (id, b)) }
+        .toDF("query_id", "term"),
+      allTerms)
+  }
+
+  /** Core of [[searchIndexAppend]], parameterized for the planted
+    * merged-≡-rebuilt differential spec. `dfSnap` = (term, df) over
+    * the frozen split, `statsSnap` = one (n, suml) header row,
+    * `batch` = the arriving (doc_id, text) rows. */
+  private[graft] def searchIndexAppendOn(dfSnap: DataFrame,
+      statsSnap: DataFrame, batch: DataFrame, queryTerms: DataFrame,
+      allTerms: Seq[String]): DataFrame = {
+    val sHead = statsSnap.select(col("n").cast("long"),
+      col("suml").cast("long")).head()
+    val (nBase, sumlBase) = (sHead.getLong(0), sHead.getLong(1))
+    val bHead = batch
+      .select(size(tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("suml"))
+      .head()
+    val (nDocs, sumLen) =
+      (nBase + bHead.getLong(0), sumlBase + bHead.getLong(1))
+    require(nDocs > 0 && sumLen > 0,
+      "searchIndexAppendOn: merged corpus is empty — stats header " +
+        "(N, ΣL) is undefined (missing/empty snapshot AND batch?)")
+    val tf = batch
+      .select(col("doc_id"), tokensNonEmpty(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("len"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // merged df = base + batch by per-term ADDITION (both frames are
+    // |query vocab|-bounded after the filter — a union + sum, no
+    // outer-join null dance)
+    val dfMerged = dfSnap.filter(col("term").isin(allTerms: _*))
+      .select(col("term"), col("df"))
+      .unionByName(tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    // the IDENTICAL scoring tree as bm25ScoredOn, on merged stats
+    val idf = log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("len") * nDocs).cast("double") / lit(sumLen.toDouble))
+    val scored = tf.join(broadcast(dfMerged), Seq("term"))
+      .join(broadcast(queryTerms), Seq("term"))
+      .withColumn("part_score",
+        idf * (col("tf") * lit(2.2)) / (col("tf") + norm))
+      .groupBy(col("query_id"), col("doc_id"), col("len"))
+      .agg(round(sum(col("part_score")), 6).as("score"),
+        sum(col("tf")).as("tf_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10L)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("len").cast("int").as("len"), col("tf_total"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_index_append" -> searchIndexAppend,
     "text_unigram_train" -> unigramTrain,
     "text_unigram_apply" -> unigramApply,
     "text_tokenizer_compare" -> tokenizerCompare,
@@ -2443,6 +2552,28 @@ object TextOps {
     // two-addend per-doc sum is order-free (IEEE addition is
     // commutative), so no pre-round is needed at |query| = 2
     "search_bm25_topk" -> bm25TopkOracleSql,
+    // merged ≡ rebuilt: the oracle scores the batch docs with stats
+    // recomputed over the FULL corpus in one pass (df/N/ΣL over
+    // base+batch = the engine's frozen-base + batch-delta addition,
+    // by definition of counting) — restricting sc to the batch split
+    // AFTER scoring keeps the full-corpus statistics
+    "search_index_append" -> {
+      val qVals = TextOps.EvalQueries.map { case (id, a, b) =>
+        s"($id, '$a', '$b')" }.mkString(", ")
+      s"""WITH ${bm25ScoredCtesSql(
+          s"""q(query_id, t1, t2) AS (VALUES $qVals),
+             |qt AS (SELECT query_id, t1 AS term FROM q
+             |  UNION ALL SELECT query_id, t2 FROM q)""".stripMargin,
+          TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct)},
+         |rk AS (SELECT query_id, doc_id, len, tf_total, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc WHERE doc_id % 10 >= 8)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(len AS INT) AS len, tf_total, score
+         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
     // the same BM25 chain (ONE shared CTE builder with the bm25
     // oracle) generalized to the 6-query eval set, then
     // phrase-containment relevance and the P/R/MRR metrics — every

@@ -2718,4 +2718,125 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rowsA.exists(_.getAs[Double]("compression") > 1.0))
   }
+
+  test("search index append: merged stats ≡ full rebuild on a planted " +
+      "split, batch-only term scored") {
+    import spark.implicits._
+    val all = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha delta"),
+      (2L, "beta beta beta epsilon"),
+      (3L, "gamma delta"),
+      (4L, "zeta eta"),
+      (7L, "alpha beta"),
+      (8L, "alpha theta theta"), // batch: theta exists NOWHERE in base
+      (9L, "beta gamma gamma iota") // batch
+    ).toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") % 10 < 8)
+    val batch = all.filter(col("doc_id") % 10 >= 8)
+    val qts = Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (2L, "theta")).toDF("query_id", "term")
+    val terms = Seq("alpha", "beta", "gamma", "theta")
+    val dfSnap = base.select(col("doc_id"), explode(array_distinct(
+        ops.TextOps.tokensNonEmpty(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val statsSnap = base
+      .select(size(ops.TextOps.tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len").cast("long")).as("suml"))
+    val got = ops.TextOps
+      .searchIndexAppendOn(dfSnap, statsSnap, batch, qts, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5))).toSeq
+    // rebuilt: the full-corpus scoring path (the SAME tree
+    // search_bm25_topk grades) restricted to the batch split + rank
+    val full = ops.TextOps.bm25ScoredOn(all, qts, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getLong(4)))
+      .filter(_._2 % 10 >= 8)
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy(t => (-t._4, t._2)).take(10).zipWithIndex.map {
+        case ((_, did, len, score, tft), i) =>
+          (qid, (i + 1).toLong, did, len, tft, score)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected,
+      s"append path diverges from full rebuild:\n$got\nvs\n$expected")
+    // non-vacuity: the batch-only term really scored (df_base absent
+    // for 'theta' exercises the union-merge's missing-term side)
+    assert(got.exists(t => t._1 == 2L && t._3 == 8L),
+      "batch-only term 'theta' should score doc 8 under query 2")
+  }
+
+  test("dedup eval: planted near-dup found by both stages, " +
+      "dup-free corpus yields defined zeros") {
+    import spark.implicits._
+    val txt = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val docs = Seq(
+      (1L, txt),
+      (2L, txt + " extra tail words here"),
+      (3L, "completely different content with nothing shared at all " +
+        "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp")
+    ).toDF("doc_id", "text")
+    val got = ops.DedupOps.dedupEvalPrOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val band = got.find(_._1 == "band").get
+    val est = got.find(_._1 == "minhash_est").get
+    assert(band._3 == 1L, s"exactly one planted true pair: $got")
+    assert(band._2 >= 1L && band._4 == 1L,
+      s"banding must surface the planted near-identical pair: $got")
+    assert(est._4 == 1L,
+      s"the 32-hash estimate must predict the planted pair: $got")
+    assert(band._6 == 1.0 && est._6 == 1.0, s"recall must be 1: $got")
+    // dup-free corpus: zero counts with DEFINED 0.0 metrics (the
+    // empty-pool coalesce path, not NULL/NaN)
+    val none = ops.DedupOps.dedupEvalPrOn(Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk"),
+      (2L, "mmmm nnnn oooo pppp qqqq rrrr ssss tttt uuuu vvvv wwww"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(none.map(_._1) == Seq("band", "minhash_est"))
+    assert(none.forall(t => t._3 == 0L && t._4 == 0L &&
+      t._5 == 0.0 && t._6 == 0.0), s"degenerate rows drifted: $none")
+  }
+
+  test("video near-dup: hand-computed jaccard, both verdicts, " +
+      "per-hash cap rule visible") {
+    import spark.implicits._
+    // A{1,2,3,4} B{3,4,5,6}: J = 2/6 → neardup.
+    // E = {1} ∪ {100..138}: (A,E) J = 1/43 ≈ 0.0233 → distinct.
+    // C{99}: shares nothing → absent from the output entirely.
+    val frames = (
+      Seq(1L, 2L, 3L, 4L).map(("vidA", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("vidB", _)) ++
+      (Seq(1L) ++ (100L to 138L)).map(("vidE", _)) ++
+      Seq(("vidC", 99L))
+    ).toDF("source", "dhash")
+    val got = ops.MultimodalOps.videoNearDupOn(frames).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getString(6)))
+      .toSeq
+    assert(got == Seq(
+      ("vidA", "vidB", 2L, 4L, 4L, 0.333333, "neardup"),
+      ("vidA", "vidE", 1L, 4L, 40L, 0.023256, "distinct")),
+      s"hand-computed pairs drifted: $got")
+    // cap rule: 65 videos share hash 777; the cap keeps the first 64
+    // by source order, so the lexicographically-last video's 777 row
+    // is dropped — its only surviving pair evidence is hash 888,
+    // while the kept 64 form exactly C(64,2) full-strength pairs
+    val srcs = (0 until 65).map(i => f"w$i%02d")
+    val capFrames = (srcs.map((_, 777L)) ++
+      Seq((srcs.head, 888L), (srcs.last, 888L))).toDF("source", "dhash")
+    val capped = ops.MultimodalOps.videoNearDupOn(capFrames).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val last = srcs.last
+    val lastPairs = capped.filter(t => t._2 == last || t._1 == last)
+    assert(lastPairs.toSeq == Seq((srcs.head, last, 1L)),
+      s"capped-out video must only pair via its uncapped hash: " +
+        s"${lastPairs.toSeq}")
+    assert(capped.length == 64 * 63 / 2 + 1,
+      s"kept buckets must form exactly C(64,2) pairs + the 888 pair: " +
+        s"${capped.length}")
+  }
 }

@@ -90,7 +90,16 @@ class ScaleProbeSpec extends AnyFunSuite {
     // ingest gate (cap-bounded band join over the frozen dHash
     // families; the probed path is the batch probe against the warm
     // artifact)
-    "search_eval_hybrid", "mm_phash_append")
+    "search_eval_hybrid", "mm_phash_append",
+    // round-15 continuation: the dedup-quality eval (TWO full exact
+    // corpus passes — prefix-filter truth + banding — plus the
+    // pool-bounded estimate tail) and the incremental index gate
+    // (batch-only tokenize against the frozen df/header artifacts;
+    // the probed path is the batch serve). mm_video_neardup is not
+    // probed: per-video hash sets are medium-bounded and the pair
+    // join is cap-bounded — flat by construction, the scene-cuts
+    // class
+    "dedup_eval_pr", "search_index_append")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
