@@ -206,6 +206,79 @@ object EtlParity {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** t-closeness audit — the third member of the release-gate triad
+    * ([[kAnonymity]]: classes big enough; [[lDiversity]]: sensitive
+    * values varied enough; this: the class's sensitive DISTRIBUTION
+    * close enough to the global one — a class can pass k and l while
+    * skewing overwhelmingly toward one tail, which still leaks).
+    * Per quasi-identifier class, Earth Mover's Distance between the
+    * class and global distributions of the ORDERED sensitive
+    * attribute (acctbal at the same $1000 band grain as the l gate):
+    * EMD = Σᵢ |cumP − cumQ| / (m−1) over the m global bands (Li et
+    * al., ICDE'07 — the ordered-attribute form).
+    *
+    * Exactness: every cumulative is an integer count, and the
+    * per-band term is written over the COMMON denominator —
+    * |cum_c·N − cumg·N_c| — so the whole sum is exact BIGINT; ONE
+    * IEEE division by the double product N_c·N·(m−1) (same literal
+    * association order in both engines) + the final 6-round ends it.
+    * (At 100 TB the n² products take the `stat_ks_test` DECIMAL
+    * widening; BIGINT is exact at every graded SF.)
+    *
+    * Scale shape: the global band histogram is VALUE-DOMAIN-bounded
+    * (~11 bands at this grain) — collected once, cumsum'd at the
+    * driver and re-entered as a literal struct array, so the plan
+    * has NO global window and NO cross join: the dense class×band
+    * grid is a narrow explode of that literal per class row, the
+    * per-class cumsum is a window PARTITIONED by class (m rows
+    * each), and everything else is the k/l gates' one partial-agg
+    * shuffle at the quasi-tuple grain. */
+  def tCloseness(s: SparkSession, d: String): DataFrame =
+    tClosenessOn(Tables.customer(s, d))
+
+  /** Core of [[tCloseness]] over any (c_nationkey, c_mktsegment,
+    * c_acctbal) frame — parameterized for the hand-computed spec. */
+  private[graft] def tClosenessOn(custRaw: DataFrame): DataFrame = {
+    val T = 0.05
+    val cust = custRaw
+      .withColumn("band", floor(col("c_acctbal") / 1000.0).cast("long"))
+    val g = cust.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+      .orderBy(col("band")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(g.length >= 2,
+      "t-closeness: need at least 2 global sensitive bands — EMD's " +
+        "m-1 normalizer is undefined on a constant attribute")
+    val n = g.map(_._2).sum
+    val m = g.length
+    val cums = g.map(_._2).scanLeft(0L)(_ + _).tail
+    val bandLit = array(g.zip(cums).map { case ((b, _), cg) =>
+      struct(lit(b).as("band"), lit(cg).as("cumg")) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("band"))
+    cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        explode(bandLit).as("bd"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("bd.band").as("band"), col("bd.cumg").as("cumg"))
+      .join(cust.groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("band"))
+        .agg(count(lit(1)).as("ncb")),
+        Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .na.fill(0L, Seq("ncb"))
+      .withColumn("cumc", sum(col("ncb")).over(w))
+      .withColumn("term",
+        abs(col("cumc") * n - col("cumg") * col("class_size")))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("class_size"))
+      .agg(round(sum(col("term")).cast("double") /
+        (col("class_size").cast("double") * lit(n.toDouble) *
+          lit((m - 1).toDouble)), 6).as("emd"))
+      .withColumn("meets_t", col("emd") <= T)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   /** Differentially-private counts (ε = 1, sensitivity 1) — the
     * RELEASE side of the privacy family ([[kAnonymity]] and
     * [[lDiversity]] audit; this perturbs): per equivalence class,
@@ -277,6 +350,7 @@ object EtlParity {
     "quality_expectations" -> qualityExpectations,
     "privacy_k_anonymity" -> kAnonymity,
     "privacy_l_diversity" -> lDiversity,
+    "privacy_t_closeness" -> tCloseness,
     "privacy_dp_count" -> dpCount,
     "etl_null_normalize" -> nullNormalize,
     "etl_int_coercion" -> intCoercion,
@@ -384,6 +458,37 @@ object EtlParity {
         |  COUNT(*) >= 5 AS meets_k
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // the identical exact-integer EMD chain: global band cumsums,
+    // dense class×band grid, common-denominator BIGINT terms, ONE
+    // double division in the same association order, round 6
+    "privacy_t_closeness" ->
+      """WITH g AS (SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+        |    AS band, COUNT(*) AS gc FROM customer GROUP BY 1),
+        |gt AS (SELECT band, SUM(gc) OVER (ORDER BY band) AS cumg,
+        |    (SELECT CAST(SUM(gc) AS BIGINT) FROM g) AS n,
+        |    (SELECT COUNT(*) FROM g) AS m FROM g),
+        |cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS nc
+        |  FROM customer GROUP BY 1, 2),
+        |cb AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    COUNT(*) AS ncb FROM customer GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc,
+        |    gt.band, gt.cumg, gt.n, gt.m, COALESCE(cb.ncb, 0) AS ncb
+        |  FROM cls CROSS JOIN gt
+        |  LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+        |    AND cb.c_mktsegment = cls.c_mktsegment
+        |    AND cb.band = gt.band),
+        |cum AS (SELECT *, SUM(ncb) OVER (
+        |    PARTITION BY c_nationkey, c_mktsegment ORDER BY band)
+        |    AS cumc FROM grid),
+        |emd AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(nc AS BIGINT) AS class_size,
+        |    round(CAST(SUM(abs(cumc * n - cumg * nc)) AS DOUBLE) /
+        |      (CAST(nc AS DOUBLE) * n * (m - 1)), 6) AS emd
+        |  FROM cum GROUP BY c_nationkey, c_mktsegment, nc, n, m)
+        |SELECT c_nationkey, c_mktsegment, class_size, emd,
+        |  emd <= 0.05 AS meets_t
+        |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "quality_expectations" ->
       """SELECT rule, violations, violations = 0 AS passed FROM (
         |  SELECT 'orderkey_unique' AS rule,

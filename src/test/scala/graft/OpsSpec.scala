@@ -2801,6 +2801,35 @@ class OpsSpec extends AnyFunSuite {
       t._5 == 0.0 && t._6 == 0.0), s"degenerate rows drifted: $none")
   }
 
+  test("t-closeness: hand-computed EMD — mirror class 0, both tails " +
+      "0.5, constant attribute guarded") {
+    import spark.implicits._
+    // global: band0 = 3, band1 = 3 (N = 6, m = 2, cumg = [3, 6]).
+    // A mirrors the global distribution exactly -> EMD 0 (meets);
+    // B skews entirely to the low tail, C to the high tail -> both
+    // |cum diffs| = [6, 0] -> EMD = 6/(2*6*1) = 0.5 (violate) —
+    // the leak k- and l-style gates cannot see (B and C both have
+    // 2 members and would pass a k=2 gate)
+    val cust = Seq(
+      (1, "X", 500.0), (1, "X", 1500.0),
+      (2, "Y", 500.0), (2, "Y", 600.0),
+      (3, "Z", 1500.0), (3, "Z", 1600.0)
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = ops.EtlParity.tClosenessOn(cust).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1, "X", 2L, 0.0, true),
+      (2, "Y", 2L, 0.5, false),
+      (3, "Z", 2L, 0.5, false)), s"hand-computed EMD drifted: $got")
+    // a constant sensitive attribute has no m-1 normalizer — loud
+    val ex = intercept[IllegalArgumentException] {
+      ops.EtlParity.tClosenessOn(Seq((1, "X", 100.0), (2, "Y", 200.0))
+        .toDF("c_nationkey", "c_mktsegment", "c_acctbal")).collect()
+    }
+    assert(ex.getMessage.contains("at least 2 global sensitive bands"))
+  }
+
   test("video near-dup: hand-computed jaccard, both verdicts, " +
       "per-hash cap rule visible") {
     import spark.implicits._
