@@ -30,10 +30,18 @@ object AudioCodec {
 
   /** Sample formula — the single source of truth shared by the WAV
     * generator and replayed by the DuckDB oracle: a full-range
-    * deterministic s16 signal (7919 is prime, so consecutive samples
-    * stride the whole 2¹⁶ ring). */
+    * deterministic s16 signal. The stride is PER-ID (7919 + 2·(id
+    * mod 127), always odd so every clip still walks the whole 2¹⁶
+    * ring): a constant stride made frame-energy rise patterns nearly
+    * id-independent — 99.4 % of clips shared an exact fingerprint
+    * family with the frozen split, collapsing the ingest gate's
+    * verdict to one side (the r15 dHash x-step finding, audio
+    * edition). Any change here must bump the wav_media AND
+    * afp_snap_blocks artifact versions and re-verify the mm_audio
+    * family at every SF. */
   def sampleValue(id: Long, i: Long): Int =
-    (((id * 31L + i * 7919L) % 65536L) - 32768L).toInt
+    (((id * 31L + i * (7919L + 2L * (id % 127L))) % 65536L)
+      - 32768L).toInt
 
   /** Clip length per media id: 512–1536 samples by id residue. */
   def sampleCount(id: Long): Int = ((id % 5 + 2) * 256).toInt

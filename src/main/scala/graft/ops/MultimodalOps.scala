@@ -281,7 +281,10 @@ object MultimodalOps {
     * materialized once per corpus snapshot — the [[pngTable]]
     * discipline for the audio modality. */
   private def wavTable(s: SparkSession, d: String): DataFrame =
-    graft.ArtifactStore.parquet(s, "wav_media", s"$d/documents.parquet") {
+    // v2: per-id sample stride (AudioCodec.sampleValue) — version
+    // must track the generator formula, same contract as png_media
+    graft.ArtifactStore.parquet(s, "wav_media", s"$d/documents.parquet",
+        version = 2) {
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
@@ -338,6 +341,110 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_media"),
         min(col("media_id")).as("min_media_id"))
       .orderBy(col("afp"))
+
+  private val AfpHamT = 3L // duplicate iff hamming(afp, family) <= 3
+  private val AfpBlocks = 4 // = AfpHamT + 1: the pigeonhole budget
+  private val AfpMaxBucket = 32 // frozen-side families kept per bucket
+
+  /** Band-block rows for an `(media_id?, nf, afp)` frame — the
+    * [[phashBlockRows]] pigeonhole on the audio modality: the valid
+    * nf−1 fingerprint bits (one per adjacent-frame energy pair)
+    * sliced into [[AfpBlocks]] equal blocks of width ⌈(nf−1)/4⌉,
+    * keyed by `(nf, blk, val)`. Stratification is BY FRAME COUNT —
+    * clip fingerprints are variable-length, so bit layouts only
+    * compare within an nf class, and (exactly the dHash argument)
+    * the all-zero high blocks of short fingerprints never form
+    * corpus-wide buckets. */
+  private def afpBlockRows(fps: DataFrame): DataFrame =
+    fps
+      .withColumn("bw", expr("CAST((nf - 1 + 3) div 4 AS INT)"))
+      .withColumn("blk", explode(sequence(lit(0), lit(AfpBlocks - 1))))
+      .withColumn("val",
+        expr("shiftright(afp, blk * bw) & " +
+          "(shiftleft(CAST(1 AS BIGINT), bw) - 1)"))
+      .drop("bw")
+
+  /** AUDIO INGEST GATE (`mm_audio_append`) — the [[phashAppend]]
+    * discipline on the audio modality, completing the append ladder
+    * across every modality (text / embedding / image / audio): the
+    * snapshot's acoustic-fingerprint FAMILIES (min-media_id
+    * representative per distinct (nf, afp), media_id ≡ 0..7 mod 10)
+    * freeze once per corpus snapshot as capped band-block buckets;
+    * an arriving batch (≡ 8, 9) parses its own RIFF/WAVE blobs (the
+    * REAL codegen'd [[graft.functions.AudioFingerprint]] — batch-
+    * side decode only, the corpus is never re-parsed) and every
+    * batch clip gets the per-media ingest verdict: candidate family
+    * count, near-duplicate count (Hamming ≤ [[AfpHamT]]), exact min
+    * Hamming, admit/reject.
+    *
+    * Scale shape: frozen buckets cap at [[AfpMaxBucket]] families
+    * (keep-lowest keep_id, overflow observed), the batch emits
+    * exactly [[AfpBlocks]] rows per clip, so candidate mass is ≤
+    * batch · blocks · cap — batch-linear regardless of corpus skew;
+    * the join is an equi-join on (nf, blk, val) and the verify one
+    * codegen'd `bit_count(xor)` per distinct candidate. The DuckDB
+    * oracle replays every bit from the sample generator (energies,
+    * rises, packing, families, the cap's rank rule, Hamming, the
+    * verdict). */
+  def audioAppend(s: SparkSession, d: String): DataFrame = {
+    val input = s"$d/documents.parquet"
+    val fps = wavTable(s, d)
+      .withColumn("m", audioMeta(col("blob")))
+      .select(col("media_id"),
+        col("m").getField("n_samples").cast("long").as("ns"),
+        audioFingerprint(col("blob")).as("afp"))
+      .withColumn("nf", expr("CAST(ns div 64 AS BIGINT)"))
+      .drop("ns")
+    // version MUST track wav_media's (both derive from the sample
+    // generator; this artifact's input fingerprint — documents
+    // .parquet — does not cover the generator): the phash_snap
+    // review finding applied to the audio snapshot
+    val frozen = graft.ArtifactStore.parquet(s, "afp_snap_blocks",
+        input, version = 2) {
+      val fams = fps.filter(col("media_id") % 10 < 8)
+        .groupBy(col("nf"), col("afp"))
+        .agg(min(col("media_id")).as("keep_id"))
+      val wB = Window.partitionBy(col("nf"), col("blk"), col("val"))
+        .orderBy(col("keep_id"))
+      afpBlockRows(fams)
+        .withColumn("__rank", row_number().over(wB))
+        .observe("graft_afp_snap_overflow",
+          sum(when(col("__rank") > AfpMaxBucket, 1L).otherwise(0L))
+            .as("dropped"))
+        .filter(col("__rank") <= AfpMaxBucket)
+        .drop("__rank")
+        .withColumnRenamed("afp", "fam_afp")
+    }
+    audioAppendOn(frozen, fps.filter(col("media_id") % 10 >= 8))
+  }
+
+  /** Core of [[audioAppend]], parameterized for the planted
+    * reject-path spec. `frozen` carries `(nf, fam_afp, keep_id, blk,
+    * val)` capped block rows; `batch` is the incoming `(media_id,
+    * nf, afp)` frame. */
+  private[graft] def audioAppendOn(frozen: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val cand = frozen.join(afpBlockRows(batch), Seq("nf", "blk", "val"))
+      .select(col("media_id"), col("afp"), col("fam_afp"),
+        col("keep_id"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(afp ^ fam_afp)").cast("long"))
+    val agg = cand.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= AfpHamT, 1L).otherwise(0L))
+          .as("n_dups"),
+        min(col("hamming")).as("min_hamming"))
+    batch.select(col("media_id"))
+      .join(agg, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("min_hamming"),
+        when(coalesce(col("n_dups"), lit(0L)) > 0L, lit("reject"))
+          .otherwise(lit("admit")).as("verdict"))
+      .orderBy(col("media_id"))
+  }
 
   private val XmQueries = 4L // bounded image-query side
   private val XmTopK = 10 // results per query
@@ -686,8 +793,33 @@ object MultimodalOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** ONE definition of the acoustic-fingerprint generator replay
+    * (CTE chain `m/fr/sm/e/b/fp` from `documents` to per-media
+    * `afp`) shared by every oracle that re-derives the fingerprint —
+    * families and the ingest gate (the [[dhashCtesSql]] rule: a
+    * sample-formula or packing change edits ONE string). */
+  private def afpCtesSql: String =
+    """m AS (SELECT doc_id AS media_id,
+      |    (doc_id % 5 + 2) * 256 AS n FROM documents),
+      |fr AS (SELECT media_id, unnest(range(0, n // 64)) AS f FROM m),
+      |sm AS (SELECT media_id, f, unnest(range(0, 64)) AS j FROM fr),
+      |e AS (SELECT media_id, f,
+      |    CAST(SUM(sv * sv) AS BIGINT) AS e FROM (
+      |    SELECT media_id, f,
+      |      ((media_id * 31 + (f * 64 + j)
+      |        * (7919 + 2 * (media_id % 127))) % 65536) - 32768 AS sv
+      |    FROM sm) t GROUP BY media_id, f),
+      |b AS (SELECT media_id, f, e,
+      |    lag(e) OVER (PARTITION BY media_id ORDER BY f) AS pe FROM e),
+      |fp AS (SELECT media_id,
+      |    CAST(SUM(CASE WHEN pe IS NOT NULL AND e > pe
+      |      THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT))
+      |      ELSE 0 END) AS BIGINT) AS afp
+      |  FROM b GROUP BY media_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_video_neardup" -> videoNearDup,
+    "mm_audio_append" -> audioAppend,
     "mm_phash_append" -> phashAppend,
     "mm_build_report" -> mediaBuildReport,
     "mm_crossmodal_topk" -> crossmodalTopk,
@@ -877,7 +1009,8 @@ object MultimodalOps {
          |  CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_dist,
          |  CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_dist
          |FROM di GROUP BY source ORDER BY source""".stripMargin,
-    // the sample-generator replay: sv = (id·31 + i·7919) mod 2¹⁶ −
+    // the sample-generator replay: sv = (id·31 + i·(7919+2·(id%127)))
+    // mod 2¹⁶ −
     // 2¹⁵ over n = (id mod 5 + 2)·256 samples — energy/peak exact
     // integers, zero-crossings from the lag sign flip
     "mm_audio_features" ->
@@ -885,7 +1018,8 @@ object MultimodalOps {
         |    CAST((doc_id % 5 + 2) * 256 AS BIGINT) AS n FROM documents),
         |i AS (SELECT media_id, n, unnest(range(0, n)) AS ii FROM m),
         |sm AS (SELECT media_id, n, ii,
-        |    ((media_id * 31 + ii * 7919) % 65536) - 32768 AS sv FROM i),
+        |    ((media_id * 31 + ii * (7919 + 2 * (media_id % 127)))
+        |      % 65536) - 32768 AS sv FROM i),
         |z AS (SELECT media_id, n, sv,
         |    lag(sv) OVER (PARTITION BY media_id ORDER BY ii) AS pv
         |  FROM sm)
@@ -896,27 +1030,62 @@ object MultimodalOps {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     // every BIT re-derived from the sample generator: 64-sample frame
-    // energies Σ sv² with sv = ((id·31 + i·7919) mod 65536) − 32768,
+    // energies Σ sv² with sv = ((id·31 + i·(7919 + 2·(id mod 127)))
+    // mod 65536) − 32768,
     // bit f−1 set iff e(f) > e(f−1)
     "mm_audio_fingerprint" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |    (doc_id % 5 + 2) * 256 AS n FROM documents),
-        |fr AS (SELECT media_id, unnest(range(0, n // 64)) AS f FROM m),
-        |sm AS (SELECT media_id, f, unnest(range(0, 64)) AS j FROM fr),
-        |e AS (SELECT media_id, f,
-        |    CAST(SUM(sv * sv) AS BIGINT) AS e FROM (
-        |    SELECT media_id, f,
-        |      ((media_id * 31 + (f * 64 + j) * 7919) % 65536) - 32768 AS sv
-        |    FROM sm) t GROUP BY media_id, f),
-        |b AS (SELECT media_id, f, e,
-        |    lag(e) OVER (PARTITION BY media_id ORDER BY f) AS pe FROM e),
-        |fp AS (SELECT media_id,
-        |    CAST(SUM(CASE WHEN pe IS NOT NULL AND e > pe
-        |      THEN (CAST(1 AS BIGINT) << CAST(f - 1 AS INT))
-        |      ELSE 0 END) AS BIGINT) AS afp
-        |  FROM b GROUP BY media_id)
+      s"""WITH $afpCtesSql
         |SELECT afp, COUNT(*) AS n_media, MIN(media_id) AS min_media_id
         |FROM fp GROUP BY afp ORDER BY afp""".stripMargin,
+    // full replay of the audio ingest gate from the sample generator:
+    // the shared fingerprint chain, snapshot families (min media_id
+    // per (nf, afp)), frame-count-stratified band blocks, the cap's
+    // keep-lowest-keep_id rank rule, batch probe, bit_count(xor)
+    // verify at the same threshold, and the per-media verdict tail —
+    // the mm_phash_append oracle shape with geometry = frame count
+    "mm_audio_append" ->
+      s"""WITH $afpCtesSql,
+         |mt AS (SELECT fp.media_id, CAST(m.n // 64 AS BIGINT) AS nf,
+         |    fp.afp FROM fp JOIN m USING (media_id)),
+         |fam AS (SELECT nf, afp, MIN(media_id) AS keep_id
+         |  FROM mt WHERE media_id % 10 < 8 GROUP BY nf, afp),
+         |ks AS (SELECT unnest(range(0, $AfpBlocks)) AS blk),
+         |fb AS (SELECT f.*, ks.blk,
+         |    (f.afp >> CAST(ks.blk * ((f.nf - 1 + 3) // 4) AS INT))
+         |      & ((CAST(1 AS BIGINT)
+         |        << CAST((f.nf - 1 + 3) // 4 AS INT)) - 1) AS val
+         |  FROM fam f CROSS JOIN ks),
+         |cap AS (SELECT *, row_number() OVER (
+         |    PARTITION BY nf, blk, val ORDER BY keep_id) AS rn
+         |  FROM fb),
+         |fz AS (SELECT nf, blk, val, afp AS fam_afp, keep_id
+         |  FROM cap WHERE rn <= $AfpMaxBucket),
+         |bt AS (SELECT media_id, nf, afp FROM mt
+         |  WHERE media_id % 10 >= 8),
+         |bb AS (SELECT b.*, ks.blk,
+         |    (b.afp >> CAST(ks.blk * ((b.nf - 1 + 3) // 4) AS INT))
+         |      & ((CAST(1 AS BIGINT)
+         |        << CAST((b.nf - 1 + 3) // 4 AS INT)) - 1) AS val
+         |  FROM bt b CROSS JOIN ks),
+         |cd AS (SELECT DISTINCT b.media_id, b.afp, f.fam_afp
+         |  FROM bb b JOIN fz f USING (nf, blk, val)),
+         |hm AS (SELECT media_id,
+         |    CAST(bit_count(xor(afp, fam_afp)) AS BIGINT) AS hamming
+         |  FROM cd),
+         |ag AS (SELECT media_id, COUNT(*) AS n_candidates,
+         |    CAST(SUM(CASE WHEN hamming <= $AfpHamT THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dups,
+         |    MIN(hamming) AS min_hamming
+         |  FROM hm GROUP BY media_id)
+         |SELECT b.media_id,
+         |  COALESCE(ag.n_candidates, 0) AS n_candidates,
+         |  COALESCE(ag.n_dups, 0) AS n_dups,
+         |  ag.min_hamming,
+         |  CASE WHEN COALESCE(ag.n_dups, 0) > 0 THEN 'reject'
+         |    ELSE 'admit' END AS verdict
+         |FROM (SELECT DISTINCT media_id FROM bt) b
+         |LEFT JOIN ag USING (media_id)
+         |ORDER BY b.media_id""".stripMargin,
     // the query-side dHashes re-derived bit-by-bit from the pixel
     // generator (the mm_phash_families formula, query slice only),
     // then the sign-projected exact-integer dot against every

@@ -2801,6 +2801,47 @@ class OpsSpec extends AnyFunSuite {
       t._5 == 0.0 && t._6 == 0.0), s"degenerate rows drifted: $none")
   }
 
+  test("audio ingest verdict: planted duplicate rejects, pigeonhole " +
+      "evader admits, frame-count stratification and buckets load-bearing") {
+    import spark.implicits._
+    // one frozen family at nf = 9: bits = 8, block width (9+2)/4 = 2
+    val famA = 0xA5L // 1010_0101
+    def blocksOf(afp: Long, nf: Int): Seq[(Int, Long)] = {
+      val bw = (nf - 1 + 3) / 4
+      (0 until 4).map(b => b -> ((afp >> (b * bw)) & ((1L << bw) - 1)))
+    }
+    val frozen = blocksOf(famA, 9)
+      .map { case (blk, v) => (9L, blk, v, famA, 3L) }
+      .toDF("nf", "blk", "val", "fam_afp", "keep_id")
+    val batch = Seq(
+      (80L, 9L, famA), // exact family hit -> hamming 0, reject
+      // flips in blocks 0 and 3; blocks 1, 2 still collide ->
+      // candidate, hamming 2 <= 3 -> reject
+      (81L, 9L, famA ^ (1L << 1) ^ (1L << 7)),
+      // one flip in EVERY 2-bit block: hamming 4 exceeds the
+      // threshold AND evades the 4-block pigeonhole -> admit
+      (82L, 9L, famA ^ 1L ^ (1L << 2) ^ (1L << 4) ^ (1L << 6)),
+      // the SAME fingerprint at a different frame count must NOT
+      // collide — the nf stratification is load-bearing
+      (83L, 13L, famA)
+    ).toDF("media_id", "nf", "afp")
+    val got = ops.MultimodalOps.audioAppendOn(frozen, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toSeq
+    assert(got === Seq(
+      (80L, 1L, 1L, Some(0L), "reject"),
+      (81L, 1L, 1L, Some(2L), "reject"),
+      (82L, 0L, 0L, None, "admit"),
+      (83L, 0L, 0L, None, "admit")))
+    // wrong-bucket control: shifted frozen vals must change the answer
+    val badFrozen = frozen.withColumn("val", col("val") + 1L)
+    val bad = ops.MultimodalOps.audioAppendOn(badFrozen, batch)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    assert(bad != got.map(t => (t._1, t._5)).toSet,
+      "control: shifted frozen buckets not visible in the result")
+  }
+
   test("t-closeness: hand-computed EMD — mirror class 0, both tails " +
       "0.5, constant attribute guarded") {
     import spark.implicits._

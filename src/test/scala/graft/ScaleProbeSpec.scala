@@ -99,7 +99,11 @@ class ScaleProbeSpec extends AnyFunSuite {
     // probed: per-video hash sets are medium-bounded and the pair
     // join is cap-bounded — flat by construction, the scene-cuts
     // class
-    "dedup_eval_pr", "search_index_append")
+    "dedup_eval_pr", "search_index_append",
+    // the audio ingest gate (cap-bounded band join over the frozen
+    // fingerprint families — the mm_phash_append class; batch-side
+    // RIFF parse is the only decode)
+    "mm_audio_append")
   private val maxRatio = 15.0
   private val smallFloorSec = 0.4
 
