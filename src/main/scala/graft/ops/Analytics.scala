@@ -506,16 +506,40 @@ object Analytics {
     * maintenance artifact — built once per corpus snapshot, served
     * as a scan. */
   def labelPropagation(s: SparkSession, d: String): DataFrame =
-    graft.ArtifactStore.parquet(s, "graph_lpa_summary",
+    lpaLabels(s, d)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+      .orderBy(col("size").desc, col("community"))
+
+  /** The full LPA labeling as a content-addressed artifact —
+    * `(node, label)` for EVERY node, built once per corpus snapshot
+    * and shared by the community summary ([[labelPropagation]]) and
+    * the clustering-quality eval ([[graphEvalModularity]]): the
+    * eval judges the SAME labeling the summary serves, and the
+    * iterative build runs once, not per consumer. (v2 of the old
+    * graph_lpa_summary artifact, which stored only the top-20 agg.) */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactStore.parquet(s, "graph_lpa_labels",
         s"$d/lineitem.parquet") {
-      lpaOn(partEdges(s, d))
-    }.orderBy(col("size").desc, col("community"))
+      lpaLabelsOn(partEdges(s, d))
+    }
 
   /** Core of [[labelPropagation]] over any symmetric (src, dst) edge
     * frame — parameterized for known-graph tests. Returns the 20
     * largest communities (size desc, label asc — a total order, so
     * the cut is deterministic). */
-  private[graft] def lpaOn(edges: DataFrame): DataFrame = {
+  private[graft] def lpaOn(edges: DataFrame): DataFrame =
+    lpaLabelsOn(edges)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+
+  /** The synchronous-LPA iteration loop itself — the full
+    * `(node, label)` frame after [[LpaIters]] rounds. */
+  private[graft] def lpaLabelsOn(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("node"), col("src").as("label"))
       .localCheckpoint(true)
@@ -533,16 +557,74 @@ object Analytics {
         .select(col("dst").as("node"), col("label"))
         .localCheckpoint(true)
     }
-    labels.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("community"))
-      .limit(20)
+    labels
+  }
+
+  /** CLUSTERING-QUALITY EVALUATION (`graph_eval_modularity`) — the
+    * eval discipline on the graph family (search has P@k, ANN has
+    * recall, dedup has P/R; community detection's standard quality
+    * score is Newman MODULARITY): Q = Σ_c [l_c/m − (d_c/2m)²] of
+    * the SAME labeling `graph_label_propagation` serves (one shared
+    * artifact — the eval cannot drift from the algorithm it
+    * judges). A labeling that chases tiny or tail-heavy communities
+    * shows up as a falling Q before any downstream consumer does.
+    *
+    * Exactness: with E = 2m symmetric edge rows, L_c = directed
+    * intra-community row count (= 2·l_c), the score is
+    * Σ_c (L_c·E − d_c²) / E² — every numerator term an exact
+    * BIGINT (Σ L_c·E ≤ E², Σ d_c² ≤ E²), ONE double division in a
+    * fixed association order + round 6 (the t-closeness idiom; at
+    * 100 TB the E² products take the stat_ks_test DECIMAL
+    * widening).
+    *
+    * Scale shape: two equi-joins of the edge frame against the
+    * node-grain labeling (co-partitionable on node id), two
+    * partial-agg shuffles at the community grain, one full-outer
+    * merge of community-grain frames, one scalar tail. The edge
+    * count is the one driver scalar (the decayedTrend shape). */
+  def graphEvalModularity(s: SparkSession, d: String): DataFrame =
+    modularityOn(partEdges(s, d), lpaLabels(s, d))
+
+  /** Core of [[graphEvalModularity]] over any symmetric edge frame
+    * and node-grain labeling — parameterized for the known-graph
+    * hand-computed spec. */
+  private[graft] def modularityOn(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = edges.count()
+    require(e > 0, "graph_eval_modularity: empty co-occurrence graph")
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra"))
+    val degComm = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("label"))
+      .agg(sum(col("dg")).as("dsum"), count(lit(1)).as("nn"))
+    degComm.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("intra"))
+      .agg(sum(col("nn")).as("n_nodes"),
+        count(lit(1)).as("n_communities"),
+        sum(col("intra") * e - col("dsum") * col("dsum")).as("num"))
+      .select(col("n_nodes"), col("n_communities"),
+        lit(e / 2).as("n_edges"),
+        round(col("num").cast("double") /
+          (lit(e.toDouble) * lit(e.toDouble)), 6).as("modularity"))
   }
 
   /** DuckDB replay of [[labelPropagation]]: the same synchronous
     * argmax chain as materialized CTEs — ROW_NUMBER over (count desc,
     * label asc) per node is the identical tie-break. */
-  private def lpaOracleSql: String = {
+  /** Shared CTE chain of the LPA replay (edge derivation + the
+    * synchronous argmax iterations up to `l$LpaIters`) — ONE
+    * definition graded by both the community summary and the
+    * modularity eval, so the replayed labeling cannot drift between
+    * them (the lm-chain oracle rule). */
+  private def lpaCtesSql: String = {
     val iterCtes = (1 to LpaIters).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, label FROM (
          |  SELECT p.dst AS node, l.label, ROW_NUMBER() OVER (
@@ -551,16 +633,46 @@ object Analytics {
          |  GROUP BY p.dst, l.label) AS t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey <> b.l_partkey),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM pairs),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def lpaOracleSql: String =
+    s"""WITH $lpaCtesSql
        |SELECT label AS community, COUNT(*) AS size FROM l$LpaIters
        |GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin
-  }
+
+  /** Oracle for [[graphEvalModularity]]: the shared LPA chain, then
+    * degree sums, intra-community directed counts, and the exact
+    * common-denominator modularity tail. */
+  private def modularityOracleSql: String =
+    s"""WITH $lpaCtesSql,
+       |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS ee FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS dg FROM pairs GROUP BY src),
+       |lc AS (SELECT la.label, COUNT(*) AS intra
+       |  FROM pairs p
+       |  JOIN l$LpaIters la ON la.node = p.src
+       |  JOIN l$LpaIters lb ON lb.node = p.dst AND lb.label = la.label
+       |  GROUP BY la.label),
+       |dc AS (SELECT l.label, CAST(SUM(d.dg) AS BIGINT) AS dsum,
+       |    CAST(COUNT(*) AS BIGINT) AS nn
+       |  FROM l$LpaIters l JOIN deg d USING (node) GROUP BY l.label),
+       |comb AS (SELECT dc.label, dc.nn, dc.dsum,
+       |    COALESCE(lc.intra, 0) AS intra
+       |  FROM dc LEFT JOIN lc USING (label))
+       |SELECT CAST(SUM(nn) AS BIGINT) AS n_nodes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  (SELECT ee // 2 FROM e) AS n_edges,
+       |  round(CAST(SUM(intra * (SELECT ee FROM e) - dsum * dsum)
+       |      AS DOUBLE) /
+       |    (CAST((SELECT ee FROM e) AS DOUBLE) *
+       |      CAST((SELECT ee FROM e) AS DOUBLE)), 6) AS modularity
+       |FROM comb""".stripMargin
 
   // -------------------------------------------- RFM scoring (r9)
 
@@ -1303,6 +1415,7 @@ object Analytics {
     "mine_seq_patterns" -> seqPatterns,
     "window_rfm_scores" -> rfmScores,
     "graph_label_propagation" -> labelPropagation,
+    "graph_eval_modularity" -> graphEvalModularity,
     "graph_kcore" -> kcore,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
@@ -1488,6 +1601,7 @@ object Analytics {
         |FROM sup ORDER BY first_type, then_type""".stripMargin,
     "window_rfm_scores" -> rfmOracleSql,
     "graph_label_propagation" -> lpaOracleSql,
+    "graph_eval_modularity" -> modularityOracleSql,
     "graph_kcore" -> kcoreOracleSql,
     "graph_pagerank" -> pagerankOracleSql,
     "graph_shortest_paths" -> bfsOracleSql,

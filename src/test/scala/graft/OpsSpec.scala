@@ -2801,6 +2801,29 @@ class OpsSpec extends AnyFunSuite {
       t._5 == 0.0 && t._6 == 0.0), s"degenerate rows drifted: $none")
   }
 
+  test("modularity eval: hand-computed Q on two bridged triangles, " +
+      "judging the served LPA labeling") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by edge 3-4:
+    // m = 7 undirected, E = 14 symmetric rows. Synchronous LPA with
+    // the (count desc, label asc) tie-break converges to communities
+    // {1,2,3}->1 and {4,5,6}->3 in 3 iterations (hand-traced); each
+    // has L_c = 6 directed intra rows and d_c = 7, so
+    // Q = 2*(6*14 - 49)/14^2 = 70/196 = 0.357143 (round 6)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = ops.Analytics.lpaLabelsOn(edges)
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"LPA labeling drifted: $lab")
+    val got = ops.Analytics.modularityOn(edges, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((6L, 2L, 7L, 0.357143)),
+      s"hand-computed modularity drifted: $got")
+  }
+
   test("audio ingest verdict: planted duplicate rejects, pigeonhole " +
       "evader admits, frame-count stratification and buckets load-bearing") {
     import spark.implicits._
