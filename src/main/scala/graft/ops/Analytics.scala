@@ -506,12 +506,19 @@ object Analytics {
     * maintenance artifact — built once per corpus snapshot, served
     * as a scan. */
   def labelPropagation(s: SparkSession, d: String): DataFrame =
-    lpaLabels(s, d)
-      .groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("community"))
-      .limit(20)
-      .orderBy(col("size").desc, col("community"))
+    // the 20-row summary stays its own artifact (review finding: the
+    // labels-artifact refactor must not turn every summary serve
+    // into a node-grain scan + shuffle); its build now READS the
+    // shared labels artifact instead of re-running the loop, and its
+    // output is identical to v1's, so the address is unchanged
+    graft.ArtifactStore.parquet(s, "graph_lpa_summary",
+        s"$d/lineitem.parquet") {
+      lpaLabels(s, d)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community"))
+        .limit(20)
+    }.orderBy(col("size").desc, col("community"))
 
   /** The full LPA labeling as a content-addressed artifact —
     * `(node, label)` for EVERY node, built once per corpus snapshot

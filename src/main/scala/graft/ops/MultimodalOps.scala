@@ -347,22 +347,16 @@ object MultimodalOps {
   private val AfpMaxBucket = 32 // frozen-side families kept per bucket
 
   /** Band-block rows for an `(media_id?, nf, afp)` frame — the
-    * [[phashBlockRows]] pigeonhole on the audio modality: the valid
-    * nf−1 fingerprint bits (one per adjacent-frame energy pair)
-    * sliced into [[AfpBlocks]] equal blocks of width ⌈(nf−1)/4⌉,
-    * keyed by `(nf, blk, val)`. Stratification is BY FRAME COUNT —
-    * clip fingerprints are variable-length, so bit layouts only
-    * compare within an nf class, and (exactly the dHash argument)
-    * the all-zero high blocks of short fingerprints never form
+    * pigeonhole blocking ([[bandBlockRows]]) on the audio modality:
+    * the valid nf−1 fingerprint bits (one per adjacent-frame energy
+    * pair) sliced into [[AfpBlocks]] equal blocks, keyed by
+    * `(nf, blk, val)`. Stratification is BY FRAME COUNT — clip
+    * fingerprints are variable-length, so bit layouts only compare
+    * within an nf class, and (exactly the dHash argument) the
+    * all-zero high blocks of short fingerprints never form
     * corpus-wide buckets. */
   private def afpBlockRows(fps: DataFrame): DataFrame =
-    fps
-      .withColumn("bw", expr("CAST((nf - 1 + 3) div 4 AS INT)"))
-      .withColumn("blk", explode(sequence(lit(0), lit(AfpBlocks - 1))))
-      .withColumn("val",
-        expr("shiftright(afp, blk * bw) & " +
-          "(shiftleft(CAST(1 AS BIGINT), bw) - 1)"))
-      .drop("bw")
+    bandBlockRows(fps, "nf - 1", "afp", AfpBlocks)
 
   /** AUDIO INGEST GATE (`mm_audio_append`) — the [[phashAppend]]
     * discipline on the audio modality, completing the append ladder
@@ -628,12 +622,23 @@ object MultimodalOps {
     * candidates per probe at sf1; stratified valid-range blocks read
     * ~15). */
   private def phashBlockRows(meta: DataFrame): DataFrame =
-    meta
+    bandBlockRows(meta, "(width - 1) * height", "dhash", PhashBlocks)
+
+  /** ONE definition of the pigeonhole band-block slicing shared by
+    * the image ([[phashBlockRows]]) and audio ([[afpBlockRows]])
+    * gates (review finding: the rule was written out twice, and a
+    * future threshold/blocks change would have to hit both): the
+    * `bitsExpr` valid bits of `hashCol` sliced into `blocks` equal
+    * blocks of width ⌈bits/blocks⌉ — two hashes within Hamming
+    * (blocks − 1) share at least one block exactly. */
+  private def bandBlockRows(frame: DataFrame, bitsExpr: String,
+      hashCol: String, blocks: Int): DataFrame =
+    frame
       .withColumn("bw",
-        expr("CAST((((width - 1) * height) + 3) div 4 AS INT)"))
-      .withColumn("blk", explode(sequence(lit(0), lit(PhashBlocks - 1))))
+        expr(s"CAST((($bitsExpr) + $blocks - 1) div $blocks AS INT)"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .withColumn("val",
-        expr("shiftright(dhash, blk * bw) & " +
+        expr(s"shiftright($hashCol, blk * bw) & " +
           "(shiftleft(CAST(1 AS BIGINT), bw) - 1)"))
       .drop("bw")
 

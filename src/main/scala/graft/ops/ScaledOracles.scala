@@ -49,7 +49,7 @@ object ScaledOracles {
       "aux_minhash_buckets" -> ((s, d) =>
         DedupOps.bandBuckets(fanOut(Tables.documents(s, d)))),
       "aux_minhash_sigs" -> ((s, d) =>
-        DedupOps.minhashSigRows(Tables.documents(s, d))),
+        DedupOps.minhashSigRows(fanOut(Tables.documents(s, d)))),
       "aux_simhash" -> ((s, d) =>
         DedupOps.simhashSketches(Tables.documents(s, d))),
       "aux_srp_t04" -> ((s, d) =>
