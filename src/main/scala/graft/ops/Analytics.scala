@@ -484,7 +484,7 @@ object Analytics {
 
   // ------------------------------------ label propagation (r9)
 
-  private val LpaIters = 3
+  private[graft] val LpaIters = 3
 
   /** Community detection by synchronous label propagation (LPA) over
     * the part co-occurrence graph — the fourth graph-family member
