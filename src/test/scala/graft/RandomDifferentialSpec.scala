@@ -921,6 +921,101 @@ class RandomDifferentialSpec extends AnyFunSuite {
       "single-sided verdict fixture — reseed")
   }
 
+  test("video near-dup on random hash frames == sequential model") {
+    val rnd = new scala.util.Random(83)
+    // small hash space → dense sharing; a few hashes exceed the
+    // 64-source cap; singleton videos must vanish from the output
+    val frames: Seq[(String, Long)] = (1 to 90).map(i => f"v$i%02d")
+      .flatMap { src =>
+        Seq.fill(15 + rnd.nextInt(25))(
+          (src, (rnd.nextInt(60) + 1).toLong)) :+
+          ((src, 777L)) // the boilerplate frame everyone shares
+      }
+    val ds = frames.distinct
+    val sizes = ds.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val capped = ds.groupBy(_._2).toSeq.flatMap { case (h, g) =>
+      g.map(_._1).distinct.sorted.take(64).map(s => (s, h)) }
+    val shared = (for {
+      (sa, h) <- capped; (sb, h2) <- capped
+      if h == h2 && sa < sb
+    } yield ((sa, sb), 1)).groupBy(_._1)
+      .map { case (p, g) => p -> g.size.toLong }
+    val expected = shared.toSeq.map { case ((sa, sb), c) =>
+      val (na, nb) = (sizes(sa), sizes(sb))
+      val jac = BigDecimal(c.toDouble / (na + nb - c).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sa, sb, c, na, nb, jac,
+        if (jac >= 0.03) "neardup" else "distinct")
+    }.sortBy(t => (t._1, t._2))
+    val got = ops.MultimodalOps.videoNearDupOn(
+        frames.toDF("source", "dhash"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getString(6)))
+      .toSeq
+    assert(got == expected,
+      s"diff: ${expected.diff(got).take(2)} vs ${got.diff(expected).take(2)}")
+    // both verdicts must occur, and the cap must actually bite:
+    // 777 is shared by 90 > 64 sources, so an UNCAPPED pair count
+    // must differ from the capped model's on some pair
+    assert(expected.exists(_._7 == "neardup") &&
+      expected.exists(_._7 == "distinct"))
+    val uncappedShared = (for {
+      (sa, h) <- ds; (sb, h2) <- ds
+      if h == h2 && sa < sb
+    } yield ((sa, sb), 1)).groupBy(_._1)
+      .map { case (p, g) => p -> g.size.toLong }
+    assert(uncappedShared != shared,
+      "cap never bit — the boilerplate-hash guard grades nothing")
+  }
+
+  test("audio ingest gate on random fingerprints == sequential model") {
+    val rnd = new scala.util.Random(37)
+    val nfs = Seq(8L, 12L, 16L)
+    def blocks(afp: Long, nf: Long): Seq[(Int, Long)] = {
+      val bw = ((nf - 1 + 3) / 4).toInt
+      (0 until 4).map(b => b -> ((afp >>> (b * bw)) & ((1L << bw) - 1)))
+    }
+    // random families + random batch probes in a SMALL bit space so
+    // near-collisions are dense
+    val fams = (1 to 60).map { i =>
+      val nf = nfs(rnd.nextInt(3))
+      (nf, rnd.nextLong() & ((1L << (nf - 1).toInt) - 1), i.toLong)
+    }.distinct
+    val frozen = fams.flatMap { case (nf, afp, kid) =>
+      blocks(afp, nf).map { case (blk, v) => (nf, blk, v, afp, kid) } }
+      // the engine's frozen side is bucket-capped upstream; replay
+      // the same keep-lowest rule at cap 32 per (nf, blk, val)
+      .groupBy(t => (t._1, t._2, t._3))
+      .toSeq.flatMap { case (_, g) => g.sortBy(_._5).take(32) }
+    val batch = (1 to 40).map { i =>
+      val nf = nfs(rnd.nextInt(3))
+      (100L + i, nf, rnd.nextLong() & ((1L << (nf - 1).toInt) - 1))
+    }
+    val expected = batch.map { case (mid, nf, afp) =>
+      val bb = blocks(afp, nf).toSet
+      val cands = frozen.filter { case (fnf, blk, v, _, _) =>
+        fnf == nf && bb.contains((blk, v)) }
+        .map { case (_, _, _, fafp, kid) => (fafp, kid) }.distinct
+      val hams = cands.map { case (fafp, _) =>
+        java.lang.Long.bitCount(afp ^ fafp).toLong }
+      val nd = hams.count(_ <= 3L).toLong
+      (mid, cands.size.toLong, nd,
+        if (hams.isEmpty) None else Some(hams.min),
+        if (nd > 0) "reject" else "admit")
+    }.sortBy(_._1)
+    val got = ops.MultimodalOps.audioAppendOn(
+        frozen.toDF("nf", "blk", "val", "fam_afp", "keep_id"),
+        batch.toDF("media_id", "nf", "afp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getString(4))).toSeq
+    assert(got == expected,
+      s"diff: ${expected.diff(got).take(2)} vs ${got.diff(expected).take(2)}")
+    assert(expected.exists(_._5 == "reject") &&
+      expected.exists(_._5 == "admit"),
+      "single-sided verdict fixture — reseed")
+  }
+
   test("LPA + modularity on random graphs == sequential model") {
     val rnd = new scala.util.Random(29)
     // a planted 3-community graph with random cross-community noise
