@@ -2215,7 +2215,79 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** INDEX DELETE MAINTENANCE (`search_index_forget`) — the other
+    * half of [[searchIndexAppend]]'s discipline, aligned with the
+    * `corpus_forget_*` family: when documents leave the corpus
+    * (takedowns, dedup purges), the index statistics must follow
+    * WITHOUT re-scanning the remainder. The full-corpus stats are
+    * frozen (per-term df + the (N, ΣL) header — the same two-artifact
+    * segment shape); the departing split (doc_id ≡ 8, 9 mod 10) is
+    * tokenized ALONE and the report emits, per query-vocab term, the
+    * before/removed/after df triple plus the decremented header. The
+    * graded property is decrement ≡ rebuilt: the oracle counts
+    * df_after DIRECTLY over the remaining docs (an independent
+    * rebuild, not a subtraction), so an overcounted or stale
+    * decrement fails the hash gate.
+    *
+    * Scale shape: delete-time cost is |removed| tokenizations + one
+    * scalar aggregate + a |query vocab|-bounded merge — the
+    * remainder is never re-read; at 100 TB this is the segment-
+    * tombstone accounting a real index applies at merge time. */
+  def searchIndexForget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val input = s"$d/documents.parquet"
+    val allTerms = EvalQueries.flatMap(t => Seq(t._2, t._3)).distinct
+    val dfFull = graft.ArtifactStore.parquet(s, "bm25_full_df", input) {
+      docs.select(col("doc_id"),
+          explode(array_distinct(tokensNonEmpty(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+    val statsFull = graft.ArtifactStore.parquet(s, "bm25_full_stats",
+        input) {
+      docs.select(size(tokensNonEmpty(col("text"))).as("len"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("len").cast("long")), lit(0L)).as("suml"))
+    }
+    searchIndexForgetOn(s, dfFull, statsFull,
+      docs.filter(col("doc_id") % 10 >= 8), allTerms)
+  }
+
+  /** Core of [[searchIndexForget]], parameterized for the planted
+    * decrement spec. */
+  private[graft] def searchIndexForgetOn(s: SparkSession,
+      dfFull: DataFrame, statsFull: DataFrame, removed: DataFrame,
+      allTerms: Seq[String]): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val sHead = statsFull.select(col("n").cast("long"),
+      col("suml").cast("long")).head()
+    val rHead = removed
+      .select(size(tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("suml"))
+      .head()
+    val nAfter = sHead.getLong(0) - rHead.getLong(0)
+    val sumlAfter = sHead.getLong(1) - rHead.getLong(1)
+    val dfRem = removed
+      .select(col("doc_id"),
+        explode(array_distinct(tokensNonEmpty(col("text")))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_removed"))
+    allTerms.sorted.toDF("term")
+      .join(dfFull.filter(col("term").isin(allTerms: _*))
+        .withColumnRenamed("df", "df_before"), Seq("term"), "left")
+      .join(dfRem, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df_before"), lit(0L)).as("df_before"),
+        coalesce(col("df_removed"), lit(0L)).as("df_removed"))
+      .withColumn("df_after", col("df_before") - col("df_removed"))
+      .withColumn("n_after", lit(nAfter))
+      .withColumn("suml_after", lit(sumlAfter))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_index_forget" -> searchIndexForget,
     "search_index_append" -> searchIndexAppend,
     "text_unigram_train" -> unigramTrain,
     "text_unigram_apply" -> unigramApply,
@@ -2552,6 +2624,42 @@ object TextOps {
     // two-addend per-doc sum is order-free (IEEE addition is
     // commutative), so no pre-round is needed at |query| = 2
     "search_bm25_topk" -> bm25TopkOracleSql,
+    // decrement ≡ rebuilt: df_after / (N, ΣL)_after are counted
+    // DIRECTLY over the remaining split (an independent rebuild),
+    // while the engine subtracts the removed split's counts from the
+    // frozen full-corpus artifacts — an overcounted or stale
+    // decrement diverges
+    "search_index_forget" -> {
+      val tVals = TextOps.EvalQueries.flatMap(t => Seq(t._2, t._3))
+        .distinct.sorted.map(t => s"('$t')").mkString(", ")
+      s"""WITH t(term) AS (VALUES $tVals),
+         |base AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |dfb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |    FROM base) x JOIN t USING (term) GROUP BY term),
+         |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |    FROM base WHERE doc_id % 10 >= 8) x
+         |  JOIN t USING (term) GROUP BY term),
+         |dfa AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |    FROM base WHERE doc_id % 10 < 8) x
+         |  JOIN t USING (term) GROUP BY term),
+         |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+         |    CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS suml_after
+         |  FROM base WHERE doc_id % 10 < 8)
+         |SELECT t.term,
+         |  COALESCE(dfb.c, 0) AS df_before,
+         |  COALESCE(dfr.c, 0) AS df_removed,
+         |  COALESCE(dfa.c, 0) AS df_after,
+         |  (SELECT n_after FROM sa) AS n_after,
+         |  (SELECT suml_after FROM sa) AS suml_after
+         |FROM t LEFT JOIN dfb USING (term) LEFT JOIN dfr USING (term)
+         |LEFT JOIN dfa USING (term)
+         |ORDER BY term""".stripMargin
+    },
     // merged ≡ rebuilt: the oracle scores the batch docs with stats
     // recomputed over the FULL corpus in one pass (df/N/ΣL over
     // base+batch = the engine's frozen-base + batch-delta addition,

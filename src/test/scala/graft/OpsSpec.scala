@@ -2767,6 +2767,39 @@ class OpsSpec extends AnyFunSuite {
       "batch-only term 'theta' should score doc 8 under query 2")
   }
 
+  test("search index forget: planted decrement — removed-only term " +
+      "zeroes, untouched term holds, header shrinks") {
+    import spark.implicits._
+    // full corpus: 4 docs; docs 8, 9 depart. 'merge' lives in both
+    // splits, 'window' only in the remainder, 'vector' ONLY in the
+    // departing docs (df_after must hit 0), 'hash' nowhere (all-zero
+    // row)
+    val docs = Seq(
+      (1L, "merge window window"),
+      (2L, "window merge"),
+      (8L, "merge vector"),
+      (9L, "vector vector merge")
+    ).toDF("doc_id", "text")
+    val terms = Seq("merge", "window", "vector", "hash")
+    val dfFull = docs.select(col("doc_id"), explode(array_distinct(
+        ops.TextOps.tokensNonEmpty(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val statsFull = docs
+      .select(size(ops.TextOps.tokensNonEmpty(col("text"))).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len").cast("long")).as("suml"))
+    val got = ops.TextOps.searchIndexForgetOn(spark, dfFull, statsFull,
+        docs.filter(col("doc_id") % 10 >= 8), terms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // remainder: docs 1, 2 → n_after 2, suml_after 3 + 2 = 5
+    assert(got == Seq(
+      ("hash", 0L, 0L, 0L, 2L, 5L),
+      ("merge", 4L, 2L, 2L, 2L, 5L),
+      ("vector", 2L, 2L, 0L, 2L, 5L),
+      ("window", 2L, 0L, 2L, 2L, 5L)),
+      s"planted decrement drifted: $got")
+  }
+
   test("dedup eval: planted near-dup found by both stages, " +
       "dup-free corpus yields defined zeros") {
     import spark.implicits._
