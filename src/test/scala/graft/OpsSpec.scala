@@ -178,6 +178,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 15) // only vertices that appear in some pair
   }
 
+  test("boundedComponents ≡ connectedComponents (random differential)") {
+    import spark.implicits._
+    // r15: dedup_semantic's bounded slice swaps the distributed CC
+    // loop for a driver union-find — same fixpoint by construction;
+    // this differential pins it on seeded random graphs (mixed
+    // chains, stars, singleton-free pair lists) plus the degenerate
+    // empty graph.
+    val rnd = new scala.util.Random(1815)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 17
+      val pairs = (1 to 120).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(p => p._1 != p._2).toDF("a_id", "b_id")
+      val dist = ops.DedupOps.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bnd = ops.DedupOps.boundedComponents(spark, pairs, maxNodes = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bnd === dist, s"trial $trial diverged")
+    }
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(ops.DedupOps.boundedComponents(spark, empty, 10).count() === 0)
+    // the guard: a pair list past the declared bound fails loud
+    intercept[IllegalArgumentException] {
+      ops.DedupOps.boundedComponents(spark,
+        (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id"), maxNodes = 2)
+    }
+  }
+
   test("connectedComponents: maxIter too small for the diameter throws") {
     import spark.implicits._
     val path = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
