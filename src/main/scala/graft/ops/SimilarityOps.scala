@@ -890,7 +890,111 @@ object SimilarityOps {
     val q = v.filter(col("node") < NswQueries)
       .select(col("node").as("query_id"), col("ve").as("qe"),
         col("vn").as("qn"))
-    nswSearchOn(v, undirected, q)
+    nswWalkLocal(s, v, undirected, q)
+  }
+
+  /** Spark's `round(x, 6)` for doubles, replicated exactly for the
+    * driver-held walk: NaN/±Inf pass through, everything else rounds
+    * HALF_UP over the exact binary value (RoundBase's DoubleType
+    * path). The [[nswWalkLocal]] ≡ [[nswSearchOn]] differential spec
+    * pins the parity. */
+  private def round6Local(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The SERVING-PATH beam walk with a DRIVER-HELD frontier (r15
+    * optimization, guide §8's "decide with small rows" discipline):
+    * the frontier is CONSTANT-bounded for serving ([[NswQueries]] = 8
+    * queries × [[NswBeam]] = 24 ≤ 192 rows; expansions ≤ ·2·degree),
+    * so instead of per-hop corpus-frame JOINS (each hop paid an
+    * expand join + a score join + a dedup exchange + a window
+    * exchange — 26–30 AQE stage-jobs, 1.7–2.5 s per serve at sf0.1),
+    * the walk holds the beam on the driver and issues per hop exactly
+    * two POINT-LOOKUP scans with pushed `In` filters: the adjacency
+    * rows of the frontier (`src IN (...)`, degree-bounded result) and
+    * the not-yet-cached candidate vectors (`node IN (...)`). At
+    * 100 TB this is the production graph-ANN serving shape (DiskANN /
+    * HNSW walk = bounded point reads against the index, never
+    * corpus-frame joins), and the pushed filters prune to the
+    * row-groups holding the requested ids.
+    *
+    * Arithmetic parity with [[nswSearchOn]] is exact: dot products
+    * accumulate left-to-right in double over the stored float arrays
+    * (the [[graft.functions.DotCodegen.dotFF]] loop), norms come from
+    * the SAME stored `vn` column, and rounding replicates Spark's
+    * `round(_, 6)` ([[round6Local]]) — the differential spec asserts
+    * frame equality against the DataFrame walk, and the DuckDB walk
+    * oracle gates every serve. Tombstone exclusion stays a
+    * DataFrame anti-join on the final beam (the tombstone set is
+    * data-sized and is never collected). */
+  private[graft] def nswWalkLocal(s: SparkSession, v: DataFrame,
+      undirected: DataFrame, q: DataFrame, hops: Int = NswHops,
+      exclude: Option[DataFrame] = None): DataFrame = {
+    import scala.collection.mutable
+    val qRows = q.select(col("query_id"), col("qe"), col("qn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val entryIds = v.orderBy(col("node")).limit(NswBeam)
+      .select(col("node")).collect().map(_.getLong(0)).toSeq
+    val vecs = mutable.LongMap.empty[(Array[Float], Double)]
+    def fetch(ids: Seq[Long]): Unit = {
+      val missing = ids.distinct.filterNot(vecs.contains)
+      if (missing.nonEmpty)
+        v.filter(col("node").isin(missing: _*))
+          .select(col("node"), col("ve"), col("vn")).collect()
+          .foreach(r => vecs(r.getLong(0)) =
+            (r.getSeq[Float](1).toArray, r.getDouble(2)))
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var sAcc = 0.0; var i = 0
+      while (i < a.length) { sAcc += a(i).toDouble * b(i).toDouble; i += 1 }
+      sAcc
+    }
+    def prune(qid: Long, qe: Array[Float], qn: Double,
+        cands: Seq[Long]): Seq[(Long, Double)] =
+      cands.distinct.filter(_ != qid)
+        .map { id =>
+          val (ve, vn) = vecs(id); (id, round6Local(dotFF(qe, ve) / (qn * vn)))
+        }
+        .sortBy { case (id, sc) => (-sc, id) }.take(NswBeam)
+    fetch(entryIds)
+    var beams: Seq[(Long, Seq[(Long, Double)])] = qRows.toSeq.map {
+      case (qid, qe, qn) => qid -> prune(qid, qe, qn, entryIds)
+    }
+    for (_ <- 1 to hops) {
+      val frontier = beams.flatMap(_._2.map(_._1)).distinct
+      val adj = mutable.LongMap.empty[mutable.Buffer[Long]]
+      undirected.filter(col("src").isin(frontier: _*))
+        .select(col("src"), col("dst")).collect()
+        .foreach(r => adj.getOrElseUpdate(r.getLong(0),
+          mutable.Buffer.empty) += r.getLong(1))
+      val candAll = beams.flatMap { case (_, beam) =>
+        beam.map(_._1) ++
+          beam.flatMap(b => adj.getOrElse(b._1, mutable.Buffer.empty))
+      }.distinct
+      fetch(candAll)
+      val beamIndex = beams.toMap
+      beams = qRows.toSeq.map { case (qid, qe, qn) =>
+        val beam = beamIndex(qid)
+        val cands = beam.map(_._1) ++
+          beam.flatMap(b => adj.getOrElse(b._1, mutable.Buffer.empty))
+        qid -> prune(qid, qe, qn, cands)
+      }
+    }
+    import s.implicits._
+    val beamDF = beams.flatMap { case (qid, beam) =>
+      beam.map { case (id, sc) => (qid, id, sc) }
+    }.toDF("query_id", "node", "score")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("node"))
+    val served = exclude.map(t =>
+      beamDF.join(t, Seq("node"), "left_anti")).getOrElse(beamDF)
+    served.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= NswK)
+      .select(col("query_id"), col("rank"), col("node").as("vec_id"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** The symmetrized (undirected) form of a directed top-d edge set —
@@ -1000,6 +1104,17 @@ object SimilarityOps {
     def topB(f: DataFrame): DataFrame =
       f.withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= NswBeam).drop("rn")
+    // ONE exchange per hop (r15, guide §2.4): score the candidate set
+    // FIRST (dup rows score identically — cosine is a function of the
+    // pair), then a single repartition by query_id feeds BOTH the
+    // (query_id, node) dedup aggregate and the beam window without
+    // further shuffles (HashPartitioning(query_id) satisfies both
+    // required distributions). The old shape paid a distinct exchange
+    // on (query_id, node) PLUS a window exchange on query_id per hop.
+    def dedupTopB(scoredAll: DataFrame): DataFrame =
+      topB(scoredAll.repartition(col("query_id"))
+        .groupBy(col("query_id"), col("node"))
+        .agg(min(col("score")).as("score")))
     val entries = entriesOpt.getOrElse(
       v.orderBy(col("node")).limit(NswBeam).select(col("node")))
     // the frontier is |queries|·beam rows — checkpointing it EVERY
@@ -1017,8 +1132,8 @@ object SimilarityOps {
         .join(undirected.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("query_id"), col("dst").as("node"))
       val cands = f.select(col("query_id"), col("node"))
-        .unionByName(exp).distinct()
-      f = topB(scored(cands))
+        .unionByName(exp)
+      f = dedupTopB(scored(cands))
       if (h % 2 == 0) f = pin(f)
     }
     // tombstone merge-on-read ([[nswDelete]]): deleted nodes stay
@@ -1118,7 +1233,7 @@ object SimilarityOps {
     val q = v.filter(col("node") < NswQueries)
       .select(col("node").as("query_id"), col("ve").as("qe"),
         col("vn").as("qn"))
-    nswSearchOn(v, undirected, q, exclude = Some(tombs))
+    nswWalkLocal(s, v, undirected, q, exclude = Some(tombs))
   }
 
   /** NSW COMPACTION — the triptych closer: the merge-on-read view
@@ -1160,7 +1275,7 @@ object SimilarityOps {
     val q = emb.filter(col("vec_id") < NswQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         Vectors.normCol(col("embedding")).as("qn"))
-    nswSearchOn(v, undirected, q)
+    nswWalkLocal(s, v, undirected, q)
   }
 
   /** Int8 scalar quantization — the storage path for a 100 TB

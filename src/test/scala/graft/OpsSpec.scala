@@ -330,6 +330,46 @@ class OpsSpec extends AnyFunSuite {
     val snap = emb.filter(col("vec_id") % 10 < 8)
     val batch = emb.filter(col("vec_id") % 10 >= 8)
     val edges = ops.SimilarityOps.nswBuild(snap).localCheckpoint(true)
+    nswAppendLinkBody(emb, snap, batch, edges)
+  }
+
+  test("nswWalkLocal ≡ nswSearchOn: the driver-held serve walk " +
+      "replays the DataFrame walk exactly") {
+    // r15: the serving paths (topk/delete/compact) hold the
+    // constant-bounded frontier on the driver and issue point-lookup
+    // scans per hop; this differential pins bit-exact parity of the
+    // full output frame (ids, ranks, round-6 scores) against the
+    // DataFrame walk, including the tombstone-exclusion arm.
+    val emb = Tables.embeddings(spark, sf)
+    val edges = ops.SimilarityOps.nswBuild(emb).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val v = emb.select(col("vec_id").as("node"), col("embedding").as("ve"),
+      functions.Vectors.normCol(col("embedding")).as("vn"))
+      .localCheckpoint(true)
+    val q = v.filter(col("node") < 8)
+      .select(col("node").as("query_id"), col("ve").as("qe"),
+        col("vn").as("qn"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(ops.SimilarityOps.nswWalkLocal(spark, v, und, q)) ===
+      rows(ops.SimilarityOps.nswSearchOn(v, und, q)))
+    import spark.implicits._
+    val tombs = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("node")).localCheckpoint(true)
+    assert(rows(ops.SimilarityOps.nswWalkLocal(spark, v, und, q,
+        exclude = Some(tombs))) ===
+      rows(ops.SimilarityOps.nswSearchOn(v, und, q,
+        exclude = Some(tombs))))
+  }
+
+  private def nswAppendLinkBody(emb: org.apache.spark.sql.DataFrame,
+      snap: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame): Unit = {
+    import ops.SimilarityOps._
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
