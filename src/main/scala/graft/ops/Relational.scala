@@ -822,11 +822,24 @@ object Relational {
         fixedSizeParent: Boolean = false): DataFrame = {
       val keys = parent.select(col(pkey).as("__pk")).distinct()
       val p = if (fixedSizeParent) broadcast(keys) else keys
-      child.select(col(key).as("__ck"))
-        .join(p, col("__ck") === col("__pk"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          countDistinct(col("__ck")).as("n_distinct"),
-          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      // aggregate the child BEFORE the join (guide §2.3): the join
+      // input shrinks from every child row to one (key, count) row per
+      // distinct key — at fact scale that is the difference between
+      // shuffling the fact table and shuffling its key domain — and
+      // the joined-frame countDistinct (a second, Expand-style
+      // distinct aggregation over |child| joined rows) collapses into
+      // a plain count over the already-distinct groups. Counts are
+      // per-key exact, so every output is unchanged: n_child = Σ
+      // group counts, n_distinct = non-null groups, orphans carry
+      // their group's row count (a NULL child key matches nothing
+      // under either formulation and stays an orphan).
+      val ck = child.select(col(key).as("__ck"))
+        .groupBy(col("__ck")).agg(count(lit(1)).as("__n"))
+      ck.join(p, col("__ck") === col("__pk"), "left")
+        .agg(sum(col("__n")).as("n_child"),
+          count(col("__ck")).as("n_distinct"),
+          sum(when(col("__pk").isNull, col("__n")).otherwise(0L))
+            .as("n_orphans"))
         .select(lit(name).as("edge"), col("n_child"), col("n_distinct"),
           col("n_orphans"))
     }
