@@ -1263,7 +1263,15 @@ object Analytics {
     // both CDF counts in ONE pass of the three-phase machinery
     val run = PrefixSum.runningSums(perV, Seq.empty, "v",
       Seq("c1" -> "r1", "c2" -> "r2"))
-    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // totals from the RAW rows, not from perV: deriving them off perV
+    // re-ran the whole distinct-value groupBy (a second shuffle of the
+    // value domain — 13 MB of the query's shuffle bytes at sf0.1, and
+    // domain-sized at 100 TB); a plain conditional count over the scan
+    // is partial-aggregated map-side and shuffles one row. Same
+    // values: Σ per-value counts ≡ per-flag row counts.
+    val tot = vals.agg(
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("n2"))
       .withColumn("__k", lit(1))
     // The cross-multiplied numerator r·n wraps Long SILENTLY once both
     // samples exceed ~3·10⁹ rows — exactly the 100 TB regime this

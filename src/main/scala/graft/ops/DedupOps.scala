@@ -142,8 +142,19 @@ object DedupOps {
   def jaccardPrefixPairsOn(docs: DataFrame, Tau: Double = 0.5): DataFrame = {
     val toks = docs.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val pref = toks.join(freq, Seq("tok"))
+    // corpus frequency as a COUNT WINDOW over the token partition, not
+    // groupBy + join-back: the join formulation exploded the corpus
+    // twice and paid three exchanges (toks by tok, freq's partial-agg
+    // exchange, the doc_id rank window); the unordered count-over-
+    // partition needs no sort and shares the one tok exchange, so the
+    // pref build is one explode and two exchanges. Identical tf (the
+    // per-token row count IS the corpus frequency).
+    // (also probed in r15: a collect_list + array_sort + slice
+    // formulation of the per-doc ranking measured 2× SLOWER —
+    // collect_list is a non-codegen ObjectHashAggregate — so the
+    // row_number window stays)
+    val pref = toks
+      .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("tf"), col("tok"))))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * Tau) + 1)

@@ -371,9 +371,16 @@ object StreamingSessions {
     * so they NEED that batch to flush final windows — leave it on for
     * those. Both confs are captured at query start and restored
     * after. */
+  /** A/B hook for the optimization rounds: override the local
+    * stateful-shuffle partition default without a code edit per
+    * trial. Production sizing guidance is unchanged (see above). */
+  private[graft] val defaultStreamParts: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
+
   private[graft] def runToCompletion(spark: SparkSession, agg: DataFrame,
       name: String, mode: String = "complete",
-      partitions: Int = 8, noDataBatch: Boolean = true): DataFrame = {
+      partitions: Int = defaultStreamParts,
+      noDataBatch: Boolean = true): DataFrame = {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get(noDataKey)
