@@ -88,9 +88,20 @@ object ArtifactStore {
     * probe-reads-only-its-clusters path. */
   def parquet(spark: SparkSession, name: String, inputPath: String,
       version: Int = 1, partitionColumns: Seq[String] = Nil)
-      (build: => DataFrame): DataFrame =
-    spark.read.parquet(
-      parquetDir(spark, name, inputPath, version, partitionColumns)(build))
+      (build: => DataFrame): DataFrame = {
+    val dir = parquetDir(spark, name, inputPath, version, partitionColumns)(build)
+    // session-keyed RELATION cache (the Tables.relationCache idiom):
+    // the address is a content fingerprint, so the directory's
+    // contents are immutable once published — re-resolving the source
+    // (listing + footer schema inference, ~100 ms driver latency per
+    // call) on every serve is pure waste. The cached object is the
+    // resolved logical plan; every action over it still scans the
+    // artifact parquet.
+    relationCache.getOrElseUpdate((spark, dir), spark.read.parquet(dir))
+  }
+
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** [[parquet]], but returning the RESOLVED artifact directory — for
     * callers that need the address itself (e.g. an optimizer rule

@@ -24,6 +24,32 @@ object DevProbe {
         println(f"[dev] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
       }
     }
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/orders.parquet")
+      val t1 = System.nanoTime()
+      Tables.orders(spark, sfDir)
+      val t2 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t3 = System.nanoTime()
+      println(f"[dev] raw read.parquet(orders)=${(t1 - t0) / 1e9}%.3f " +
+        f"Tables.orders=${(t2 - t1) / 1e9}%.3f raw(lineitem)=${(t3 - t2) / 1e9}%.3f s")
+    }
+    // planning-vs-execution split for driver-bound queries
+    for (q <- Seq("quality_pk_audit", "etl_load_report",
+        "join_regional_revenue", "quality_fk_audit")) {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        val t2 = System.nanoTime()
+        df.count()
+        val t3 = System.nanoTime()
+        println(f"[dev] $q rep $i: build=${(t1 - t0) / 1e9}%.3f " +
+          f"plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f s")
+      }
+    }
     val docsRaw = Tables.documents(spark, sfDir)
     val withSh = docsRaw.select(col("doc_id"),
       ops.DedupOps.shingles(col("text")).as("sh"))

@@ -573,9 +573,18 @@ object Relational {
       "spark.sql.sources.useV1SourceList" -> "")(body)
 
   /** The whole-table profile frame: global COUNT/MIN/MAX over orders.
-    * Exposed for the plan test ([[skewAqeFrame]] pattern). */
+    * Exposed for the plan test ([[skewAqeFrame]] pattern).
+    *
+    * Reads the parquet DIRECTLY, not through [[Tables.orders]]: both
+    * armed confs act at SOURCE-RESOLUTION time (V1-fallback-list
+    * membership and the pushdown capability are baked into the
+    * resolved relation), and Tables' session relation cache (r15)
+    * would serve a relation resolved OUTSIDE the armed scope — the
+    * one caller pattern that must not share a cached relation. The
+    * aggregate touches only pruned numeric columns, so the
+    * timestamp-normalization wrapper is irrelevant here. */
   private[graft] def aggPushdownFrame(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).agg(
+    s.read.parquet(s"$d/orders.parquet").agg(
       count(lit(1)).as("n_orders"),
       min(col("o_orderkey")).as("min_key"),
       max(col("o_orderkey")).as("max_key"),
