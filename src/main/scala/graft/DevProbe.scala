@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch component-timing probe for the optimization round (not a
-  * declared query; delete when the round closes). */
+/** Component-timing dev probe (OptProbe's sibling, not a declared
+  * query): times sub-pipelines of composed operators and splits a
+  * query's wall into DataFrame build / plan / execute — the split
+  * that exposed the ~100 ms-per-read source-re-resolution cost the
+  * r15 relation caches removed. Body is whatever the current
+  * investigation needs; it is a scratchpad, not a contract. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
