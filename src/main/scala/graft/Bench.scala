@@ -12,6 +12,15 @@ object Bench {
       // the query paths assume a DST-free session zone, and Bench was
       // the one builder relying on the javaOptions route alone
       .config("spark.sql.session.timeZone", "UTC")
+      // Local relations (collected beams, memory-sink tables, dim rows)
+      // are DRIVER-HELD bounded data by construction; Spark's default
+      // parallelizes their scans into `defaultParallelism` tasks (32
+      // here), pure dispatch overhead for rows that fit in one task.
+      // Scale-independent: a local relation is small at any SF — it was
+      // collected to the driver. Env-overridable for A/Bs. (r16, guide
+      // §2.2 fewer/larger tasks; measured in OPTIMIZATION_r16.md)
+      .config("spark.sql.leafNodeDefaultParallelism",
+        sys.env.getOrElse("SPARK_GRAFT_LEAF_PARALLELISM", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -37,18 +37,23 @@ object OptProbe {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val stageDetail = sys.env.get("SPARK_GRAFT_STAGE_DETAIL").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
+        if (stageDetail)
+          println(s"[opt-stage] id=${s.stageInfo.stageId} " +
+            s"tasks=${s.stageInfo.numTasks} name=${s.stageInfo.name}")
       }
     })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries("stream_stateful_totals")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => }
-    val planDir = java.nio.file.Paths.get("plans", "r15")
+    val planDir = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "r16"))
     java.nio.file.Files.createDirectories(planDir)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
@@ -67,7 +72,7 @@ object OptProbe {
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(planDir.resolve(s"${name}_$suffix.txt"),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[opt] $name plan -> plans/r15/${name}_$suffix.txt")
+      println(s"[opt] $name plan -> plans/${planDir.getFileName}/${name}_$suffix.txt")
     }
     spark.stop()
   }

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same local-relation scan parallelism as Bench (see there): the
+      // verified plans should be the benched plans
+      .config("spark.sql.leafNodeDefaultParallelism",
+        sys.env.getOrElse("SPARK_GRAFT_LEAF_PARALLELISM", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

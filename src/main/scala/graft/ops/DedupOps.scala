@@ -151,8 +151,22 @@ object DedupOps {
     // per-token row count IS the corpus frequency).
     // (also probed in r15: a collect_list + array_sort + slice
     // formulation of the per-doc ranking measured 2× SLOWER —
-    // collect_list is a non-codegen ObjectHashAggregate — so the
-    // row_number window stays)
+    // non-codegen ObjectHashAggregate — so the row_number window stays)
+    // SKEW NOTE, probed AGAIN in r16 (VERDICT r15 #3): a hot token
+    // buffers its whole group in this window's task, and neither
+    // partial aggregation nor AQE skew-split can reach a window. Both
+    // escape shapes were measured and REJECTED on two scale factors:
+    //  - groupBy(tok).count + plain join-back (partial agg + AQE
+    //    skewJoin jurisdiction): dedup_eval_pr 2.6→3.0 s at sf0.1,
+    //    8.0→10.4 s at sf1 — the tf build's second corpus explode
+    //    costs more than the window saves at every measured SF;
+    //  - the same with a deterministic ×8 salt on the attach join:
+    //    8.0→15.0 s at sf1 (the salted 8×domain tf broadcast).
+    // The window buffer spills gracefully (ExternalAppendOnlyUnsafe-
+    // RowArray), so the hot token costs one long-running task, not an
+    // OOM; past the measured SFs the production move is materializing
+    // the prefix index once (the offline AllPairs shape), not a
+    // different tf attach. Numbers in OPTIMIZATION_r16.md.
     val pref = toks
       .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("rk", row_number().over(

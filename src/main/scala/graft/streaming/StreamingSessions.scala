@@ -377,6 +377,34 @@ object StreamingSessions {
   private[graft] val defaultStreamParts: Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(8)
 
+  /** Checkpoint root for the drive-to-completion runs (r16, guide §6):
+    * every micro-batch pays offset-log + commit-log + per-partition
+    * state-store delta writes, each an HDFS-API create + CRC + rename
+    * on `java.io.tmpdir` (disk-backed here). The logs are EPHEMERAL by
+    * construction in this serve shape — the query runs once to
+    * completion into a memory sink and the checkpoint is deleted right
+    * after stop — so they go on tmpfs when available. Production keeps
+    * checkpoints on durable storage (that is the recovery contract);
+    * `SPARK_GRAFT_STREAM_CKPT` overrides the root (set it to a
+    * durable path to restore the default behavior). */
+  private[graft] val checkpointRoot: Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_STREAM_CKPT").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+          Some(shm.resolve("graft-stream-ckpt"))
+        else None
+      }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.forEach(deleteRecursively(_)) finally listing.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   private[graft] def runToCompletion(spark: SparkSession, agg: DataFrame,
       name: String, mode: String = "complete",
       partitions: Int = defaultStreamParts,
@@ -386,17 +414,27 @@ object StreamingSessions {
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     spark.conf.set(noDataKey, noDataBatch.toString)
+    // fresh dir per run: a stateful query must never resume someone
+    // else's checkpoint, and the memory-sink drive is single-shot
+    val ckptDir = checkpointRoot.map { root =>
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.createTempDirectory(root, name)
+    }
     val q = try {
-      agg.writeStream
+      val w = agg.writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+      ckptDir.fold(w)(d => w.option("checkpointLocation", d.toString))
         .start()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set(noDataKey, prevNoData)
     }
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      ckptDir.foreach(deleteRecursively(_))
+    }
     spark.table(name)
   }
 }
