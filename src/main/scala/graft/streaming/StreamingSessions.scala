@@ -410,10 +410,20 @@ object StreamingSessions {
       partitions: Int = defaultStreamParts,
       noDataBatch: Boolean = true): DataFrame = {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    // Single-shot drive-to-completion: nothing ever re-reads a state
+    // store after the final commit, so keeping providers (and their
+    // in-memory maps) cached until the 60 s maintenance sweep only
+    // accumulates dead state across a 243-query suite. Unload on
+    // commit (r16; A/B: 13-twin steady subtotal 17.4 → 15.6 s). A
+    // long-running production stream KEEPS the default (the cache is
+    // what makes batch N+1's store open free there).
+    val unloadKey = "spark.sql.streaming.stateStore.unloadOnCommit"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get(noDataKey)
+    val prevUnload = spark.conf.get(unloadKey)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     spark.conf.set(noDataKey, noDataBatch.toString)
+    spark.conf.set(unloadKey, "true")
     // fresh dir per run: a stateful query must never resume someone
     // else's checkpoint, and the memory-sink drive is single-shot
     val ckptDir = checkpointRoot.map { root =>
@@ -430,6 +440,7 @@ object StreamingSessions {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set(noDataKey, prevNoData)
+      spark.conf.set(unloadKey, prevUnload)
     }
     try q.processAllAvailable() finally {
       q.stop()
