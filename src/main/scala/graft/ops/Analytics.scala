@@ -1257,21 +1257,31 @@ object Analytics {
   /** Core of [[ksTest]] over any (v: long, f: 'R'|'N') frame —
     * parameterized for the differential spec. */
   private[graft] def ksTestOn(vals: DataFrame): DataFrame = {
+    // PIN the per-value count frame (r16): the PrefixSum machinery
+    // consumes it on TWO branches (local running sums + bucket
+    // subtotals) and Spark recomputes the subtree per branch — the
+    // canonical exchanges are equal but exchange reuse was measured
+    // NOT to fire here (reuse=false A/B read identical: 9 jobs/25
+    // tasks both ways), so the corpus scan + domain groupBy ran twice,
+    // and a third scan fed the totals. The frame is VALUE-DOMAIN-sized
+    // (one row per distinct cents value — the frame the CDF is over
+    // anyway, never corpus-sized), so an eager localCheckpoint is the
+    // established lineage cut: one scan + one groupBy serve all three
+    // consumers. Guide §5 (materialize reused intermediates) / §3.3.
     val perV = vals.groupBy(col("v")).agg(
-      sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
-      sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true)
     // both CDF counts in ONE pass of the three-phase machinery
     val run = PrefixSum.runningSums(perV, Seq.empty, "v",
       Seq("c1" -> "r1", "c2" -> "r2"))
-    // totals from the RAW rows, not from perV: deriving them off perV
-    // re-ran the whole distinct-value groupBy (a second shuffle of the
-    // value domain — 13 MB of the query's shuffle bytes at sf0.1, and
-    // domain-sized at 100 TB); a plain conditional count over the scan
-    // is partial-aggregated map-side and shuffles one row. Same
-    // values: Σ per-value counts ≡ per-flag row counts.
-    val tot = vals.agg(
-        sum(when(col("f") === "R", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("f") === "N", 1L).otherwise(0L)).as("n2"))
+    // totals off the PINNED perV (r15 took them from the raw rows
+    // because an unpinned perV re-ran the domain groupBy; with the pin
+    // the domain frame is strictly cheaper than a third corpus scan).
+    // Same values: Σ per-value counts ≡ per-flag row counts.
+    val tot = perV.agg(
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"))
       .withColumn("__k", lit(1))
     // The cross-multiplied numerator r·n wraps Long SILENTLY once both
     // samples exceed ~3·10⁹ rows — exactly the 100 TB regime this
