@@ -167,6 +167,13 @@ object DedupOps {
     // OOM; past the measured SFs the production move is materializing
     // the prefix index once (the offline AllPairs shape), not a
     // different tf attach. Numbers in OPTIMIZATION_r16.md.
+    // (r16, third probed-and-rejected variant: eagerly pinning this
+    // prefix index — the offline-AllPairs materialization shape — so
+    // the candidate self-join reads it instead of recomputing both
+    // sides measured FLAT at sf0.1 and 2× WORSE at sf1, 6.6→13.3 s
+    // steady; the checkpoint write + stats-less RDD rescans cost more
+    // than the recompute it saves at every measured SF. Lineage
+    // stays.)
     val pref = toks
       .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("rk", row_number().over(
